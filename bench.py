@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness — times the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS    (default all cores)
+
+Each query is forced end-to-end with a noop-format write (computes every
+column — a bare count() would let Catalyst prune the projections we want to
+measure — while writing nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (agg / join / window / threshold /
+# event-time / dedup / text / similarity).
+HEADLINE = [
+    "pricing_summary",
+    "customer_rfm",
+    "churn_features",
+    "distinct_products",
+    "revenue_by_nation",
+    "top_parts_per_segment",
+    "threshold_curve",
+    "sessionize",
+    "tumbling_hourly",
+    "json_props",
+    "dedup_exact",
+    "text_stats",
+    "minhash_candidates",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    from pyspark_retention_pipeline_spark import all_queries, get_spark
+
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 8))
+    queries = all_queries()
+
+    # Warm the session (JVM/codegen) outside the measured region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

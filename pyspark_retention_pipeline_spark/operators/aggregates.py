@@ -1,0 +1,315 @@
+"""Hash-aggregation operators (SURVEY.md §2.4, A1-A10).
+
+All of these compile to partial+final ``HashAggregateExec`` (map-side combine
+before the shuffle), which is the scale-critical property: the shuffle carries
+one row per (partition, group), not per input row. Conditional aggregation
+(``sum(when(...))``) replaces filter-then-aggregate multi-passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import CUTOFF, CUTOFF_DATE, RECENT_START, LOOKAHEAD_END
+from ..exprs import money_sum, scaled_sum, ts_lit
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "order_rollup",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / CAST(10000 AS DOUBLE) AS amount,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("A1",),
+)
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines → orders rollup (reference ``pipeline/etl.py:42-51``: max date,
+    sum amount, distinct products, sum quantity per invoice). The revenue sum
+    uses the exact scaled-integer form (see exprs.scaled_sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "customer_rfm",
+    oracle=f"""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS total_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_amount,
+           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_order_amount,
+           MAX(o_orderdate) AS last_order,
+           CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                          DATE '{CUTOFF_DATE}') AS BIGINT) AS recency_days
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY o_custkey
+    """,
+    tags=("A2",),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-history RFM aggregate (reference ``pipeline/etl.py:66-75``).
+
+    ``avg_order_amount`` is derived from the *rounded* sum so both engines
+    divide identical doubles by identical counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("total_orders"),
+            money_sum("o_totalprice").alias("total_amount"),
+            (money_sum("o_totalprice") / F.count("*")).alias("avg_order_amount"),
+            F.max("o_orderdate").alias("last_order"),
+            F.datediff(F.lit(CUTOFF_DATE).cast("date"), F.to_date(F.max("o_orderdate")))
+            .cast("long")
+            .alias("recency_days"),
+        )
+    )
+
+
+@query(
+    "distinct_products",
+    oracle=f"""
+    SELECT o.o_custkey AS custkey,
+           COUNT(DISTINCT l.l_partkey) AS distinct_parts
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY o.o_custkey
+    """,
+    tags=("A3", "J1"),
+)
+def distinct_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-customer distinct product count (reference
+    ``pipeline/etl.py:78-82``). Exact COUNT(DISTINCT) expands to a two-phase
+    aggregate; see :func:`approx_distinct_products` for the 100 TB variant."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.countDistinct("l_partkey").alias("distinct_parts"))
+    )
+
+
+@query("approx_distinct_products", tags=("A3", "scale-variant"))
+def approx_distinct_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ variant of :func:`distinct_products` — one-phase, no
+    distinct expansion; the right default at 100 TB (rows-only check: HLL
+    sketches are not reproducible in an external oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_distinct_parts"))
+    )
+
+
+@query(
+    "recent90_agg",
+    oracle=f"""
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CASE WHEN o_orderdate > TIMESTAMP '{RECENT_START}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS recent90_orders,
+           ROUND(SUM(CASE WHEN o_orderdate > TIMESTAMP '{RECENT_START}'
+                          THEN o_totalprice ELSE 0 END), 2) AS recent90_amount
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY o_custkey
+    """,
+    tags=("A4",),
+)
+def recent90_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed activity aggregate in conditional-aggregation form — one scan,
+    one shuffle (the reference filters then re-aggregates,
+    ``pipeline/etl.py:87-95``; fused here)."""
+    o = load_table(spark, sf_dir, "orders")
+    in_window = F.col("o_orderdate") > ts_lit(RECENT_START)
+    return (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.when(in_window, 1).otherwise(0)).alias("recent90_orders"),
+            F.round(F.sum(F.when(in_window, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+                "recent90_amount"
+            ),
+        )
+    )
+
+
+@query(
+    "distinct_customers",
+    oracle=f"""
+    SELECT DISTINCT o_custkey AS custkey
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '{CUTOFF}'
+      AND o_orderdate <= TIMESTAMP '{LOOKAHEAD_END}'
+    """,
+    tags=("A5",),
+)
+def distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection of lookahead-window buyers (reference
+    ``pipeline/etl.py:61``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > ts_lit(CUTOFF))
+            & (F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END))
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+@query(
+    "customer_profile",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           COUNT(DISTINCT o_orderstatus) AS distinct_statuses,
+           ROUND(SUM(o_totalprice), 2) AS total_amount,
+           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_amount
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("A8",),
+)
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statistic customer profile (reference notebook cells 12/16:
+    min/max/count/nunique/sum/mean per customer)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct("o_orderstatus").alias("distinct_statuses"),
+        money_sum("o_totalprice").alias("total_amount"),
+        (money_sum("o_totalprice") / F.count("*")).alias("avg_amount"),
+    )
+
+
+@query(
+    "revenue_share",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             ROUND(SUM(o.o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate <= TIMESTAMP '{CUTOFF}'
+      GROUP BY c.c_mktsegment
+    )
+    SELECT segment, revenue, n_orders,
+           ROUND(revenue / SUM(revenue) OVER () * 100, 6) AS share_pct
+    FROM seg
+    """,
+    tags=("A9",),
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment revenue share via a window over the empty partitioning
+    (reference notebook cell 16 computes segment revenue / grand total). The
+    grand total stays distributed — no collect of intermediate results."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return seg.withColumn("share_pct", F.round(F.col("revenue") / total * 100, 6))
+
+
+@query(
+    "p99_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A10",),
+)
+def p99_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (reference notebook cell 12 uses
+    ``.quantile(0.99)`` for axis trims). ``percentile`` here is the exact
+    sort-based variant for oracle parity; :func:`p99_quantile_approx` is the
+    sketch-based one you run at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query("p99_quantile_approx", tags=("A10", "scale-variant"))
+def p99_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch approximate percentiles — bounded memory per group at any
+    scale (rows-only check: sketch results differ from exact oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx")
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / CAST(10000 AS DOUBLE) AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT))
+             / CAST(10000 AS DOUBLE) AS sum_charge,
+           ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "headline"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the classic wide-aggregate headline
+    query (public TPC-H spec); exercises 8 aggregates over 2 group keys in a
+    single map-side-combined pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= ts_lit(CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            scaled_sum(disc_price).alias("sum_disc_price"),
+            scaled_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -1,0 +1,178 @@
+"""Event-time operators over the ``events`` table (SURVEY.md §2.9 extension
+tier): tumbling / sliding windows, sessionization, JSON property access.
+
+The events source carries nanosecond timestamps (see tables.load_events);
+all event-time logic here runs on **integer epoch microseconds** — time-zone
+free, exactly comparable across engines, and cheaper than timestamp ops at
+scale (plain long arithmetic inside codegen). Streaming-native variants of the
+same windows live in ``pyspark_retention_pipeline_spark/streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_events
+
+HOUR_US = 3_600_000_000
+HALF_HOUR_US = 1_800_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@query(
+    "tumbling_hourly",
+    oracle=f"""
+    SELECT epoch_us(ts) // {HOUR_US} AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window-tumbling",),
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation — batch analogue of
+    ``groupBy(F.window(ts, '1 hour'))`` keyed by the integer hour bucket."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.withColumn("hour_bucket", F.expr(f"ts_us DIV {HOUR_US}"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "sliding_hourly",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {HALF_HOUR_US} - g.k) * {HALF_HOUR_US} AS window_start_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events CROSS JOIN generate_series(0, 1) g(k)
+    GROUP BY 1
+    """,
+    tags=("window-sliding",),
+)
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h width, 30 min slide): each event lands in exactly 2
+    windows, produced by a 2-element map-side explode — no self-join."""
+    e = load_events(spark, sf_dir)
+    slide_idx = F.expr(f"ts_us DIV {HALF_HOUR_US}")
+    return (
+        e.select(
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"),
+            slide_idx.alias("slide_idx"),
+        )
+        .withColumn("window_start_us", (F.col("slide_idx") - F.col("k")) * F.lit(HALF_HOUR_US))
+        .groupBy("window_start_us")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("sessionization",),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running sum
+    — the classic batch pattern; one shuffle on user_id serves both windows
+    and the final per-session rollup. Streaming twin:
+    ``streaming.windows.session_counts`` uses ``session_window``."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sessions = e.select("user_id", "event_id", "ts_us").withColumn(
+        "session_id", F.sum(is_new).over(run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@query(
+    "json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string property extraction + aggregation (the testdata's
+    ``events.props`` column; SURVEY §2.8 lists ``from_json`` as extension-only).
+    Uses ``get_json_object`` — a JVM-side expression, no UDF."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "event_type_hourly_pivot",
+    oracle=f"""
+    SELECT epoch_us(ts) // {HOUR_US} AS hour_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("pivot",),
+)
+def event_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — unbounded-cardinality pivots need a
+    discovery pass; pinning the columns keeps it single-pass at scale."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.withColumn("hour_bucket", F.expr(f"ts_us DIV {HOUR_US}"))
+        .groupBy("hour_bucket")
+        .pivot("event_type", ["click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )

@@ -1,0 +1,183 @@
+"""Join operators (SURVEY.md §2.3, J1-J4) with explicit physical hints.
+
+Dimension tables (nation, region, customer at small SF) get ``F.broadcast``
+hints — at 100 TB the fact side never shuffles for these joins. Semi/anti
+joins are expressed as ``left_semi`` / ``left_anti`` (no payload columns cross
+the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import CUTOFF, LOOKAHEAD_END
+from ..exprs import money_sum, ts_lit
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "left_join_enrich",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("J1", "J2"),
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension enrichment via broadcast left joins (reference
+    ``pipeline/etl.py:84,96`` attaches per-customer aggregates the same way)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+@query(
+    "label_antijoin",
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderdate <= TIMESTAMP '{CUTOFF}'
+    ), fut AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderdate > TIMESTAMP '{CUTOFF}'
+        AND o_orderdate <= TIMESTAMP '{LOOKAHEAD_END}'
+    )
+    SELECT h.custkey,
+           CASE WHEN f.custkey IS NULL THEN CAST(1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS label
+    FROM hist h LEFT JOIN fut f ON h.custkey = f.custkey
+    """,
+    tags=("J3",),
+)
+def label_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The churn-label semi-join pattern (reference ``pipeline/etl.py:121-124``:
+    left join to lookahead buyers, absent ⇒ churned)."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    fut = (
+        o.filter(
+            (F.col("o_orderdate") > ts_lit(CUTOFF))
+            & (F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END))
+        )
+        .select(F.col("o_custkey").alias("fut_custkey"))
+        .distinct()
+    )
+    return (
+        hist.join(fut, hist.custkey == fut.fut_custkey, "left")
+        .select(
+            "custkey",
+            F.when(F.col("fut_custkey").isNull(), 1.0).otherwise(0.0).alias("label"),
+        )
+    )
+
+
+@query(
+    "churned_customers",
+    oracle=f"""
+    SELECT DISTINCT h.o_custkey AS custkey
+    FROM orders h
+    WHERE h.o_orderdate <= TIMESTAMP '{CUTOFF}'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders f
+        WHERE f.o_custkey = h.o_custkey
+          AND f.o_orderdate > TIMESTAMP '{CUTOFF}'
+          AND f.o_orderdate <= TIMESTAMP '{LOOKAHEAD_END}'
+      )
+    """,
+    tags=("J3", "anti"),
+)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join form of the churn label — only keys cross the shuffle,
+    the cheapest way to materialize just the churned cohort."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    fut = o.filter(
+        (F.col("o_orderdate") > ts_lit(CUTOFF)) & (F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return hist.join(fut, "custkey", "left_anti")
+
+
+@query(
+    "active_customers_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J-semi",),
+)
+def active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — EXISTS without duplicating or carrying right-side
+    columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY n.n_name
+    """,
+    tags=("J1", "headline"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star aggregation (TPC-H Q5 shape, public spec). Both
+    dimension sides are broadcast so the only shuffle is the final group-by."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT key, name FROM (
+      SELECT c_custkey AS key, c_name AS name FROM customer
+      UNION ALL
+      SELECT s_suppkey AS key, s_name AS name FROM supplier
+    )
+    """,
+    tags=("set-op",),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union (SURVEY §2.7 lists unionByName as the utility
+    set-op the engine carries)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s)

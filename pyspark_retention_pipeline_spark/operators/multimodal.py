@@ -1,0 +1,113 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The testdata has no true image/audio tables, so the binary payload is
+synthesized from ``documents.text`` (UTF-8 bytes) — the *plumbing* is the
+deliverable: binary columns with typed metadata structs, Arrow-batched
+``mapInPandas`` decode stages with explicit output schemas, and partition-
+sized batches. Real decoders (PIL/ffmpeg et al. are not in this container)
+are stubbed behind ``decode_stub`` with a deterministic fake so the pipeline
+shape is fully testable; swap ``_FAKE_DECODE=False`` to surface
+NotImplementedError at the decode boundary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_FAKE_DECODE = True
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, payload binary, media_type string, payload_len long, width int, "
+    "height int, n_frames int"
+)
+
+
+@query(
+    "binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload length + content hash — metadata extraction stays
+    JVM-side (no UDF) even when the payload itself is opaque."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("payload_len"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, media_type) — the canonical shape
+    of a multimodal ingest table: opaque bytes + a type tag."""
+    d = load_table(spark, sf_dir, "documents")
+    media_type = F.when(F.col("doc_id") % 3 == 0, "image/png").when(
+        F.col("doc_id") % 3 == 1, "audio/wav"
+    ).otherwise("video/mp4")
+    return d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"), media_type.alias("media_type")
+    )
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Decode one Arrow batch of payloads into media metadata.
+
+    Deterministic fake: dimensions derive from the payload's md5 digest, so
+    results are stable across partitionings and engines. A real deployment
+    replaces the body with PIL/torchaudio/ffmpeg calls — the signature,
+    batching, and output schema stay identical.
+    """
+    if not _FAKE_DECODE:
+        raise NotImplementedError("media decoders not available in this environment")
+    digests = [hashlib.md5(p).digest() for p in batch["payload"]]
+    batch = batch.copy()
+    batch["payload_len"] = [len(p) for p in batch["payload"]]
+    batch["width"] = [16 + d[0] % 240 for d in digests]
+    batch["height"] = [16 + d[1] % 240 for d in digests]
+    batch["n_frames"] = [
+        1 if mt == "image/png" else 1 + d[2] % 300
+        for mt, d in zip(batch["media_type"], digests)
+    ]
+    return batch
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: ``mapInPandas`` keeps the data partitioned
+    and streams record batches through Python — the sanctioned slow path for
+    logic Spark expressions can't cover (SURVEY §2.10 / driver guide)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _decode_batch(b)
+
+    return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+@query("media_decode_stub", tags=("multimodal", "mapInPandas"))
+def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: binary ingest → Arrow-batched decode →
+    typed metadata, aggregated per media type (rows-only check: the decode is
+    a stub, but the plumbing — schema, batching, partitioning — is real)."""
+    decoded = decode_media(media_frame(spark, sf_dir))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("payload_len").alias("total_bytes"),
+        F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+        F.max("n_frames").alias("max_frames"),
+    )

@@ -1,0 +1,172 @@
+"""Embedding similarity search over ``embeddings`` (array<float>, 64-dim).
+
+Brute-force cosine top-k is the exact baseline: queries are broadcast against
+the candidate set (a broadcast nested-loop, linear in candidates — the correct
+physical shape when |queries| ≪ |candidates|). The scale path is the
+random-hyperplane LSH bucketing in :func:`lsh_bucket_candidates`, which turns
+all-pairs search into a bucket-equi-join.
+
+All arithmetic runs in double (floats widened exactly) with strict left-fold
+dot products so external oracles reproduce the numbers bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import as_double_array, dot
+from ..registry import query
+from ..tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 act as the query set in the fixed-workload queries
+TOP_K = 5
+
+_EMB_CTE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+"""
+
+
+@query(
+    "embedding_norms",
+    oracle=_EMB_CTE + "SELECT vec_id, ROUND(nrm, 6) AS l2_norm FROM n",
+    tags=("similarity", "vector-ops"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via zip_with/aggregate fold — the basic vector-column op."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    return e.select("vec_id", F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"))
+
+
+@query(
+    "knn_bruteforce",
+    oracle=_EMB_CTE
+    + f"""
+    , pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM n q CROSS JOIN n c
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "headline"),
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors, scan candidates once,
+    rank per query. The per-query ranking runs on |queries|×|candidates| rows
+    but only top-k survive the window filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    with_norm = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=_EMB_CTE
+    + """
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100 AND b.vec_id < 100
+      AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    """,
+    tags=("similarity", "dedup-neardup"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a similarity threshold
+    (bounded to vec_id < 100 for the exact all-pairs form)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    with_norm = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = with_norm.select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos_full", cos)
+        .filter(F.col("cos_full") >= 0.3)
+        .select("v1", "v2", F.round("cos_full", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH scale path (deterministic pseudo-random hyperplanes → rows-only check)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12
+_DIM = 64
+
+
+def _plane(j: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane j: components derived from
+    xxhash64(j, i) mapped to [-1, 1] — reproducible on any cluster with no
+    driver-side RNG state."""
+    comps = [
+        (F.pmod(F.xxhash64(F.lit(j), F.lit(i)), F.lit(20001)).cast("double") - 10000.0)
+        / 10000.0
+        for i in range(_DIM)
+    ]
+    return F.array(*comps)
+
+
+def lsh_signature_frame(emb: DataFrame) -> DataFrame:
+    """vec_id → bit signature (array of 0/1) of sign(v · plane_j)."""
+    v = as_double_array(F.col("embedding"))
+    bits = F.array(
+        *[F.when(dot(v, _plane(j)) > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(N_PLANES)]
+    )
+    return emb.select("vec_id", bits.alias("lsh_bits"))
+
+
+@query("lsh_bucket_candidates", tags=("similarity", "ann-lsh"))
+def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate generation: random-hyperplane signatures → bucket id →
+    self-equi-join on bucket. Linear bucketing pass + per-bucket joins replace
+    the quadratic scan; recall vs. brute force is property-tested at sf0.001."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = lsh_signature_frame(e)
+    bucket = F.aggregate(
+        F.col("lsh_bits"), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+    bucketed = sigs.select("vec_id", bucket.alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), F.col("a.bucket").alias("bucket"))

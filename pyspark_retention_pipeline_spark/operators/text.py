@@ -1,0 +1,389 @@
+"""Text-analysis + deduplication operators over ``documents`` (the
+training-data-pipeline extension tier: language stats, quality scoring, token
+counting, fingerprinting, exact + near dedup).
+
+Everything here is built-in expressions (split/regexp/md5/higher-order array
+functions) — no Python UDFs, so the hot path stays inside whole-stage codegen.
+The quadratic token-overlap join is the *oracle-checkable* near-dup baseline;
+the scale path is MinHash-LSH banding (:func:`minhash_candidates`), which
+replaces the all-pairs join with a per-band bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# doc_id ceiling for the quadratic (all-pairs) oracle-checked variants.
+_PAIR_LIMIT = 150
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(length(string_split(text, ' ')) AS BIGINT) AS avg_word_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics — token counting via whitespace
+    split (BPE-ish regex variant in :func:`token_classes`)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        (
+            F.length(F.translate(F.col("text"), " ", "")).cast("double") / n_tokens
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "token_classes",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_other_chars
+    FROM documents
+    """,
+    tags=("text", "tokenizer"),
+)
+def token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token-class counting (a BPE-style pre-tokenization split into
+    letter runs / digit runs / other)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_number_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"[a-z0-9 ]", "")).cast("long").alias(
+            "n_other_chars"
+        ),
+    )
+
+
+@query(
+    "lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text",),
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language tag."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(string_split(text, ' ')) AS BIGINT)
+             - CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_repeated_tokens,
+           CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+           CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(length(string_split(text, ' ')) AS BIGINT) AS unique_ratio
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals (unique-token ratio is the standard
+    gopher-style repetition filter input)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - n_unique).alias("n_repeated_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        (n_unique.cast("double") / n_tokens).alias("unique_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=r"""
+    SELECT doc_id, lang,
+           CASE WHEN length(regexp_extract_all(text, '\b(the|and|of|scan|join)\b')) >= 3
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+    tags=("text", "lang-id"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram/stopword-hit counting —
+    the classic fastText-free fallback), pure expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|and|of|scan|join)\b"), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(hits >= 3, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 hex — engine-portable, unlike xxhash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5("text").alias("fingerprint"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dupes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup-exact",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint group-by, keeping the lowest doc_id as
+    canonical. Hashing before the shuffle means the exchange carries 16-byte
+    keys, not document bodies — the 100 TB-safe form of ``dropDuplicates``."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_dupes"),
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup-exact", "W-rownum"),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number keep-first dedup over a business key (fingerprint) —
+    preserves full surviving rows, unlike the group-by form."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "token_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "O3"),
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-k (explode → count → TakeOrdered)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "word_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.d1, i.d2, i.n_common,
+           i.n_common / (s1.n + s2.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.d1 = s1.doc_id
+    JOIN sizes s2 ON i.d2 = s2.doc_id
+    WHERE i.n_common / (s1.n + s2.n - i.n_common) >= 0.5
+    """,
+    tags=("dedup-neardup", "jaccard"),
+)
+def word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-duplicate pairs — the exact quadratic baseline
+    (bounded to doc_id < 150 here). At corpus scale this join is infeasible;
+    :func:`minhash_candidates` is the banded-LSH path that approximates it."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (scale path; engine-specific hashes → rows-only check)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+BAND_SIZE = 4
+SHINGLE = 3
+
+
+def _shingles(text_col: F.Column) -> F.Column:
+    """Word 3-gram shingles via higher-order functions (no UDF):
+    toks[i..i+2] joined for each valid start index."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)))
+
+
+def minhash_signature_frame(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> of N_HASHES min-hashes over word shingles.
+
+    Each permutation h_j is xxhash64(shingle, seed=j); the signature entry is
+    the minimum over shingles — computed with array ``transform``/``aggregate``
+    entirely inside codegen, one row per doc (no explode, no shuffle).
+    """
+    sh = _shingles(F.col("text"))
+    seeds = list(range(N_HASHES))
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in seeds]
+    )
+    return docs.select("doc_id", sig.alias("signature"))
+
+
+@query("minhash_signatures", tags=("dedup-neardup", "minhash"))
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signature_frame(d)
+
+
+@query("minhash_candidates", tags=("dedup-neardup", "minhash-lsh"))
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: split each signature into bands of BAND_SIZE hashes; docs
+    sharing any band hash become candidate pairs. The only shuffle is the
+    band-bucket group-by — linear in corpus size, vs. the quadratic
+    :func:`word_jaccard_pairs`. Verified against the exact baseline in tests
+    (recall@threshold)."""
+    sigs = minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("signature")[i] for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    banded = sigs.select("doc_id", bands.alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@query("simhash64", tags=("dedup-neardup", "simhash"))
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document via higher-order functions: per-token
+    xxhash64, per-bit ±1 votes folded with ``aggregate(zip_with(...))``, sign
+    → bit. One row per doc, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def token_bits(t):
+        # shiftright takes a Python int bit count, so the 64 bit positions are
+        # unrolled here rather than expressed with a transform over a sequence.
+        return F.array(
+            *[
+                F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, v: a + v),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    return d.select("doc_id", bits.alias("simhash_bits"))

@@ -1,0 +1,192 @@
+"""Window-function / sort / top-k operators (SURVEY.md §2.5-2.6).
+
+Window orderings always include a unique key tiebreak (``o_orderkey``) so
+results are deterministic across engines and partitionings — a requirement for
+oracle hash parity and for reproducible runs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import CUTOFF
+from ..exprs import money_sum, scaled_sum, ts_lit
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "purchase_gaps",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("W1",),
+)
+def purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-purchase gap via LAG (the reference computes this
+    with a pandas ``groupby().shift(1)`` in notebook cell 16; here it is a
+    single Spark window — one shuffle on the customer key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w)))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("W-rownum", "dedup"),
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number keep-latest dedup — the canonical pattern for collapsing to
+    one row per key (SURVEY §2.5 lists this as the engine's dedup helper)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+    )
+
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_amount
+    FROM orders
+    """,
+    tags=("W-frame",),
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer — explicit ROWS frame specification."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_amount"),
+    )
+
+
+@query(
+    "segments_by_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY c.c_mktsegment
+    ORDER BY revenue DESC, segment
+    """,
+    tags=("O2",),
+)
+def segments_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-aggregate (reference notebook sorts segments by revenue desc)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("segment"))
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spend DESC, custkey
+    LIMIT 10
+    """,
+    tags=("O3",),
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by aggregate — ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k then a k-row merge on the
+    driver; no global sort materialization). Tie-broken on the key for
+    determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(money_sum("o_totalprice").alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "top_parts_per_segment",
+    oracle=f"""
+    SELECT segment, l_partkey, part_revenue FROM (
+      SELECT c.c_mktsegment AS segment, l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+               / CAST(10000 AS DOUBLE) AS part_revenue,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                          / CAST(10000 AS DOUBLE) DESC,
+                        l.l_partkey) AS rn
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, l.l_partkey
+    ) WHERE rn <= 5
+    """,
+    tags=("O3", "topk-per-group"),
+)
+def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — aggregate then rank inside a window; ranking runs on
+    the already-reduced (segment, part) grain, not raw lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "l_partkey")
+        .agg(
+            scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "part_revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("part_revenue").desc(), F.col("l_partkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("segment", "l_partkey", "part_revenue")
+    )

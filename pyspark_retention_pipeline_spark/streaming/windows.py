@@ -1,0 +1,63 @@
+"""Structured Streaming event-time windows (SURVEY.md §2.9 extension tier).
+
+The batch operators in ``operators/events.py`` are the oracle-checked
+semantics; these are the same windows expressed as streaming queries —
+``readStream`` → watermark → windowed aggregation — so the engine covers the
+continuous-ingest deployment shape. Tests drive them to completion over the
+parquet testdata with a memory sink (``processAllAvailable``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import SCHEMAS
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events source. The on-disk nanos become a proper event-time
+    timestamp column (microsecond precision) for watermarking."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts with a 1-hour watermark — the streaming twin of
+    ``operators.events.tumbling_hourly``."""
+    return (
+        _event_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user via ``session_window`` — the
+    streaming-native form of ``operators.events.sessionize``."""
+    return (
+        _event_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming aggregation over the (finite) file source to
+    completion via a memory sink; returns the materialized result frame."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
