@@ -9,20 +9,35 @@ parquet testdata with a memory sink (``processAllAvailable``).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import SCHEMAS
 
 
+def _events_stream_dir(sf_dir: str) -> str:
+    """Spark's file streaming source requires a *directory*; expose the events
+    parquet through a per-sf symlink dir (testdata itself is read-only)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "prp_spark_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming events source. The on-disk nanos become a proper event-time
-    timestamp column (microsecond precision) for watermarking."""
+    timestamp column (microsecond precision, integer division) for
+    watermarking."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(_events_stream_dir(sf_dir))
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,60 @@
+"""Dedup correctness properties — exact dup capture and LSH recall vs. the
+exact baseline (SURVEY.md §7 risk register: LSH recall is property-tested, not
+hash-matched)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_retention_pipeline_spark.operators.text import (
+    minhash_candidate_pairs,
+    minhash_signature_frame,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_share_signature(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [(1, text), (2, text), (3, "completely different words here now")])
+    sigs = {r["doc_id"]: tuple(r["signature"]) for r in minhash_signature_frame(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_identical_docs_become_candidates(spark):
+    text = "spark engine scan filter join aggregate window shuffle partition broadcast"
+    docs = _docs(
+        spark,
+        [(1, text), (2, text), (3, "unrelated text with other tokens entirely here")],
+    )
+    pairs = {(r["d1"], r["d2"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_near_duplicates_are_candidates(spark):
+    # One token changed out of ~30 -> shingle overlap is high -> some band
+    # should collide.
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon "
+            "phi chi psi omega one two three four five six")
+    variant = base.replace("sigma", "changed")
+    docs = _docs(spark, [(1, base), (2, variant)])
+    pairs = {(r["d1"], r["d2"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    docs_total = q["doc_fingerprint"](spark, sf_dir).count()
+    groups = q["dedup_exact"](spark, sf_dir)
+    agg = groups.agg(
+        F.sum("n_dupes").alias("total"), F.count("*").alias("uniq")
+    ).collect()[0]
+    assert agg["total"] == docs_total
+    assert agg["uniq"] <= docs_total

@@ -1,0 +1,82 @@
+"""Per-operator unit tests on tiny literal DataFrames (SURVEY.md §5 — the test
+strategy the reference lacks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_retention_pipeline_spark.exprs import dot, scaled_sum
+
+
+def test_scaled_sum_is_exact(spark):
+    # Values chosen to sit on a .xx5 rounding boundary where naive
+    # round(sum, 2) is partition-order-dependent.
+    df = spark.createDataFrame(
+        [(1, 0.105), (1, 0.105), (1, 100.005)], "k int, v double"
+    )
+    out = df.groupBy("k").agg(scaled_sum(F.col("v"), 4).alias("s")).collect()[0]
+    assert out["s"] == pytest.approx(100.215, abs=0)
+
+
+def test_dot_left_fold(spark):
+    df = spark.createDataFrame([(1,)], "id int").select(
+        dot(F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)),
+            F.array(F.lit(4.0), F.lit(5.0), F.lit(6.0))).alias("d")
+    )
+    assert df.collect()[0]["d"] == 32.0
+
+
+def test_sessionize_gap_semantics(spark, monkeypatch, tmp_path):
+    # Synthetic: user 1 has events at t=0s, 10s, then a 31-min gap -> 2 sessions.
+    import pyspark_retention_pipeline_spark.operators.events as ev
+
+    rows = [
+        (1, 0, 1_000_000_000_000),
+        (2, 0, 1_000_010_000_000),
+        (3, 0, 1_000_010_000_000 + 31 * 60 * 1_000_000),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    monkeypatch.setattr(ev, "load_events", lambda *_: df)
+    out = ev.sessionize(spark, "ignored")
+    sessions = out.collect()
+    assert len(sessions) == 2
+    by_id = {r["session_id"]: r for r in sessions}
+    assert by_id[1]["n_events"] == 2 and by_id[2]["n_events"] == 1
+
+
+def test_threshold_metrics_guard_division(spark):
+    # tp=fp=fn=0 -> precision=recall=0, f1=0 (the reference's max(...,1) guard).
+    from pyspark_retention_pipeline_spark.operators.threshold import _with_metrics
+
+    sweep = spark.createDataFrame([(1.0, 0, 0, 0, 10)], "t double, tp long, fp long, fn long, tn long")
+    row = _with_metrics(sweep).collect()[0]
+    assert row["precision"] == 0.0 and row["recall"] == 0.0 and row["f1"] == 0.0
+
+
+def test_media_decode_stub_deterministic(spark):
+    from pyspark_retention_pipeline_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, b"hello world", "image/png"), (2, b"other bytes", "video/mp4")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out1 = {r["doc_id"]: (r["width"], r["height"], r["n_frames"]) for r in decode_media(df).collect()}
+    out2 = {r["doc_id"]: (r["width"], r["height"], r["n_frames"]) for r in decode_media(df).collect()}
+    assert out1 == out2
+    assert out1[1][2] == 1  # images are single-frame
+    assert out2[2][2] >= 1
+
+
+def test_class_weights_no_collect(spark, sf_dir):
+    # The class-weight op must not round-trip through the driver: its plan is
+    # a broadcast join of a 1-row aggregate, fully lazy until action.
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    df = all_queries()["class_weights"](spark, sf_dir)
+    rows = df.collect()
+    labels = {r["label"] for r in rows}
+    assert labels == {0.0, 1.0}
+    weights = {r["label"]: r["class_weight"] for r in rows}
+    assert weights[0.0] == 1.0 and weights[1.0] > 0
