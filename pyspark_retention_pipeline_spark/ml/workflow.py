@@ -1,0 +1,121 @@
+"""End-to-end workflow parity: feature ETL → splits → train → eval → artifacts
+(the reference's ``make etl`` / ``make train`` / ``make eval`` lifecycle,
+SURVEY.md §3).
+
+Scale fixes over the reference flagged in SURVEY §4:
+  * the feature DAG is cached once before the four writes (the reference
+    recomputes the whole DAG per write, ``etl.py:147-151``);
+  * the threshold search is the single-pass sweep operator, not 303 jobs;
+  * evaluation's confusion matrix is one conditional aggregation, not
+    4 filter+count actions (``eval.py:74-82``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.retention import churn_feature_frame
+from ..operators.threshold import _with_metrics
+from .pipeline import (
+    coefficients_frame,
+    evaluate_model,
+    score_frame,
+    train_churn_model,
+)
+
+SPLIT_WEIGHTS = [0.7, 0.15, 0.15]
+SEED = 42
+
+
+def run_feature_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Build the churn feature table and persist features + train/val/test
+    splits (reference ``etl.py:145-151``: randomSplit([0.7,0.15,0.15], 42))."""
+    features = churn_feature_frame(spark, sf_dir).cache()
+    features.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
+    splits = features.randomSplit(SPLIT_WEIGHTS, seed=SEED)
+    names = ("train", "val", "test")
+    counts = {}
+    for name, df in zip(names, splits):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        counts[name] = df.count()
+    features.unpersist()
+    return counts
+
+
+def _sweep_best_threshold(scored: DataFrame) -> dict[str, float]:
+    """Single-pass 101-threshold sweep over real scores; reference tie-break
+    (lowest t at max F1)."""
+    expanded = scored.select(
+        "label", F.col("p_churn").alias("score"), F.explode(F.sequence(F.lit(0), F.lit(100))).alias("i")
+    ).withColumn("t", F.col("i").cast("double") / F.lit(100.0))
+    hit = F.col("score") >= F.col("t")
+    pos = F.col("label") == 1
+    sweep = expanded.groupBy("t").agg(
+        F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~hit & ~pos, 1).otherwise(0)).alias("tn"),
+    )
+    best = (
+        _with_metrics(sweep)
+        .orderBy(F.col("f1").desc(), F.col("t").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    return {
+        "best_threshold": best["t"],
+        "best_f1": best["f1"],
+        "precision_at_best": best["precision"],
+        "recall_at_best": best["recall"],
+    }
+
+
+def run_training(
+    spark: SparkSession, out_dir: str, cross_validate: bool = False
+) -> dict[str, float]:
+    """Train on the persisted train split, select threshold on val, persist
+    model + metrics.json + coefficients.csv (reference ``train.py:137-192``)."""
+    train = spark.read.parquet(os.path.join(out_dir, "train")).cache()
+    val = spark.read.parquet(os.path.join(out_dir, "val")).cache()
+
+    model = train_churn_model(train, cross_validate=cross_validate, seed=SEED)
+    model.write().overwrite().save(os.path.join(out_dir, "model"))
+
+    metrics = evaluate_model(model, val)
+    scored_val = score_frame(model, val).cache()
+    metrics.update(_sweep_best_threshold(scored_val))
+
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, sort_keys=True)
+    coefficients_frame(spark, model).toPandas().to_csv(
+        os.path.join(out_dir, "coefficients.csv"), index=False
+    )
+    return metrics
+
+
+def run_eval(spark: SparkSession, out_dir: str) -> dict[str, float]:
+    """Held-out evaluation: AUCs + confusion matrix at the persisted best
+    threshold, confusion cells in ONE conditional aggregation."""
+    test = spark.read.parquet(os.path.join(out_dir, "test")).cache()
+    model = PipelineModel.load(os.path.join(out_dir, "model"))
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        threshold = json.load(f)["best_threshold"]
+
+    metrics = evaluate_model(model, test)
+    scored = score_frame(model, test, threshold=threshold)
+    pos = F.col("label") == 1
+    hit = F.col("prediction") == 1.0
+    cm = scored.agg(
+        F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~hit & ~pos, 1).otherwise(0)).alias("tn"),
+    ).collect()[0]
+    metrics.update({k: int(cm[k]) for k in ("tp", "fp", "fn", "tn")})
+    metrics["threshold"] = threshold
+    return metrics

@@ -1,0 +1,80 @@
+"""CSV/Parquet sources and sinks with 100 TB posture.
+
+Reference parity: ``pipeline/etl.py:13-30`` reads globbed CSV with header
+inference then renames/casts; at scale, inference is a full extra pass, so
+:func:`read_csv_transactions` takes an explicit schema and applies the same
+header normalization declaratively. Sinks add what the reference lacks:
+partitioned layout (partition pruning for downstream readers) and an explicit
+no-infer contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Online-Retail-II-shaped transaction lines (FIXTURES.md §1.1). Both Kaggle
+# header spellings are normalized, mirroring reference etl.py:18-20.
+TRANSACTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("Invoice", T.StringType()),
+        T.StructField("StockCode", T.StringType()),
+        T.StructField("Description", T.StringType()),
+        T.StructField("Quantity", T.IntegerType()),
+        T.StructField("InvoiceDate", T.StringType()),
+        T.StructField("UnitPrice", T.DoubleType()),
+        T.StructField("CustomerID", T.StringType()),
+        T.StructField("Country", T.StringType()),
+    ]
+)
+
+_HEADER_ALIASES = {
+    "InvoiceNo": "Invoice",
+    "Customer ID": "CustomerID",
+    "Price": "UnitPrice",
+}
+
+
+def read_csv_transactions(spark: SparkSession, path: str) -> DataFrame:
+    """Globbed CSV scan with explicit types (reference S1, ``etl.py:15``).
+
+    Headers are read (one cheap metadata row) but *types* are never inferred;
+    alternate header spellings are renamed and the timestamp parsed
+    explicitly, exactly the casts of reference ``etl.py:23-29``.
+    """
+    raw = spark.read.option("header", True).csv(path)
+    for old, new in _HEADER_ALIASES.items():
+        if old in raw.columns:
+            raw = raw.withColumnRenamed(old, new)
+    return raw.select(
+        F.col("Invoice").cast("string").alias("Invoice"),
+        F.col("StockCode").cast("string").alias("StockCode"),
+        F.col("Description").cast("string").alias("Description"),
+        F.col("Quantity").cast("int").alias("Quantity"),
+        F.to_timestamp("InvoiceDate").alias("InvoiceDate"),
+        F.col("UnitPrice").cast("double").alias("UnitPrice"),
+        F.col("CustomerID").cast("string").alias("CustomerID"),
+        F.col("Country").cast("string").alias("Country"),
+    )
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-pinned parquet scan (S2) — delegates to tables.load_table."""
+    from ..tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain parquet sink (S3, reference ``etl.py:147-151``)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet layout — downstream scans prune partitions on the
+    partition columns for free; the write itself shuffles nothing (files are
+    split per in-memory partition)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

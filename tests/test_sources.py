@@ -1,0 +1,64 @@
+"""Source/sink parity (SURVEY.md §2.1): CSV ingest with explicit types and
+header normalization; plain + partitioned parquet sinks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_retention_pipeline_spark.sources import (
+    read_csv_transactions,
+    write_parquet,
+    write_partitioned_parquet,
+)
+
+CSV_KAGGLE_V2 = """InvoiceNo,StockCode,Description,Quantity,InvoiceDate,Price,Customer ID,Country
+536365,85123A,HOLDER,6,2010-12-01 08:26:00,2.55,17850,United Kingdom
+C536379,D,Discount,-1,2010-12-01 09:41:00,27.50,14527,United Kingdom
+536366,71053,LANTERN,6,2010-12-01 08:28:00,3.39,,France
+"""
+
+
+def test_csv_source_normalizes_and_types(spark, tmp_path):
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "part1.csv").write_text(CSV_KAGGLE_V2)
+    df = read_csv_transactions(spark, str(p / "*.csv"))
+    assert df.columns == [
+        "Invoice", "StockCode", "Description", "Quantity",
+        "InvoiceDate", "UnitPrice", "CustomerID", "Country",
+    ]
+    types = dict(df.dtypes)
+    assert types["Quantity"] == "int" and types["UnitPrice"] == "double"
+    assert types["InvoiceDate"] == "timestamp"
+    rows = df.orderBy("Invoice").collect()
+    assert rows[0]["Quantity"] == 6
+    # cancelled invoice ('C' prefix) and null customer survive the scan — the
+    # validity filter is a downstream operator, not the reader's job
+    assert any(r["Invoice"].startswith("C") for r in rows)
+    assert any(r["CustomerID"] is None for r in rows)
+
+
+def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    statuses = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(statuses) >= 2
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # Partition pruning: a filter on the partition col reads a subset only.
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    assert 0 < pruned.count() < orders.count()
+
+
+def test_plain_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_copy")
+    write_parquet(nation, out)
+    assert spark.read.parquet(out).count() == 25
