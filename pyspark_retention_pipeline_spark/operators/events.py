@@ -176,3 +176,44 @@ def event_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@query(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+             MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase_us,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_signup_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN first_signup_us IS NOT NULL
+                          AND last_purchase_us > first_signup_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+    FROM per_user
+    """,
+    tags=("funnel",),
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → later-purchase conversion funnel as ONE conditional
+    aggregation per user plus a global rollup — no joins, no multiple passes
+    (the naive form is a self-join of the signup stream with the purchase
+    stream)."""
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("first_signup_us"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("last_purchase_us"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+    )
+    converted = F.col("first_signup_us").isNotNull() & (
+        F.col("last_purchase_us") > F.col("first_signup_us")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_signup_us").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+    )

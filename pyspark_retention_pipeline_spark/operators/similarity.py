@@ -170,3 +170,34 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), F.col("a.bucket").alias("bucket"))
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    WITH expanded AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           ROUND(AVG(val), 6) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM expanded
+    GROUP BY label, dim
+    """,
+    tags=("similarity", "centroid"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim, mean) via
+    posexplode + group-by — the distributed element-wise mean that IVF-style
+    ANN indexes train on. Shuffle carries (label × dim) groups only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expanded = e.select(
+        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "val")
+    )
+    return (
+        expanded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"), F.count("*").alias("n_vectors"))
+    )

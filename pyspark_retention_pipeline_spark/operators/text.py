@@ -397,3 +397,55 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
     return d.select("doc_id", bits.alias("simhash_bits"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    ), tf_counts AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+      SELECT t.doc_id, t.token,
+             t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+      FROM tf_counts t JOIN df d ON t.token = d.token CROSS JOIN n
+    )
+    SELECT doc_id, token, ROUND(tfidf, 6) AS tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level TF-IDF with top-3 terms per document (bounded to
+    doc_id < 50 for the oracle workload). Two aggregations + one broadcast
+    join; the document-frequency side is tiny (vocabulary-sized) and
+    broadcast, so the big side never shuffles for the join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tf = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf_counts = tf.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf_counts.join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
+    )
