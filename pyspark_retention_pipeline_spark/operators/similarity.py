@@ -201,3 +201,53 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(F.round(F.avg("val"), 6).alias("centroid_val"), F.count("*").alias("n_vectors"))
     )
+
+
+@query("knn_vectorized", tags=("similarity", "knn", "pandas-udf"))
+def knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via Arrow-batched numpy matmul (``mapInPandas``) — the BLAS fast
+    path for real embedding widths. The (tiny) normalized query matrix is
+    broadcast to executors; each Arrow batch of candidates scores against all
+    queries in one ``C @ Q.T``; the global top-k stays a window over the pair
+    stream. Agrees with :func:`knn_bruteforce` to 1e-9 (tests/test_similarity.py);
+    rows-only for the oracle because BLAS summation order differs in the last
+    ulp from a sequential fold."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: N_QUERIES rows — the broadcast-dim pattern
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, qm = bc.value
+        for pdf in batches:
+            cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qm.T  # (batch, n_queries)
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_c),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "cos": sims.T.reshape(-1),
+                }
+            )
+
+    pairs = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
