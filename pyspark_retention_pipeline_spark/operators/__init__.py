@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     events,
     text,
     similarity,
+    ivf,
     analytics,
     mlops,
     multimodal,

@@ -1,0 +1,109 @@
+"""IVF-style approximate nearest neighbor: KMeans coarse quantizer + probed
+partition search (the third leg of the similarity triad: exact brute force →
+LSH buckets → IVF cells).
+
+Index build: seeded MLlib KMeans over the embeddings assigns every vector to
+a cell. Search: each query scores only vectors in its ``n_probe`` nearest
+cells — the candidate set shrinks by ~n_cells/n_probe while recall stays high
+for clustered data. At 100 TB the cell assignment is a write-time partition
+column (partition pruning does the probing for free); here it is a runtime
+join against the assignment frame. Recall vs. brute force is property-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import as_double_array, dot
+from ..registry import query
+from ..tables import load_table
+from .similarity import N_QUERIES, TOP_K
+
+N_CELLS = 16
+N_PROBE = 4
+SEED = 42
+
+
+def build_ivf_index(emb: DataFrame, n_cells: int = N_CELLS, seed: int = SEED):
+    """Fit the coarse quantizer and return (assignments, centroids).
+
+    assignments: vec_id, cell; centroids: cell, centroid array<double>.
+    """
+    vecs = emb.select(
+        "vec_id", array_to_vector(as_double_array(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(vecs)
+    assignments = model.transform(vecs).select("vec_id", "cell")
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assignments, centroids
+
+
+def ivf_search(
+    emb: DataFrame,
+    queries_df: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Probe the n_probe closest cells per query, then exact cosine within
+    the probed cells only."""
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+
+    # Cell probing: distance query → centroid (centroids are tiny: broadcast).
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "cell",
+        dot(F.col("qv"), F.col("centroid")).alias("cdot"),
+        F.sqrt(dot(F.col("centroid"), F.col("centroid"))).alias("cnorm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        (F.col("cdot") / (F.col("qn") * F.col("cnorm"))).desc(), F.col("cell")
+    )
+    probed = (
+        qc.withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    cands = (
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("cv"))
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .join(assignments, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "cv", "cn", "cell")
+    )
+
+    pairs = (
+        cands.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query("ivf_knn", tags=("similarity", "ann-ivf"))
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k for the standard query set (vec_id < N_QUERIES); rows-only
+    (KMeans iterations are not SQL-expressible — SURVEY §7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, centroids = build_ivf_index(emb)
+    return ivf_search(emb, emb.filter(F.col("vec_id") < N_QUERIES), assignments, centroids)

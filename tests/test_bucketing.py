@@ -1,0 +1,40 @@
+"""Bucketing deletes the join shuffle — the physical-layout claim in
+docs/SCALE.md, asserted on the actual plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+from pyspark_retention_pipeline_spark.sources.bucketing import (
+    bucket_fact_tables,
+    colocated_order_lines,
+)
+from pyspark_retention_pipeline_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    names = bucket_fact_tables(spark, sf_dir, n_buckets=4, prefix="t_bkt")
+    yield names
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed):
+    joined = colocated_order_lines(spark, *bucketed)
+    plan = explain_str(joined)
+    assert "Exchange" not in plan, plan
+    # Same row count as the shuffled join over raw parquet.
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+
+
+def test_unbucketed_join_does_exchange(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = explain_str(o.join(li, o.o_orderkey == li.l_orderkey))
+    # Raw parquet sides must shuffle (or broadcast at tiny sf) — the contrast
+    # that makes the bucketed assertion meaningful.
+    assert "Exchange" in plan or "Broadcast" in plan

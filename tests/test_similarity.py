@@ -56,3 +56,19 @@ def test_cross_validated_training(spark, sf_dir):
     lr = model.stages[-1]
     assert lr.getRegParam() in (0.0, 0.01, 0.1)
     assert lr.getElasticNetParam() in (0.0, 0.5, 1.0)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with 4-of-16 probed cells must recover most of the exact top-5
+    (recall@5 >= 0.5 on random-ish data; clustered data does far better —
+    the point is the candidate set shrank ~4x)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["knn_bruteforce"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ivf_knn"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall@{len(exact)} = {recall}"
