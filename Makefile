@@ -1,0 +1,34 @@
+# Developer entry points (mirrors the reference repo's Makefile surface).
+
+SF_DIR ?= /root/testdata/sf0.001
+OUT_DIR ?= ./data/artifacts
+
+.PHONY: test test-gate bench etl train eval plans
+
+test:
+	python -m pytest tests/ -q
+
+# The driver-gate mirror: full oracle parity at sf0.01.
+test-gate:
+	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+
+bench:
+	python bench.py
+
+etl:
+	python -c "from pyspark_retention_pipeline_spark.session import get_spark; \
+	from pyspark_retention_pipeline_spark.ml.workflow import run_feature_etl; \
+	print(run_feature_etl(get_spark('etl'), '$(SF_DIR)', '$(OUT_DIR)'))"
+
+train:
+	python -c "from pyspark_retention_pipeline_spark.session import get_spark; \
+	from pyspark_retention_pipeline_spark.ml.workflow import run_training; \
+	print(run_training(get_spark('train'), '$(OUT_DIR)'))"
+
+eval:
+	python -c "from pyspark_retention_pipeline_spark.session import get_spark; \
+	from pyspark_retention_pipeline_spark.ml.workflow import run_eval; \
+	print(run_eval(get_spark('eval'), '$(OUT_DIR)'))"
+
+plans:
+	python scripts/dump_plans.py

@@ -66,28 +66,50 @@ _FEATURES_SQL = f"""
 
 def churn_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-level churn feature table (the reference's 10-column feature
-    schema, FIXTURES.md §1.2, over the star-schema testdata)."""
+    schema, FIXTURES.md §1.2, over the star-schema testdata).
+
+    Fully fused plan: ONE scan of orders and ONE customer-key shuffle produce
+    history RFM, the recent-90-day stats, AND the lookahead churn label as
+    conditional aggregates over the whole table (the reference builds these
+    as three filtered aggregations plus two joins, ``etl.py:57-124``); only
+    the lineitem-derived product stats need their own aggregation + join.
+    """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    hist = o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
-    in_recent = F.col("o_orderdate") > ts_lit(RECENT_START)
+    in_hist = F.col("o_orderdate") <= ts_lit(CUTOFF)
+    in_recent = in_hist & (F.col("o_orderdate") > ts_lit(RECENT_START))
+    in_future = (F.col("o_orderdate") > ts_lit(CUTOFF)) & (
+        F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END)
+    )
+    hist_price = F.sum(F.when(in_hist, F.col("o_totalprice")).otherwise(0.0))
 
-    rfm = hist.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.count("*").alias("total_orders"),
-        money_sum("o_totalprice").alias("total_amount"),
-        (money_sum("o_totalprice") / F.count("*")).alias("avg_order_amount"),
-        F.datediff(F.lit(CUTOFF_DATE).cast("date"), F.to_date(F.max("o_orderdate")))
-        .cast("long")
-        .alias("recency_days"),
-        F.sum(F.when(in_recent, 1).otherwise(0)).alias("recent90_orders"),
-        F.round(F.sum(F.when(in_recent, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
-            "recent90_amount"
-        ),
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.when(in_hist, 1).otherwise(0)).alias("total_orders"),
+            F.round(hist_price, 2).alias("total_amount"),
+            F.datediff(
+                F.lit(CUTOFF_DATE).cast("date"),
+                F.to_date(F.max(F.when(in_hist, F.col("o_orderdate")))),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.sum(F.when(in_recent, 1).otherwise(0)).alias("recent90_orders"),
+            F.round(F.sum(F.when(in_recent, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+                "recent90_amount"
+            ),
+            F.max(F.when(in_future, 1)).alias("has_future"),
+        )
+        # customers with no pre-cutoff history are out of cohort (they only
+        # appear in the lookahead window — the reference's "new" customers)
+        .filter(F.col("total_orders") >= 1)
+        .withColumn("avg_order_amount", F.col("total_amount") / F.col("total_orders"))
     )
 
     prod = (
-        hist.join(li, hist.o_orderkey == li.l_orderkey)
+        o.filter(in_hist)
+        .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
@@ -95,19 +117,8 @@ def churn_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    fut = (
-        o.filter(
-            (F.col("o_orderdate") > ts_lit(CUTOFF))
-            & (F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END))
-        )
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-        .withColumn("has_future", F.lit(1))
-    )
-
     return (
         rfm.join(prod, "custkey", "left")
-        .join(fut, "custkey", "left")
         .select(
             "custkey",
             "total_orders",
