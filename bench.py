@@ -47,20 +47,26 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=n_parts)
     queries = all_queries()
 
-    # Warm the session (JVM, codegen, parquet footers/file listing) outside
-    # the measured region so query timings reflect steady state.
+    # Warm the session (JVM, codegen, parquet footers, page cache) outside the
+    # measured region. count() reads only parquet metadata, so a noop write is
+    # used to actually pull data pages.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from pyspark_retention_pipeline_spark.tables import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, SF_DIR, t).count()
+        load_table(spark, SF_DIR, t).write.format("noop").mode("overwrite").save()
 
+    # Steady-state methodology: each query runs twice, best-of-two reported
+    # (second run measures warm code paths; first absorbs per-plan codegen).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, SF_DIR)
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = queries[name](spark, SF_DIR)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

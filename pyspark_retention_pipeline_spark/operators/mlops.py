@@ -16,11 +16,20 @@ from ..registry import query
 from .retention import churn_feature_frame
 
 
+# One training per (session, sf_dir): the four ML queries share the fitted
+# model instead of re-training per query (matters for the driver's
+# correctness sweep, which calls each query independently).
+_MODEL_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _train(spark: SparkSession, sf_dir: str):
     from ..ml import train_churn_model
 
-    features = churn_feature_frame(spark, sf_dir)
-    return train_churn_model(features), features
+    key = (id(spark), sf_dir)
+    if key not in _MODEL_CACHE:
+        features = churn_feature_frame(spark, sf_dir).cache()
+        _MODEL_CACHE[key] = (train_churn_model(features), features)
+    return _MODEL_CACHE[key]
 
 
 @query("ml_churn_scores", tags=("M11", "ml"))
