@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     similarity,
     ivf,
     analytics,
+    sampling,
     mlops,
     multimodal,
 )

@@ -217,3 +217,26 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("first_signup_us").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
         F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
     )
+
+
+@query(
+    "json_typed_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+    tags=("json", "from_json"),
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via ``from_json`` into a struct column (SURVEY §2.8:
+    the schema-on-read form, vs. get_json_object's path extraction)."""
+    e = load_events(spark, sf_dir)
+    parsed = e.withColumn("props_struct", F.from_json("props", "k BIGINT"))
+    return parsed.select(
+        "event_id",
+        F.col("props_struct.k").alias("k"),
+        F.when(F.col("props_struct.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
