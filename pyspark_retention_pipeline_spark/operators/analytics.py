@@ -283,3 +283,54 @@ def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg_key"),
         F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
     )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "grouping"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping combinations in one expand
+    pass (2^d row expansion before the aggregate: cheap for small d, and the
+    reason you pick ROLLUP when the hierarchy is linear)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("revenue"))
+
+
+@query(
+    "order_value_bounds",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS latest_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window-values",),
+)
+def order_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value analytics over an explicit running frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("latest_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )

@@ -62,3 +62,18 @@ def test_plain_parquet_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "nation_copy")
     write_parquet(nation, out)
     assert spark.read.parquet(out).count() == 25
+
+
+def test_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter (prune
+    directories), not a data filter over all files."""
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
