@@ -449,3 +449,35 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def quality_zscore_frame(docs: DataFrame) -> DataFrame:
+    """Per-language robust z-score of document length via ``applyInPandas`` —
+    the per-group Pandas surface (median/MAD are order statistics pandas
+    computes naturally; each language group arrives as one pandas frame)."""
+    import pandas as pd
+
+    def per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["n_chars"].median()
+        mad = (pdf["n_chars"] - med).abs().median()
+        denom = 1.4826 * mad if mad > 0 else 1.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_chars": pdf["n_chars"],
+                "robust_z": (pdf["n_chars"] - med) / denom,
+            }
+        )
+
+    return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        per_lang, schema="doc_id long, lang string, n_chars long, robust_z double"
+    )
+
+
+@query("quality_zscore_by_lang", tags=("text", "applyInPandas"))
+def quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust length z-scores (outlier detection input for
+    quality filtering); rows-only — median/MAD per dynamic group is the
+    sanctioned applyInPandas case."""
+    return quality_zscore_frame(load_table(spark, sf_dir, "documents"))

@@ -78,3 +78,27 @@ def write_partitioned_parquet(
     partition columns for free; the write itself shuffles nothing (files are
     split per in-memory partition)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_csv_transactions_permissive(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-tolerant CSV ingest: malformed rows are quarantined into a
+    ``_corrupt_record`` column instead of failing the job (at corpus scale a
+    handful of bad rows must never kill a 100 TB read). Returns
+    (clean_rows, quarantined_rows)."""
+    schema = T.StructType(
+        TRANSACTIONS_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path)
+    ).cache()  # required: corrupt-record queries must not re-infer per action
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, quarantined

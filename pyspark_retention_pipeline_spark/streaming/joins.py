@@ -1,0 +1,50 @@
+"""Stream-stream join (SURVEY.md §2.9 extension depth): signup → purchase
+attribution with event-time watermarks.
+
+Both sides are watermarked so Spark can bound the join state: a purchase can
+only match a signup within the attribution window, and state older than the
+watermark horizon is evicted — the property that keeps a continuous join
+runnable forever at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import _event_stream
+
+ATTRIBUTION = "30 minutes"
+
+
+def signup_purchase_attribution(spark, sf_dir: str) -> DataFrame:
+    """Purchases attributed to the same user's signup within the attribution
+    window (signup_time <= purchase_time <= signup_time + 30 min)."""
+    events = _event_stream(spark, sf_dir)
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_time").alias("signup_time"),
+        )
+        .withWatermark("signup_time", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_time", "1 hour")
+    )
+    return signups.join(
+        purchases,
+        F.expr(
+            f"""
+            s_user = p_user AND
+            purchase_time >= signup_time AND
+            purchase_time <= signup_time + INTERVAL {ATTRIBUTION}
+            """
+        ),
+    )

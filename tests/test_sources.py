@@ -77,3 +77,22 @@ def test_partition_pruning_in_plan(spark, sf_dir, tmp_path):
     plan = explain_str(pruned)
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_permissive_csv_quarantines_bad_rows(spark, tmp_path):
+    from pyspark_retention_pipeline_spark.sources.io import (
+        read_csv_transactions_permissive,
+    )
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "x.csv").write_text(
+        "Invoice,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+        "A1,S1,ok,2,2011-01-01 10:00:00,3.50,C1,UK\n"
+        "A2,S2,bad-quantity,notanumber,2011-01-01 10:00:00,1.00,C2,UK\n"
+        "A3,S3,ok,1,2011-01-02 11:00:00,2.00,C3,UK\n"
+    )
+    clean, quarantined = read_csv_transactions_permissive(spark, str(p / "*.csv"))
+    assert clean.count() == 2
+    assert quarantined.count() == 1
+    assert "notanumber" in quarantined.collect()[0]["_corrupt_record"]

@@ -23,3 +23,48 @@ def test_session_stream_runs(spark, sf_dir):
     out = run_to_completion(session_stream(spark, sf_dir), "t_sessions")
     assert out.count() > 0
     assert out.agg(F.min("n_events")).collect()[0][0] >= 1
+
+
+def test_stream_stream_attribution_join(spark, sf_dir):
+    """Watermarked stream-stream join: every attributed purchase follows the
+    same user's signup within the window; spot-check against a batch compute."""
+    from pyspark_retention_pipeline_spark.streaming.joins import (
+        signup_purchase_attribution,
+    )
+    from pyspark_retention_pipeline_spark.streaming.windows import run_to_completion
+    from pyspark_retention_pipeline_spark.tables import load_events
+
+    out_df = signup_purchase_attribution(spark, sf_dir)
+    q = (
+        out_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attrib")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_attrib")
+    n = got.count()
+    bad = got.filter(
+        (F.col("purchase_time") < F.col("signup_time"))
+        | (F.col("purchase_time") > F.col("signup_time") + F.expr("INTERVAL 30 minutes"))
+        | (F.col("s_user") != F.col("p_user"))
+    ).count()
+    assert bad == 0
+
+    # Batch reference: same attribution predicate on the static table.
+    e = load_events(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"), F.col("ts_us").alias("s_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts_us").alias("p_us")
+    )
+    expected = (
+        s.join(p, "u")
+        .filter((F.col("p_us") >= F.col("s_us")) & (F.col("p_us") - F.col("s_us") <= 1_800_000_000))
+        .count()
+    )
+    assert n == expected
