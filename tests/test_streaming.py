@@ -68,3 +68,27 @@ def test_stream_stream_attribution_join(spark, sf_dir):
         .count()
     )
     assert n == expected
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """foreachBatch epoch-keyed sink: rows land once per epoch directory and
+    total matches the batch aggregate."""
+    import os
+
+    from pyspark_retention_pipeline_spark.streaming.sinks import (
+        write_stream_idempotent,
+    )
+
+    out = str(tmp_path / "sink")
+    stream = tumbling_stream(spark, sf_dir)
+    q = write_stream_idempotent(stream, out, "t_sink")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert epochs
+    latest = max(epochs, key=lambda d: int(d.split("=")[1]))
+    sunk = spark.read.parquet(os.path.join(out, latest))
+    batch_total = tumbling_hourly(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    assert sunk.agg(F.sum("n_events")).collect()[0][0] == batch_total
