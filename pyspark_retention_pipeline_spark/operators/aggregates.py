@@ -8,6 +8,9 @@ one row per (partition, group), not per input row. Conditional aggregation
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed at module scope so the pandas-UDAF
+# type hints (stringified by future-annotations) resolve via get_type_hints.
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -312,4 +315,32 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+@query(
+    "median_order_value",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("pandas-udaf", "A10"),
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer median order value via a grouped-aggregate Pandas UDF —
+    the UDAF-shaped Pandas surface (Arrow-batched per group). pandas'
+    interpolated median and the oracle's quantile_cont(0.5) compute the same
+    midpoint on identical doubles."""
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    o = load_table(spark, sf_dir, "orders")
+    # A grouped-agg pandas UDF cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — single-expression aggregate here.
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(median_udaf("o_totalprice"), 4).alias("median_order")
     )
