@@ -240,3 +240,86 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props_struct.k").alias("k"),
         F.when(F.col("props_struct.k") >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+FIVE_MIN_US = 300_000_000
+
+
+@query(
+    "range_join_error_context",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           CAST(COUNT(p.event_id) AS BIGINT) AS purchases_nearby,
+           CAST(COALESCE(SUM(CASE WHEN p.value > 100 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS big_purchases_nearby
+    FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.ts_us BETWEEN e.ts_us - {FIVE_MIN_US} AND e.ts_us + {FIVE_MIN_US}
+    GROUP BY e.event_id
+    """,
+    tags=("range-join",),
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (each error event ⟕ purchases within ±5 min, across all
+    users) in the scalable bucketed form: both sides key on a 5-minute time
+    bucket, the probe side explodes into its 3 adjacent buckets, and the
+    range predicate filters exactly after an *equi*-join on the bucket — a
+    cross join becomes a hash join whose fan-out is bounded by bucket
+    occupancy (Spark has no native range join; this is the standard
+    bucketize-then-filter pattern)."""
+    e = load_events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts_us").alias("e_us")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts_us").alias("p_us"), "value"
+    )
+    probe = errors.select(
+        "error_id",
+        "e_us",
+        F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("k"),
+    ).withColumn("bucket", F.expr(f"e_us DIV {FIVE_MIN_US}") + F.col("k"))
+    build = purchases.withColumn("bucket", F.expr(f"p_us DIV {FIVE_MIN_US}"))
+    joined = probe.join(build, "bucket", "left").filter(
+        F.col("p_us").isNull()
+        | ((F.col("p_us") >= F.col("e_us") - FIVE_MIN_US) & (F.col("p_us") <= F.col("e_us") + FIVE_MIN_US))
+    )
+    # A purchase can match from at most one bucket offset k, so no dedup is
+    # needed; count matched purchase ids per error.
+    return joined.groupBy("error_id").agg(
+        F.count("p_id").alias("purchases_nearby"),
+        F.coalesce(
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("big_purchases_nearby"),
+    )
+
+
+@query(
+    "daily_rollup_from_hourly",
+    oracle=f"""
+    SELECT epoch_us(ts) // {24 * HOUR_US} AS day_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("hypertable-rollup",),
+)
+def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the daily rollup is computed
+    FROM the hourly rollup (sum-of-sums / sum-of-counts), never re-reading
+    raw events — the oracle aggregates the raw table directly, proving the
+    two-level rollup reproduces it exactly. At 100 TB the hourly layer is a
+    materialized table ~1000× smaller than raw; every coarser window reads
+    it instead of the events."""
+    hourly = tumbling_hourly(spark, sf_dir)
+    return (
+        hourly.withColumn("day_bucket", F.expr("hour_bucket DIV 24"))
+        .groupBy("day_bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
