@@ -481,3 +481,35 @@ def quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filtering); rows-only — median/MAD per dynamic group is the
     sanctioned applyInPandas case."""
     return quality_zscore_frame(load_table(spark, sf_dir, "documents"))
+
+
+WINNOW_K = 3   # k-gram size (words) for the rolling hash
+WINNOW_W = 4   # winnowing window: one fingerprint kept per w consecutive hashes
+
+
+@query("winnowing_fingerprints", tags=("text", "fingerprint", "rolling-hash"))
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's local
+    algorithm, public literature): hash every k-gram (rolling window of
+    words), then keep the minimum hash of each w-length window of consecutive
+    k-gram hashes — guarantees any sufficiently long match between documents
+    shares a fingerprint, with ~2/(w+1) selection density. All higher-order
+    array functions, one row per doc, no shuffle; rows-only (engine-specific
+    hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kgram_starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0)))
+    kgram_hashes = F.transform(
+        kgram_starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)))
+    )
+    win_starts = F.sequence(
+        F.lit(0), F.greatest(F.size(kgram_hashes) - WINNOW_W, F.lit(0))
+    )
+    fingerprints = F.array_distinct(
+        F.transform(win_starts, lambda i: F.array_min(F.slice(kgram_hashes, i + 1, WINNOW_W)))
+    )
+    return d.select(
+        "doc_id",
+        fingerprints.alias("fingerprints"),
+        F.size(fingerprints).cast("long").alias("n_fingerprints"),
+    )

@@ -58,3 +58,23 @@ def test_exact_dedup_counts(spark, sf_dir):
     ).collect()[0]
     assert agg["total"] == docs_total
     assert agg["uniq"] <= docs_total
+
+
+def test_winnowing_overlap_property(spark, monkeypatch):
+    """Winnowing guarantee: documents sharing a long run of tokens share
+    fingerprints; disjoint documents share none."""
+    import pyspark_retention_pipeline_spark.operators.text as tx
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    shifted = "zzz " + base          # same content, shifted by one token
+    disjoint = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, disjoint)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in tx.winnowing_fingerprints(spark, "ignored").collect()
+    }
+    assert fps[1] & fps[2], "shifted copy must share fingerprints"
+    assert not (fps[1] & fps[3]), "disjoint docs must not collide"
