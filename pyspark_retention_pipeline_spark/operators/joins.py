@@ -181,3 +181,73 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
     )
     return c.unionByName(s)
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, o.o_orderdate,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+             / CAST(10000 AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch-q3", "headline"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (public spec): segment-filtered 3-way join, revenue per
+    undelivered order, top 10. The customer side reduces to a key set before
+    the join (semi-join pattern); exact scaled revenue keeps the ORDER BY
+    deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..exprs import scaled_sum
+
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        o.filter(F.col("o_orderdate") < ts_lit(CUTOFF))
+        .join(F.broadcast(building), o.o_custkey == building.c_custkey, "left_semi")
+        .join(li.filter(F.col("l_shipdate") > ts_lit(CUTOFF)), o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           ROUND(t.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+    tags=("tpch-q18",),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (public spec): orders whose line quantities exceed a
+    threshold — aggregate-then-join (the HAVING subquery); the aggregated
+    side carries only (key, qty) through the join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.round("total_qty", 2).alias("total_qty")
+    )

@@ -76,3 +76,15 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event_id within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — state for a key
+    is held only until the watermark passes, so dedup state is bounded; the
+    batch twin is operators.text.dedup_exact / dedup_keep_first)."""
+    return (
+        _event_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

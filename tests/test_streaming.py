@@ -92,3 +92,24 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     sunk = spark.read.parquet(os.path.join(out, latest))
     batch_total = tumbling_hourly(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
     assert sunk.agg(F.sum("n_events")).collect()[0][0] == batch_total
+
+
+def test_stream_dedup_drops_redeliveries(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.streaming.windows import dedup_stream
+    from pyspark_retention_pipeline_spark.tables import load_events
+
+    out = dedup_stream(spark, sf_dir)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM t_dedup")
+    n_unique_src = load_events(spark, sf_dir).select("event_id").distinct().count()
+    assert got.count() == n_unique_src
+    assert got.distinct().count() == n_unique_src
