@@ -31,13 +31,18 @@ def _events_stream_dir(sf_dir: str) -> str:
     return d
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming events source. The on-disk nanos become a proper event-time
-    timestamp column (microsecond precision, integer division) for
-    watermarking."""
+def event_stream_from_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """Streaming events source over a directory of nano-timestamp parquet
+    files (new files are picked up as they appear — the file-source ingest
+    model). The on-disk nanos become a proper event-time timestamp column
+    (microsecond precision, integer division) for watermarking."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(_events_stream_dir(sf_dir))
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(directory)
     return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_stream_from_dir(spark, _events_stream_dir(sf_dir))
 
 
 def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
