@@ -313,10 +313,13 @@ def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     expressions, which re-evaluated shingling 16× per row — 40% of headline
     bench wall at sf0.001.)
     """
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(N_HASHES)
-    ]
+    # Hash each (variable-length string) shingle exactly once; the N_HASHES
+    # permutations then re-hash the resulting 8-byte value — far cheaper than
+    # N_HASHES full string hashes per shingle.
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h0"))
+    aggs = [F.min(F.xxhash64("h0", F.lit(j))).alias(f"h{j}") for j in range(N_HASHES)]
     return sh.groupBy("doc_id").agg(*aggs).select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(N_HASHES)]).alias("signature")
     )
