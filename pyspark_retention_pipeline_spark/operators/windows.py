@@ -190,3 +190,32 @@ def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("segment", "l_partkey", "part_revenue")
     )
+
+
+@query(
+    "above_avg_orders",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM w WHERE o_totalprice > cust_avg
+    """,
+    tags=("correlated-subquery",),
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics ("orders above this customer's
+    average") decorrelated into a single window pass — no per-row subquery,
+    no self-join; one shuffle on the customer key. The rounded-sum/count
+    derivation keeps the comparison boundary identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
