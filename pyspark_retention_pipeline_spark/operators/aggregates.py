@@ -344,3 +344,46 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.round(median_udaf("o_totalprice"), 4).alias("median_order")
     )
+
+
+@query(
+    "customer_spend_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sc,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sq
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, n,
+           CAST(sc AS DOUBLE) / CAST(100 AS DOUBLE) / n AS mean_spend,
+           sqrt(GREATEST(
+                 (CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / n,
+                 CAST(0 AS DOUBLE))) / CAST(100 AS DOUBLE) AS stddev_pop
+    FROM s
+    """,
+    tags=("A8", "second-moments"),
+)
+def customer_spend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + population stddev of per-customer spend with the scaled-integer
+    technique extended to second moments: both Σx and Σx² accumulate as exact
+    integer cents (order-independent), and the float math happens once, on
+    identical values, after aggregation — deterministic stddev across engines
+    and partitionings (naive stddev over doubles is neither)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sc"),
+        F.sum(cents * cents).alias("sq"),
+    )
+    sc_d = F.col("sc").cast("double")
+    sq_d = F.col("sq").cast("double")
+    var = F.greatest((sq_d - sc_d * sc_d / F.col("n")) / F.col("n"), F.lit(0.0))
+    return s.select(
+        "custkey",
+        "n",
+        (sc_d / F.lit(100.0) / F.col("n")).alias("mean_spend"),
+        (F.sqrt(var) / F.lit(100.0)).alias("stddev_pop"),
+    )
