@@ -387,3 +387,76 @@ def customer_spend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sc_d / F.lit(100.0) / F.col("n")).alias("mean_spend"),
         (F.sqrt(var) / F.lit(100.0)).alias("stddev_pop"),
     )
+
+
+@query(
+    "all_orders_finished",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) = 0
+    """,
+    tags=("relational-division",),
+)
+def all_orders_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (FORALL): customers whose *every* order is
+    finished — expressed as a zero-count of counterexamples inside one
+    aggregation (the NOT-EXISTS-per-group pattern without a self-join)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("_bad"),
+        )
+        .filter(F.col("_bad") == 0)
+        .drop("_bad")
+    )
+
+
+@query(
+    "returned_parts_distinct",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END)
+             AS returned_parts,
+           COUNT(DISTINCT l_partkey) AS all_parts
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    tags=("conditional-distinct",),
+)
+def returned_parts_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional COUNT(DISTINCT): distinct parts among returned lines and
+    overall, in the same single aggregation (the CASE inside DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_partkey"))
+        ).alias("returned_parts"),
+        F.countDistinct("l_partkey").alias("all_parts"),
+    )
+
+
+@query(
+    "order_key_list",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("collect-list",),
+)
+def order_key_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (collect_list → sort → join) — emitted as a
+    delimited string so the representation is engine-portable; the sort makes
+    the nondeterministic collection order canonical."""
+    o = load_table(spark, sf_dir, "orders")
+    keys_sorted = F.sort_array(F.collect_list("o_orderkey"))
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.concat_ws(
+            ",", F.transform(keys_sorted, lambda k: k.cast("string"))
+        ).alias("order_keys")
+    )
