@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     ivf,
     analytics,
     sampling,
+    components,
     mlops,
     multimodal,
 )

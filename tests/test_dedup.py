@@ -78,3 +78,35 @@ def test_winnowing_overlap_property(spark, monkeypatch):
     }
     assert fps[1] & fps[2], "shifted copy must share fingerprints"
     assert not (fps[1] & fps[3]), "disjoint docs must not collide"
+
+
+def test_connected_components_known_graph(spark):
+    from pyspark_retention_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # Two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "src long, dst long"
+    )
+    comp = {
+        r["vertex"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    clusters = q["dedup_clusters"](spark, sf_dir)
+    rows = clusters.collect()
+    if not rows:
+        return  # no candidate pairs at this sf — nothing to cluster
+    # canonical id must be the min doc_id of its cluster and sizes consistent
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["canonical_id"], []).append(r)
+    for canon, members in by_comp.items():
+        assert canon == min(m["doc_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
