@@ -323,3 +323,44 @@ def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "event_type_map_summary",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type)
+             AS type_counts
+    FROM per GROUP BY user_id
+    """,
+    tags=("map-type",),
+)
+def event_type_map_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user event-type counts built into a
+    map<string,long> (``map_from_entries``), then consumed with
+    ``map_keys``/``element_at`` into a canonical sorted string — exercises the
+    map-column family (SURVEY §2.8 lists maps as unexercised by the
+    reference) with an engine-portable output representation."""
+    e = load_events(spark, sf_dir)
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    sorted_keys = F.sort_array(F.map_keys(F.col("m")))
+    summary = F.concat_ws(
+        ",",
+        F.transform(
+            sorted_keys,
+            lambda k: F.concat(k, F.lit(":"), F.element_at(F.col("m"), k).cast("string")),
+        ),
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        summary.alias("type_counts"),
+    )
