@@ -251,3 +251,60 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_custkey", "o_totalprice", F.round("total_qty", 2).alias("total_qty")
     )
+
+
+@query(
+    "late_shipping_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch-q4",),
+)
+def late_shipping_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (public spec): correlated EXISTS with a cross-table
+    predicate (a line shipped after its order date) as a LEFT SEMI join
+    carrying the extra condition — no duplication, keys-plus-predicate only
+    across the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    exists = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return exists.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "priority_line_distribution",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_returnflag
+    """,
+    tags=("tpch-q12",),
+)
+def priority_line_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (public spec): join + CASE-bucketed conditional counts
+    (the IN-list predicate folded into the aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
