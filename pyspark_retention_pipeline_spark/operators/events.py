@@ -102,7 +102,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) via lag + running sum
     — the classic batch pattern; one shuffle on user_id serves both windows
     and the final per-session rollup. Streaming twin:
-    ``streaming.windows.session_counts`` uses ``session_window``."""
+    ``streaming.windows.session_stream`` uses ``session_window``."""
     e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

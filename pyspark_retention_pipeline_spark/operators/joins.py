@@ -308,3 +308,64 @@ def priority_line_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(100 AS DOUBLE)
+             * (SUM(CASE WHEN p.p_size > 25
+                         THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                         ELSE 0 END) / CAST(10000 AS DOUBLE))
+             / (SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                / CAST(10000 AS DOUBLE)) AS promo_share_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("tpch-q14",),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (public spec): revenue share of a part class — a
+    conditional/total ratio in ONE aggregation over a broadcast part join;
+    both sums exact-scaled so the ratio is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    promo = F.col("p_size") > 25
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * (F.sum(F.when(promo, rev_cents).otherwise(0)) / F.lit(10000.0))
+            / (F.sum(rev_cents) / F.lit(10000.0))
+        ).alias("promo_share_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "supplier_balance_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 2) AS total_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("dim-join",),
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dimension rollup (completes coverage of every testdata
+    table through at least one oracle-checked query)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        )
+    )
