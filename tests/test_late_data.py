@@ -1,0 +1,77 @@
+"""Watermark late-data semantics: events older than the watermark horizon are
+dropped from append-mode windowed aggregation; late-but-within-horizon events
+still count. This is the behavioral contract that makes continuous event-time
+aggregation correct under out-of-order arrival."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from pyspark_retention_pipeline_spark.streaming.windows import event_stream_from_dir
+
+H_US = 3_600_000_000
+BASE_NS = 1_700_000_000_000_000_000  # arbitrary epoch-ns anchor (hour-aligned below)
+
+
+def _events_file(path, rows):
+    """rows: list of (event_id, hour_offset_float)."""
+    base = (BASE_NS // (H_US * 1000)) * (H_US * 1000)  # align to an hour
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + int(r[1] * H_US * 1000) for r in rows],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+
+    stream = (
+        event_stream_from_dir(spark, str(src))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # Batch 1: events in hour 0 and hour 5 — watermark advances to ~hour 4,
+        # so the hour-0 window closes and is emitted.
+        _events_file(src / "p1.parquet", [(1, 0.2), (2, 0.4), (3, 5.0)])
+        q.processAllAvailable()
+        # Batch 2: one event in hour 0 (too late — behind the watermark) and
+        # one in hour 4.5 (within horizon).
+        _events_file(src / "p2.parquet", [(4, 0.5), (5, 4.5)])
+        q.processAllAvailable()
+        # Batch 3: advance the watermark far enough to close every window.
+        _events_file(src / "p3.parquet", [(6, 9.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    counts = sorted(r["n"] for r in rows)
+    # Emitted (closed) windows: hour-0 with its 2 on-time events, hour-5 with
+    # 1, hour-4.5's with 1. The too-late event (id 4) is dropped everywhere,
+    # and event 6's own window stays open (nothing later advances the
+    # watermark past it) so it is not emitted in append mode.
+    assert counts == [1, 1, 2], rows
+    assert sum(counts) == 4  # 6 arrived, 1 dropped as too-late, 1 still open
