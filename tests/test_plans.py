@@ -46,3 +46,40 @@ def test_customer_rfm_prunes_unused_columns(spark, sf_dir):
     df = QUERIES["customer_rfm"](spark, sf_dir)
     cols = scan_columns(df)[0]
     assert "o_orderpriority" not in cols and "o_orderstatus" not in cols, cols
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: with a selective build side, Spark
+    injects might_contain() into the probe side's scan filter — at 100 TB this
+    skips most probe rows before the shuffle. (The applicationSideScanSize
+    threshold defaults to 10GB because the technique only pays off on large
+    probe sides; lowered here to observe the plan at test scale.)"""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        li = load_table(spark, sf_dir, "lineitem")
+        plan = explain_str(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
