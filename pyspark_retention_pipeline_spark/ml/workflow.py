@@ -32,10 +32,34 @@ SPLIT_WEIGHTS = [0.7, 0.15, 0.15]
 SEED = 42
 
 
-def run_feature_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+def run_feature_etl(
+    spark: SparkSession, sf_dir: str, out_dir: str, validate: bool = True
+) -> dict[str, int]:
     """Build the churn feature table and persist features + train/val/test
-    splits (reference ``etl.py:145-151``: randomSplit([0.7,0.15,0.15], 42))."""
+    splits (reference ``etl.py:145-151``: randomSplit([0.7,0.15,0.15], 42)).
+
+    With ``validate`` the feature frame must pass its data-quality contract
+    (one fused aggregation pass) before anything is written — corrupt
+    features fail the job instead of poisoning the model downstream.
+    """
+    from pyspark.sql import functions as F
+
+    from ..quality import run_checks
+
     features = churn_feature_frame(spark, sf_dir).cache()
+    if validate:
+        results = run_checks(
+            features,
+            [
+                ("custkey_not_null", F.col("custkey").isNull()),
+                ("label_binary", ~F.col("label").isin(0.0, 1.0)),
+                ("orders_positive", F.col("total_orders") <= 0),
+                ("recency_not_null", F.col("recency_days").isNull()),
+            ],
+        )
+        failed = [r for r in results if not r.passed]
+        if failed:
+            raise ValueError(f"feature quality contract violated: {failed}")
     features.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
     splits = features.randomSplit(SPLIT_WEIGHTS, seed=SEED)
     names = ("train", "val", "test")
