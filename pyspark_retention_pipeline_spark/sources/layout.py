@@ -1,0 +1,49 @@
+"""Multi-dimensional file layout: Z-order (Morton) clustering for data
+skipping on two filter columns at once.
+
+A linear sort on column A gives perfect min/max pruning for A-predicates and
+none for B; interleaving the bits of A and B (public Morton-order technique,
+used by lakehouse OPTIMIZE ZORDER implementations) subdivides BOTH dimensions
+across files, so each file's (min,max) footprint is a small rectangle and
+predicates on either column skip most files. Pure bit-arithmetic expressions
+— no UDF; the effect on parquet footer stats is measured in
+tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer columns
+    into a Morton key (a's bit i → position 2i+1, b's → 2i)."""
+    mask = (1 << bits) - 1
+    a = a.bitwiseAND(F.lit(mask))
+    b = b.bitwiseAND(F.lit(mask))
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        parts.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    return reduce(lambda x, y: x.bitwiseOR(y), parts)
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16
+) -> None:
+    """Write ``df`` clustered by the Morton key of (col_a, col_b):
+    range-partition on the key (so files own contiguous key ranges — compact
+    2-D rectangles) and sort within partitions for row-group locality."""
+    keyed = df.withColumn("_z", zorder_key(F.col(col_a), F.col(col_b)))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

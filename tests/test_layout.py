@@ -1,0 +1,57 @@
+"""Z-order layout measurably improves min/max pruning on the second
+dimension: per-file value spans shrink vs. a linear single-column sort."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from pyspark_retention_pipeline_spark.sources.layout import write_zordered
+from pyspark_retention_pipeline_spark.tables import load_table
+
+
+def _avg_span(path_glob: str, column: str) -> float:
+    spans = []
+    for f in glob.glob(path_glob):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.to_arrow_schema().get_field_index(column)
+        lo = min(meta.row_group(i).column(idx).statistics.min for i in range(meta.num_row_groups))
+        hi = max(meta.row_group(i).column(idx).statistics.max for i in range(meta.num_row_groups))
+        spans.append(hi - lo)
+    return sum(spans) / len(spans)
+
+
+def test_zorder_tightens_second_dimension(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
+
+    linear = str(tmp_path / "linear")
+    zorder = str(tmp_path / "zorder")
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    write_zordered(li, zorder, "l_partkey", "l_orderkey")
+
+    # Same data either way.
+    assert spark.read.parquet(zorder).count() == li.count()
+
+    # Linear partkey sort: every file spans ~the whole orderkey range.
+    # Z-order: files own 2-D rectangles -> orderkey spans shrink sharply.
+    lin_span = _avg_span(f"{linear}/*.parquet", "l_orderkey")
+    z_span = _avg_span(f"{zorder}/*.parquet", "l_orderkey")
+    assert z_span < 0.7 * lin_span, (z_span, lin_span)
+
+    # And partkey pruning is retained within a factor (each dimension gives
+    # up some locality to the other — that's the Morton trade).
+    lin_pk = _avg_span(f"{linear}/*.parquet", "l_partkey")
+    z_pk = _avg_span(f"{zorder}/*.parquet", "l_partkey")
+    full_pk = (
+        li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    )
+    assert z_pk < full_pk, (z_pk, full_pk)
+    assert lin_pk <= z_pk
