@@ -36,6 +36,86 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Driver-gate priority order. The correctness gate verifies a bounded prefix of
+# ``queries()`` (50 entries in round 1), so ordering is part of the contract:
+# the extension tier (dedup / similarity / text / events / analytics) goes
+# first — it received zero hard-signal rows in round 1 purely because it
+# registered after position 50 — followed by a representative core slice.
+# Everything else keeps registration order, with oracle-backed queries before
+# rows-only ones so no verifiable query is ever displaced by an unverifiable
+# one.
+_FRONT: tuple[str, ...] = (
+    # dedup + text analysis (documents table)
+    "dedup_exact",
+    "dedup_keep_first",
+    "word_jaccard_pairs",
+    "doc_fingerprint",
+    "text_stats",
+    "token_classes",
+    "lang_stats",
+    "quality_score",
+    "lang_id_heuristic",
+    "token_topk",
+    "tfidf_top_terms",
+    # similarity search (embeddings table)
+    "embedding_norms",
+    "knn_bruteforce",
+    "embedding_neardup",
+    "label_centroids",
+    # event-time analytics (events table)
+    "tumbling_hourly",
+    "sliding_hourly",
+    "sessionize",
+    "json_props",
+    "event_type_hourly_pivot",
+    "signup_purchase_funnel",
+    "json_typed_parse",
+    "range_join_error_context",
+    "daily_rollup_from_hourly",
+    "event_type_map_summary",
+    "asof_last_purchase",
+    # TPC-H-shaped analytics
+    "rollup_revenue",
+    "monthly_revenue",
+    "customer_rank_family",
+    "salted_supplier_agg",
+    "segment_metrics_unpivot",
+    "retained_buyers_intersect",
+    "inactive_customers_except",
+    "string_ops",
+    "cube_status_priority",
+    "order_value_bounds",
+    # sampling + multimodal plumbing
+    "hash_sample",
+    "binary_meta",
+    # representative core slice (round-1 verified; keeps regression signal)
+    "churn_features",
+    "class_weights",
+    "threshold_curve",
+    "confusion_matrix",
+    "pricing_summary",
+    "customer_rfm",
+    "revenue_share",
+    "top_parts_per_segment",
+    "purchase_gaps",
+    "shipping_priority",
+    "order_rollup",
+    "revenue_by_nation",
+)
+
+
+def _ordered() -> list[Query]:
+    """Registry entries in driver-gate priority order (see ``_FRONT``)."""
+    _ensure_loaded()
+    front_set = set(_FRONT)
+    front = [_REGISTRY[n] for n in _FRONT if n in _REGISTRY]
+    rest = [q for n, q in _REGISTRY.items() if n not in front_set]
+    # Stable partition: oracle-backed before rows-only.
+    rest = [q for q in rest if q.oracle is not None] + [
+        q for q in rest if q.oracle is None
+    ]
+    return front + rest
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a query implementation under ``name``.
@@ -59,13 +139,11 @@ def _ensure_loaded() -> None:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    _ensure_loaded()
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    _ensure_loaded()
-    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def get(name: str) -> Query:
