@@ -232,12 +232,14 @@ def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment revenue share via a window over the empty partitioning
     (reference notebook cell 16 computes segment revenue / grand total). The
-    grand total stays distributed — no collect of intermediate results."""
+    grand total stays distributed — no collect of intermediate results.
+    ``customer`` scales with SF: no broadcast hint (AQE decides), and only the
+    (key, segment) columns ever reach the join."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     seg = (
         o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
     )

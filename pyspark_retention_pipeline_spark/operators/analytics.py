@@ -34,12 +34,15 @@ from ..tables import load_table
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP (nation → segment → grand total) — one pass
     produces all three levels via the expand operator; NULL group keys mark
-    subtotal rows, matching ANSI semantics."""
+    subtotal rows, matching ANSI semantics. ``nation`` (fixed 25 rows) is
+    broadcast; ``customer`` scales with SF so AQE picks its join strategy."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
     n = load_table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
@@ -197,12 +200,13 @@ def salted_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide → long unpivot via ``stack`` (the melt operation; no shuffle — a
-    pure projection expansion)."""
+    pure projection expansion). ``customer`` is pre-projected to
+    (key, segment) with no broadcast hint — AQE decides the join strategy."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     seg = (
         o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             money_sum("o_totalprice").alias("revenue"),

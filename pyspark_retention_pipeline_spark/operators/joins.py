@@ -1,9 +1,13 @@
 """Join operators (SURVEY.md §2.3, J1-J4) with explicit physical hints.
 
-Dimension tables (nation, region, customer at small SF) get ``F.broadcast``
-hints — at 100 TB the fact side never shuffles for these joins. Semi/anti
-joins are expressed as ``left_semi`` / ``left_anti`` (no payload columns cross
-the exchange).
+Only genuinely fixed-size dimensions (``nation`` 25 rows, ``region`` 5 rows)
+carry ``F.broadcast`` hints — at 100 TB the fact side never shuffles for
+these joins. Tables that scale with SF (customer, part, orders, lineitem)
+get NO hint: a forced broadcast of a scaling table OOMs executors at 100×,
+while AQE broadcasts them automatically whenever their actual size is under
+``spark.sql.autoBroadcastJoinThreshold`` and falls back to shuffled joins
+otherwise. Semi/anti joins are expressed as ``left_semi`` / ``left_anti``
+(no payload columns cross the exchange).
 """
 
 from __future__ import annotations
@@ -146,14 +150,16 @@ def active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J1", "headline"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join star aggregation (TPC-H Q5 shape, public spec). Both
-    dimension sides are broadcast so the only shuffle is the final group-by."""
+    """Multi-join star aggregation (TPC-H Q5 shape, public spec). ``nation``
+    (25 rows, fixed) is broadcast; ``customer`` scales with SF, so it gets no
+    hint — pre-projected to its two needed columns, AQE broadcasts it at small
+    SF and falls back to a shuffled join at scale instead of OOMing."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
     return (
         o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(money_sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
@@ -214,7 +220,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
         o.filter(F.col("o_orderdate") < ts_lit(CUTOFF))
-        .join(F.broadcast(building), o.o_custkey == building.c_custkey, "left_semi")
+        .join(building, o.o_custkey == building.c_custkey, "left_semi")
         .join(li.filter(F.col("l_shipdate") > ts_lit(CUTOFF)), o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -326,15 +332,17 @@ def priority_line_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (public spec): revenue share of a part class — a
-    conditional/total ratio in ONE aggregation over a broadcast part join;
-    both sums exact-scaled so the ratio is engine-identical."""
+    conditional/total ratio in ONE aggregation over a part join; both sums
+    exact-scaled so the ratio is engine-identical. ``part`` scales with SF,
+    so no broadcast hint — AQE decides; only the two needed part columns
+    reach the join."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
     rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
         "long"
     )
     promo = F.col("p_size") > 25
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)

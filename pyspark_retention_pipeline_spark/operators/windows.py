@@ -110,12 +110,14 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("O2",),
 )
 def segments_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sort-by-aggregate (reference notebook sorts segments by revenue desc)."""
+    """Sort-by-aggregate (reference notebook sorts segments by revenue desc).
+    ``customer`` scales with SF: pre-projected, no broadcast hint — AQE picks
+    the join strategy per actual size."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
         o.filter(F.col("o_orderdate") <= ts_lit(CUTOFF))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(money_sum("o_totalprice").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("segment"))
@@ -170,13 +172,14 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group — aggregate then rank inside a window; ranking runs on
-    the already-reduced (segment, part) grain, not raw lines."""
+    the already-reduced (segment, part) grain, not raw lines. ``customer``
+    scales with SF: pre-projected to (key, segment), no broadcast hint."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "l_partkey")
         .agg(
             scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

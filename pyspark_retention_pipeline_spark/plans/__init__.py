@@ -1,5 +1,21 @@
 """Physical-plan inspection helpers (scale hygiene checks)."""
 
-from .inspect import explain_str, has_broadcast_join, pushed_filters, scan_columns
+from .inspect import (
+    SCALING_TABLES,
+    explain_str,
+    forced_broadcast_tables,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
 
-__all__ = ["explain_str", "has_broadcast_join", "pushed_filters", "scan_columns"]
+__all__ = [
+    "SCALING_TABLES",
+    "explain_str",
+    "forced_broadcast_tables",
+    "has_broadcast_join",
+    "pushed_filters",
+    "scan_columns",
+    "shuffle_count",
+]

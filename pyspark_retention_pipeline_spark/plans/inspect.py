@@ -34,6 +34,81 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 
 
+# Column-name prefixes identify which testdata table a scan reads; used to
+# map hinted plan subtrees back to source tables.
+_PREFIX_TO_TABLE = {
+    "c_": "customer",
+    "o_": "orders",
+    "l_": "lineitem",
+    "p_": "part",
+    "s_": "supplier",
+    "n_": "nation",
+    "r_": "region",
+}
+_COLUMN_TO_TABLE = {
+    "doc_id": "documents",
+    "text": "documents",
+    "embedding": "embeddings",
+    "event_id": "events",
+    "props": "events",
+}
+
+# Tables whose row count grows with SF — a *forced* broadcast of any of these
+# is an OOM at scale; only AQE may choose to broadcast them (it checks size).
+SCALING_TABLES = frozenset(
+    {"customer", "orders", "lineitem", "part", "supplier", "documents", "embeddings", "events"}
+)
+
+
+def _hinted_relation_columns(df: DataFrame) -> list[list[str]]:
+    """Output columns of every source relation under a broadcast-strategy
+    ``ResolvedHint`` node in the analyzed logical plan."""
+    out: list[list[str]] = []
+
+    def relations_under(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name in ("Aggregate", "Deduplicate", "GlobalLimit"):
+            # A reduction between the hint and the scan bounds the broadcast
+            # side (per-group stats, distinct keys, top-k) — broadcasting the
+            # *result* of an aggregate over a big table is the deliberate
+            # reduced-side pattern, not a forced raw-table broadcast.
+            return
+        if "Relation" in name:
+            attrs = node.output()
+            out.append([attrs.apply(i).name() for i in range(attrs.size())])
+        kids = node.children()
+        for i in range(kids.size()):
+            relations_under(kids.apply(i))
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+            relations_under(node)
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+def forced_broadcast_tables(df: DataFrame) -> set[str]:
+    """Source tables that sit under an explicit ``F.broadcast`` hint.
+
+    Tables are identified from scan output columns (TPC-H column prefixes +
+    the extension tables' distinctive columns). Used by tests to assert no
+    scaling table is ever force-broadcast (see ``SCALING_TABLES``)."""
+    tables: set[str] = set()
+    for cols in _hinted_relation_columns(df):
+        for col in cols:
+            hit = _COLUMN_TO_TABLE.get(col) or _PREFIX_TO_TABLE.get(col[:2])
+            if hit:
+                tables.add(hit)
+                break
+    return tables
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the physical plan (lower is better; AQE may
     remove some at runtime)."""

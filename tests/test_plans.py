@@ -48,6 +48,40 @@ def test_customer_rfm_prunes_unused_columns(spark, sf_dir):
     assert "o_orderpriority" not in cols and "o_orderstatus" not in cols, cols
 
 
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
+    """A forced F.broadcast on a table that grows with SF is an OOM at 100×
+    (round-1 verdict flagged six such sites on customer). Sweep every
+    registry query's analyzed plan: broadcast hints may cover fixed-size dims
+    (nation/region) or aggregate-reduced sides only. ML/clustering queries
+    that train models at plan-construction time are skipped — their plans
+    are model scoring, not relational joins."""
+    from pyspark_retention_pipeline_spark.plans import (
+        SCALING_TABLES,
+        forced_broadcast_tables,
+    )
+
+    skip = {
+        "ml_churn_scores",
+        "ml_churn_coefficients",
+        "ml_churn_metrics",
+        "ml_threshold_from_scores",
+        "ivf_knn",
+        # knn_bruteforce broadcasts its query side — a literal-bounded
+        # <=10-row slice of embeddings (the broadcast-the-queries ANN
+        # pattern). Bounded by a Filter, which the inspector can't prove.
+        "knn_bruteforce",
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        df = fn(spark, sf_dir)
+        bad = forced_broadcast_tables(df) & SCALING_TABLES
+        if bad:
+            offenders[name] = sorted(bad)
+    assert not offenders, f"forced broadcast of scaling tables: {offenders}"
+
+
 def test_runtime_bloom_filter_injection(spark, sf_dir):
     """Runtime Bloom-filter join pruning: with a selective build side, Spark
     injects might_contain() into the probe side's scan filter — at 100 TB this
