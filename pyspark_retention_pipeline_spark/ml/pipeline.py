@@ -83,15 +83,28 @@ def _prepare(features: DataFrame, feature_cols: list[str]) -> DataFrame:
     return add_class_weight(casted)
 
 
+# Reference CV search space (``pipeline/train.py:160-172``): 3-fold CV over
+# the 3×3 regParam × elasticNetParam grid, selected on areaUnderPR.
+CV_REG_PARAMS = [0.0, 0.01, 0.1]
+CV_ELASTIC_PARAMS = [0.0, 0.5, 1.0]
+CV_NUM_FOLDS = 3
+
+
 def train_churn_model(
     features: DataFrame,
     feature_cols: list[str] | None = None,
     cross_validate: bool = False,
     seed: int = 42,
+    cv_reg_params: list[float] | None = None,
+    cv_elastic_params: list[float] | None = None,
+    cv_num_folds: int | None = None,
 ) -> PipelineModel:
     """Fit the churn pipeline; with ``cross_validate`` runs the reference's
     3-fold CV over the 3×3 regParam × elasticNetParam grid selected on
-    areaUnderPR (``pipeline/train.py:160-172``)."""
+    areaUnderPR (``pipeline/train.py:160-172``). The grid/folds are
+    overridable so a cheap configuration (e.g. 2×2 grid, 2 folds at sf0.001)
+    can exercise the CV path in every default test run while the full
+    reference configuration remains the default."""
     cols = list(feature_cols or FEATURE_COLS)
     prepared = _prepare(features, cols).cache()
     pipeline = build_churn_pipeline(cols)
@@ -100,8 +113,8 @@ def train_churn_model(
     lr = pipeline.getStages()[-1]
     grid = (
         ParamGridBuilder()
-        .addGrid(lr.regParam, [0.0, 0.01, 0.1])
-        .addGrid(lr.elasticNetParam, [0.0, 0.5, 1.0])
+        .addGrid(lr.regParam, list(cv_reg_params or CV_REG_PARAMS))
+        .addGrid(lr.elasticNetParam, list(cv_elastic_params or CV_ELASTIC_PARAMS))
         .build()
     )
     evaluator = BinaryClassificationEvaluator(
@@ -111,7 +124,7 @@ def train_churn_model(
         estimator=pipeline,
         estimatorParamMaps=grid,
         evaluator=evaluator,
-        numFolds=3,
+        numFolds=cv_num_folds or CV_NUM_FOLDS,
         parallelism=4,
         seed=seed,
     )

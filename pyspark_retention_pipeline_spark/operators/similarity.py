@@ -157,19 +157,21 @@ def lsh_signature_frame(emb: DataFrame) -> DataFrame:
 @query("lsh_bucket_candidates", tags=("similarity", "ann-lsh"))
 def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate generation: random-hyperplane signatures → bucket id →
-    self-equi-join on bucket. Linear bucketing pass + per-bucket joins replace
-    the quadratic scan; recall vs. brute force is property-tested at sf0.001."""
+    bounded self-equi-join on bucket. Linear bucketing pass + per-bucket joins
+    replace the quadratic scan; recall vs. brute force is property-tested at
+    sf0.001, and hot buckets degrade to star pairs so a degenerate corpus
+    stays O(n) (see :mod:`.buckets`)."""
+    from .buckets import bounded_bucket_pairs
+
     e = load_table(spark, sf_dir, "embeddings")
     sigs = lsh_signature_frame(e)
     bucket = F.aggregate(
         F.col("lsh_bits"), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
     )
     bucketed = sigs.select("vec_id", bucket.alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), F.col("a.bucket").alias("bucket"))
+    return bounded_bucket_pairs(
+        bucketed, ["bucket"], "vec_id", keep_bucket_cols=True
+    ).select(F.col("id1").alias("v1"), F.col("id2").alias("v2"), "bucket")
 
 
 @query(

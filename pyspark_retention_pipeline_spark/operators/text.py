@@ -329,7 +329,13 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH banding over minhash signatures: split each signature into bands of
     BAND_SIZE hashes; docs sharing any band hash become candidate pairs. The
     only shuffles are the signature group-by and the band-bucket self-join —
-    linear in corpus size, vs. the quadratic :func:`word_jaccard_pairs`."""
+    linear in corpus size, vs. the quadratic :func:`word_jaccard_pairs`. Hot
+    band buckets (a corpus of near-identical docs collapses into one bucket
+    per band) are bounded via :mod:`.buckets` star degradation; a doc dropped
+    from one band's all-pairs set still pairs through its other bands and
+    stays hub-connected for clustering."""
+    from .buckets import bounded_bucket_pairs
+
     sigs = minhash_signature_frame(docs)
     n_bands = N_HASHES // BAND_SIZE
     bands = F.explode(
@@ -348,16 +354,9 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     banded = sigs.select("doc_id", bands.alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        bounded_bucket_pairs(banded, ["band", "bucket"], "doc_id")
+        .select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
         .distinct()
     )
 

@@ -47,6 +47,48 @@ def test_near_duplicates_are_candidates(spark):
     assert (1, 2) in pairs
 
 
+def test_degenerate_corpus_candidates_stay_linear(spark):
+    """Hot-bucket bound (round-1 verdict #4): a corpus of near-identical docs
+    collapses every band into one bucket — unbounded LSH would emit
+    n*(n-1)/2 pairs. With star degradation the candidate count stays O(n·cap)
+    and every doc remains connected to the cluster hub."""
+    n = 300  # 300 identical docs -> 44,850 pairs unbounded
+    text = "spark engine scan filter join aggregate window shuffle partition broadcast"
+    docs = _docs(spark, [(i, text) for i in range(1, n + 1)])
+    pairs = minhash_candidate_pairs(docs).collect()
+    from pyspark_retention_pipeline_spark.operators.buckets import MAX_BUCKET_MEMBERS
+
+    assert len(pairs) < n * MAX_BUCKET_MEMBERS, (
+        f"{len(pairs)} candidates for {n} identical docs — hot bucket unbounded"
+    )
+    # Connectivity: union-find over emitted pairs must yield ONE cluster.
+    parent = {i: i for i in range(1, n + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r["d1"])] = find(r["d2"])
+    assert len({find(i) for i in range(1, n + 1)}) == 1
+
+
+def test_bounded_bucket_pairs_small_buckets_exact(spark):
+    """Below the cap the bounded join emits exactly the all-pairs set."""
+    from pyspark_retention_pipeline_spark.operators.buckets import bounded_bucket_pairs
+
+    members = spark.createDataFrame(
+        [(100, i) for i in range(1, 5)] + [(200, 7), (200, 9)], "bucket long, id long"
+    )
+    got = {
+        (r["id1"], r["id2"]) for r in bounded_bucket_pairs(members, ["bucket"], "id").collect()
+    }
+    expect = {(a, b) for a in range(1, 5) for b in range(1, 5) if a < b} | {(7, 9)}
+    assert got == expect
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     from pyspark_retention_pipeline_spark.registry import all_queries
 
