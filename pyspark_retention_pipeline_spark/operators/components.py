@@ -2,13 +2,19 @@
 turns near-duplicate PAIRS (minhash/LSH output) into duplicate GROUPS with a
 canonical representative (what a dedup pipeline actually deletes against).
 
-Algorithm: iterative minimum-label propagation (each vertex repeatedly adopts
-the smallest component id among itself and its neighbors) — the standard
-DataFrame-only formulation (public large-graph literature, e.g. the
-map-reduce CC family): a join + aggregate per round, O(diameter) rounds,
-converging very fast on dedup graphs (clusters are tiny and dense). Each
-round materializes via ``localCheckpoint`` to cut the growing lineage — the
-scale-critical detail for iterative DataFrame algorithms.
+Algorithm: minimum-label propagation accelerated with pointer jumping — each
+round every vertex adopts the smallest id among itself and its neighbors
+(one hop), then labels are compressed through the label graph
+(``component ← label(component)``), the path-halving trick from the
+map-reduce connected-components family (public literature, e.g. Kiveris et
+al.'s large-star/small-star analysis). One-hop propagation alone needs
+O(diameter) rounds and silently returns split clusters when the round budget
+runs out on a long chain (round-1 advisor finding); with jumping, label
+distance doubles per round, so convergence is O(log diameter) and the
+default budget covers diameters in the thousands. Non-convergence raises
+instead of returning wrong labels. Each round materializes via
+``localCheckpoint`` to cut the growing lineage — the scale-critical detail
+for iterative DataFrame algorithms.
 """
 
 from __future__ import annotations
@@ -20,13 +26,16 @@ from ..registry import query
 from ..tables import load_table
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     """(src, dst) undirected edges → (vertex, component) with component = min
     vertex id in each connected component.
 
     Pure DataFrame iteration: no driver-side graph, no RDDs; per round one
-    shuffle for the neighbor-min aggregate. Stops early when a round changes
-    no labels (a 1-row count per round — bounded driver traffic).
+    shuffle for the neighbor-min aggregate plus one label-compression join.
+    Stops early when a round changes no labels (a 1-row count per round —
+    bounded driver traffic); raises if ``max_iter`` rounds exhaust while
+    labels are still moving (returning partially-converged labels would
+    silently report split clusters as distinct groups).
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -45,23 +54,41 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
-            labels.join(neighbor_min, "vertex", "left")
+        hopped = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jumping: compress component → label(component). Every
+        # component id is itself a vertex id, so the lookup always resolves;
+        # label distance to the root doubles per round.
+        lbl = hopped.select(
+            F.col("vertex").alias("c_vertex"), F.col("component").alias("c_component")
+        )
+        jumped = (
+            hopped.join(lbl, hopped.component == lbl.c_vertex, "left")
             .select(
                 "vertex",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                    F.col("component"), F.coalesce("c_component", F.col("component"))
                 ).alias("component"),
-                (
-                    F.coalesce("nbr_component", F.col("component")) < F.col("component")
-                ).alias("_changed"),
             )
-        ).localCheckpoint()
+        )
+        updated = (
+            jumped.alias("new")
+            .join(labels.select("vertex", F.col("component").alias("old")), "vertex")
+            .select("vertex", "component", (F.col("component") < F.col("old")).alias("_changed"))
+            .localCheckpoint()
+        )
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter > 2^{max_iter}); raise max_iter"
+    )
 
 
 @query("dedup_clusters", tags=("dedup-neardup", "connected-components"))

@@ -18,14 +18,19 @@ from .retention import churn_feature_frame
 
 # One training per (session, sf_dir): the four ML queries share the fitted
 # model instead of re-training per query (matters for the driver's
-# correctness sweep, which calls each query independently).
-_MODEL_CACHE: dict[tuple[int, str], tuple] = {}
+# correctness sweep, which calls each query independently). Keyed by the
+# session's applicationId — stable for a session's lifetime and never reused
+# by a successor session, unlike id(spark), which a new SparkSession object
+# can legitimately land on after the old one is garbage-collected and would
+# then be served DataFrames bound to a dead SparkContext (round-1 advisor
+# finding).
+_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _train(spark: SparkSession, sf_dir: str):
     from ..ml import train_churn_model
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MODEL_CACHE:
         features = churn_feature_frame(spark, sf_dir).cache()
         _MODEL_CACHE[key] = (train_churn_model(features), features)

@@ -55,18 +55,23 @@ def check_accepted_values(df: DataFrame, col: str, values: list) -> CheckResult:
 
 
 def check_unique(df: DataFrame, cols: list[str]) -> CheckResult:
-    """(cols) form a unique key — one aggregation over the key grain."""
+    """(cols) form a unique key — one aggregation over the key grain.
+
+    Row-grain semantics, consistent with every other check: ``total`` is the
+    row count of the checked frame and ``violations`` the number of SURPLUS
+    rows (n-1 per duplicated key group), so violations/total is a comparable
+    violation rate across checks."""
     dup = (
         df.groupBy(*cols)
         .agg(F.count("*").alias("n"))
         .agg(
-            F.count("*").alias("total"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("bad"),
+            F.sum("n").alias("total"),
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("bad"),
         )
         .collect()[0]
     )
     bad = int(dup["bad"] or 0)
-    return CheckResult(f"unique({','.join(cols)})", bad == 0, bad, int(dup["total"]))
+    return CheckResult(f"unique({','.join(cols)})", bad == 0, bad, int(dup["total"] or 0))
 
 
 def check_referential(

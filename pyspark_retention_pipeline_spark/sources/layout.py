@@ -22,10 +22,15 @@ ZBITS = 16
 
 def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integer columns
-    into a Morton key (a's bit i → position 2i+1, b's → 2i)."""
+    into a Morton key (a's bit i → position 2i+1, b's → 2i).
+
+    Inputs are widened to LONG first: with the default bits=16 an IntegerType
+    input would shift its top bit into position 31 — the 32-bit sign bit —
+    producing negative Morton keys that sort before all others and corrupt
+    the range clustering (round-1 advisor finding)."""
     mask = (1 << bits) - 1
-    a = a.bitwiseAND(F.lit(mask))
-    b = b.bitwiseAND(F.lit(mask))
+    a = a.cast("long").bitwiseAND(F.lit(mask))
+    b = b.cast("long").bitwiseAND(F.lit(mask))
     parts = []
     for i in range(bits):
         parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+from collections import Counter
 from dataclasses import dataclass
 
 import duckdb
@@ -87,12 +88,18 @@ def compare_query(
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
     if s_rows != o_rows:
-        diffs = [
-            f"  spark={s} | oracle={o}" for s, o in zip(s_rows, o_rows) if s != o
-        ][:5]
+        # Multiset difference, not positional zip: one extra/missing row early
+        # in the sort order would misalign every later pair and turn the
+        # printed diffs into noise.
+        s_only = Counter(s_rows) - Counter(o_rows)
+        o_only = Counter(o_rows) - Counter(s_rows)
+        lines = [f"  spark-only: {r}" for r in list(s_only)[:5]] + [
+            f"  oracle-only: {r}" for r in list(o_only)[:5]
+        ]
         return ParityResult(
             name,
             False,
-            "value mismatch (first diffs):\n" + "\n".join(diffs),
+            f"value mismatch ({sum(s_only.values())} spark-only / "
+            f"{sum(o_only.values())} oracle-only rows):\n" + "\n".join(lines),
         )
     return ParityResult(name, True, f"{len(s_rows)} rows")

@@ -137,6 +137,35 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer-jumping convergence (round-1 advisor): a 200-edge path graph
+    has diameter 200 — one-hop min propagation needs 200 rounds and the old
+    max_iter=10 silently returned split clusters. With label compression the
+    default budget converges in O(log diameter) rounds."""
+    from pyspark_retention_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 201
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    import pytest
+
+    from pyspark_retention_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     from pyspark_retention_pipeline_spark.registry import all_queries
 

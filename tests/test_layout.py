@@ -55,3 +55,20 @@ def test_zorder_tightens_second_dimension(spark, sf_dir, tmp_path):
     )
     assert z_pk < full_pk, (z_pk, full_pk)
     assert lin_pk <= z_pk
+
+def test_zorder_key_no_int32_sign_overflow(spark):
+    """IntegerType inputs with bit 15 set must not produce negative Morton
+    keys (the 32-bit sign-bit overflow from the round-1 advisor): int and
+    long inputs yield identical, non-negative keys."""
+    from pyspark_retention_pipeline_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(32768, 65535), (65535, 65535), (0, 0), (12345, 54321)], "a int, b int"
+    )
+    keys = df.select(
+        zorder_key(F.col("a"), F.col("b")).alias("k_int"),
+        zorder_key(F.col("a").cast("long"), F.col("b").cast("long")).alias("k_long"),
+    ).collect()
+    for r in keys:
+        assert r["k_int"] >= 0, r
+        assert r["k_int"] == r["k_long"], r

@@ -30,7 +30,10 @@ def test_checks_catch_violations(spark):
     df = spark.createDataFrame(
         [(1, "a", 5.0), (1, "b", -2.0), (2, None, 50.0)], "id long, s string, v double"
     )
-    assert not check_unique(df, ["id"]).passed
+    u = check_unique(df, ["id"])
+    # Row-grain semantics: total = 3 rows, violations = 1 surplus row (the
+    # second id=1), so violation rates are comparable across checks.
+    assert not u.passed and u.violations == 1 and u.total == 3
     assert not check_complete(df, "s").passed
     r = check_range(df, "v", lo=0.0, hi=10.0)
     assert not r.passed and r.violations == 2  # -2.0 and 50.0
