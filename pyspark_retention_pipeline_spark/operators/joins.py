@@ -377,3 +377,54 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: fact rows get a salt in [0, n_salts) and the
+    dim side is replicated once per salt, so each hot key's rows spread over
+    ``n_salts`` shuffle partitions instead of hammering one reducer.
+
+    AQE's OptimizeSkewedJoin handles most skew automatically by splitting
+    oversized partitions (demonstrated in tests/test_plans.py); manual
+    salting remains the tool when AQE can't apply — e.g. the skewed join
+    feeds a co-partitioned downstream stage, or the engine runs with AQE off.
+    The salt assignment is per-row nondeterministic (rand); correctness is
+    unaffected because the dim side carries every salt value.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(42) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+@query(
+    "skew_salted_segment_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("skew", "salted-join"),
+)
+def skew_salted_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer through the salted-join path, proving the salt
+    replication changes the physical distribution but not the result (the
+    oracle is the plain join)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+    )

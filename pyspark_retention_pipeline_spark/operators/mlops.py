@@ -76,25 +76,14 @@ def ml_threshold_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator — the fusion of the ML tier with operators/threshold.py (the
     reference's 303-job sweep collapsed into one aggregation)."""
     from ..ml import score_frame
-    from .threshold import _with_metrics
+    from .threshold import _with_metrics, sweep_scores
 
     model, features = _train(spark, sf_dir)
     scored = score_frame(model, features).select(
         F.col("label"), F.col("p_churn").alias("score")
     )
-    expanded = scored.select(
-        "label", "score", F.explode(F.sequence(F.lit(0), F.lit(100))).alias("i")
-    ).withColumn("t", F.col("i").cast("double") / F.lit(100.0))
-    hit = F.col("score") >= F.col("t")
-    pos = F.col("label") == 1
-    sweep = expanded.groupBy("t").agg(
-        F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn"),
-        F.sum(F.when(~hit & ~pos, 1).otherwise(0)).alias("tn"),
-    )
     return (
-        _with_metrics(sweep)
+        _with_metrics(sweep_scores(scored))
         .select("t", "precision", "recall", "f1")
         .orderBy(F.col("f1").desc(), F.col("t").asc())
         .limit(1)

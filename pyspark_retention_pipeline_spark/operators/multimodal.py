@@ -4,15 +4,17 @@ The testdata has no true image/audio tables, so the binary payload is
 synthesized from ``documents.text`` (UTF-8 bytes) — the *plumbing* is the
 deliverable: binary columns with typed metadata structs, Arrow-batched
 ``mapInPandas`` decode stages with explicit output schemas, and partition-
-sized batches. Real decoders (PIL/ffmpeg et al. are not in this container)
-are stubbed behind ``decode_stub`` with a deterministic fake so the pipeline
-shape is fully testable; swap ``_FAKE_DECODE=False`` to surface
-NotImplementedError at the decode boundary.
+sized batches. The decode boundary is real-decoder-optional: each payload is
+first offered to PIL when the import succeeds (it is not installed in this
+container) and falls back to a deterministic fake — derived from the
+payload's md5, stable across partitionings — when PIL is absent or the
+payload doesn't parse. Both paths are unit-tested (tests/test_operators_unit.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,7 +25,10 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
-_FAKE_DECODE = True
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 MEDIA_META_SCHEMA = (
     "doc_id long, payload binary, media_type string, payload_len long, width int, "
@@ -65,25 +70,39 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Decode one Arrow batch of payloads into media metadata.
+def _pil_decode(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) via PIL when it's importable AND the payload
+    actually parses as an image; None otherwise. Audio/video decoders
+    (torchaudio/ffmpeg) would slot in the same way."""
+    if _PILImage is None:
+        return None
+    try:
+        img = _PILImage.open(io.BytesIO(bytes(payload)))
+        return int(img.width), int(img.height), int(getattr(img, "n_frames", 1))
+    except Exception:
+        return None
 
-    Deterministic fake: dimensions derive from the payload's md5 digest, so
-    results are stable across partitionings and engines. A real deployment
-    replaces the body with PIL/torchaudio/ffmpeg calls — the signature,
-    batching, and output schema stay identical.
-    """
-    if not _FAKE_DECODE:
-        raise NotImplementedError("media decoders not available in this environment")
-    digests = [hashlib.md5(p).digest() for p in batch["payload"]]
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic fallback: dimensions derive from the payload's md5
+    digest, so results are stable across partitionings and engines."""
+    d = hashlib.md5(payload).digest()
+    n_frames = 1 if media_type == "image/png" else 1 + d[2] % 300
+    return 16 + d[0] % 240, 16 + d[1] % 240, n_frames
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Decode one Arrow batch of payloads into media metadata — real decoder
+    when available, deterministic fake otherwise."""
+    decoded = [
+        _pil_decode(p) or _fake_decode(p, mt)
+        for p, mt in zip(batch["payload"], batch["media_type"])
+    ]
     batch = batch.copy()
     batch["payload_len"] = [len(p) for p in batch["payload"]]
-    batch["width"] = [16 + d[0] % 240 for d in digests]
-    batch["height"] = [16 + d[1] % 240 for d in digests]
-    batch["n_frames"] = [
-        1 if mt == "image/png" else 1 + d[2] % 300
-        for mt, d in zip(batch["media_type"], digests)
-    ]
+    batch["width"] = [w for w, _, _ in decoded]
+    batch["height"] = [h for _, h, _ in decoded]
+    batch["n_frames"] = [n for _, _, n in decoded]
     return batch
 
 

@@ -77,15 +77,16 @@ def _scored_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("threshold_sweep", oracle=_SCORED_CTE + _SWEEP_SELECT, tags=("M9", "A7"))
-def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """101-threshold confusion sweep in one aggregation pass."""
-    scored = _scored_labels(spark, sf_dir)
+def sweep_scores(scored: DataFrame, n_steps: int = 100) -> DataFrame:
+    """(label, score) frame → confusion cells per threshold t in {0..n}/n in
+    ONE aggregation pass (the reference's 303-job loop collapsed; shared by
+    the synthetic-score query below and the real-model sweep in
+    operators/mlops.py)."""
     expanded = scored.select(
         "label",
         "score",
-        F.explode(F.sequence(F.lit(0), F.lit(100))).alias("i"),
-    ).withColumn("t", F.col("i").cast("double") / F.lit(100.0))
+        F.explode(F.sequence(F.lit(0), F.lit(n_steps))).alias("i"),
+    ).withColumn("t", F.col("i").cast("double") / F.lit(float(n_steps)))
     hit = F.col("score") >= F.col("t")
     pos = F.col("label") == 1
     return (
@@ -97,6 +98,12 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hit & ~pos, 1).otherwise(0)).alias("tn"),
         )
     )
+
+
+@query("threshold_sweep", oracle=_SCORED_CTE + _SWEEP_SELECT, tags=("M9", "A7"))
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """101-threshold confusion sweep in one aggregation pass."""
+    return sweep_scores(_scored_labels(spark, sf_dir))
 
 
 def _with_metrics(sweep: DataFrame) -> DataFrame:

@@ -69,6 +69,45 @@ def test_media_decode_stub_deterministic(spark):
     assert out2[2][2] >= 1
 
 
+def test_decode_batch_real_decoder_mode(monkeypatch):
+    """When PIL imports, _decode_batch uses real image dimensions; when the
+    payload doesn't parse (or PIL is absent) it falls back to the
+    deterministic fake. Tested at the batch-function level because Spark
+    workers run in separate processes where monkeypatched globals don't
+    propagate; the Spark-side plumbing is covered by media_decode_stub."""
+    import pandas as pd
+
+    import pyspark_retention_pipeline_spark.operators.multimodal as mm
+
+    class _StubImg:
+        width, height, n_frames = 320, 240, 1
+
+    class _StubPIL:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"\x89PNG":
+                raise ValueError("not an image")
+            return _StubImg()
+
+    monkeypatch.setattr(mm, "_PILImage", _StubPIL)
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [b"\x89PNG....", b"not an image"],
+            "media_type": ["image/png", "image/png"],
+        }
+    )
+    out = mm._decode_batch(batch)
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (320, 240)  # real path
+    fw, fh, _ = mm._fake_decode(b"not an image", "image/png")
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (fw, fh)  # fallback
+
+    monkeypatch.setattr(mm, "_PILImage", None)  # PIL-absent mode
+    out2 = mm._decode_batch(batch)
+    w0, h0, _ = mm._fake_decode(b"\x89PNG....", "image/png")
+    assert (out2.loc[0, "width"], out2.loc[0, "height"]) == (w0, h0)
+
+
 def test_class_weights_no_collect(spark, sf_dir):
     # The class-weight op must not round-trip through the driver: its plan is
     # a broadcast join of a 1-row aggregate, fully lazy until action.

@@ -82,6 +82,78 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     assert not offenders, f"forced broadcast of scaling tables: {offenders}"
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a hot key that dwarfs the median partition is
+    split at runtime (OptimizeSkewedJoin) — the final adaptive plan marks the
+    sort-merge join ``skew=true`` with a skewed AQEShuffleRead. Thresholds
+    are lowered to observe the behavior at test scale; at 100 TB the defaults
+    (256MB / 5x median) fire on real skew."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 95% of fact rows share key 0 — one shuffle partition holds ~475k
+        # rows while the median holds a handful.
+        fact = spark.range(500_000).select(
+            F.when(F.col("id") % 20 < 19, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        dim = spark.range(10_000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        joined = fact.join(dim, "k")
+        # collect() (not count()) so THIS DataFrame's QueryExecution runs —
+        # count() builds a separate aggregate execution and this one would
+        # stay isFinalPlan=false.
+        joined.collect()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan or "skewed" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Manual salting must not change join semantics: salted and plain joins
+    agree on a synthetic skewed dataset (one key owning 90% of rows)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.joins import salted_join
+
+    fact = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    plain = fact.join(dim, "k").groupBy("grp").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, "k").groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_runtime_bloom_filter_injection(spark, sf_dir):
     """Runtime Bloom-filter join pruning: with a selective build side, Spark
     injects might_contain() into the probe side's scan filter — at 100 TB this
