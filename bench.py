@@ -76,8 +76,46 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    baseline = _load_baseline()
+    if baseline:
+        ratios = {
+            q: round(timings[q] / baseline["queries"][q], 2)
+            for q in timings
+            if baseline.get("queries", {}).get(q)
+        }
+        result["vs_baseline"] = {
+            "baseline_total": baseline.get("value"),
+            "total_ratio": round(sum(timings.values()) / baseline["value"], 3)
+            if baseline.get("value")
+            else None,
+            "regressions_gt_1.5x": {q: r for q, r in ratios.items() if r > 1.5},
+        }
     print(json.dumps(result))
     spark.stop()
+
+
+def _load_baseline() -> dict | None:
+    """Most recent BENCH_r{N}.json next to this script — the driver's record
+    of the previous round, used to self-flag per-query regressions."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # The driver wraps the bench's JSON line under "parsed".
+    return data.get("parsed", data)
 
 
 if __name__ == "__main__":
