@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     threshold,
     retention,
     events,
+    tpch_extra,
     text,
     similarity,
     ivf,
