@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     events,
     tpch_extra,
     text,
+    text_quality,
     similarity,
     ivf,
     analytics,

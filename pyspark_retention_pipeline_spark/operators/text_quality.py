@@ -1,0 +1,203 @@
+"""Training-data text-quality operators: repetition metrics, PII scrubbing,
+regex tokenization, and composite quality filtering (the Gopher/C4-style
+signal family from the public LLM-data-pipeline literature).
+
+All hot-path logic is built-in JVM expressions (split / transform / explode /
+regexp_*) — no Python UDFs; per-doc aggregations shuffle once on doc_id with
+partial aggregation. Ratio columns divide exact integer counts (identical
+IEEE division on both engines), so every query hash-matches its DuckDB twin.
+
+Regex patterns stay inside the RE2 ∩ Java common dialect (character classes,
+quantifiers, \\b anchors — no lookaround), so Spark and DuckDB agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONG_NUM_RE = r"\b\d{6,}\b"
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(a) AS tok FROM t
+    ), wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), word_stats AS (
+      SELECT doc_id,
+             ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ), bigrams AS (
+      SELECT doc_id, a[i] || ' ' || a[i + 1] AS bigram
+      FROM t, UNNEST(range(1, len(a))) AS r(i)
+    ), bigram_stats AS (
+      SELECT doc_id,
+             ROUND(1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_bigram_frac
+      FROM bigrams GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.top_word_frac, b.dup_bigram_frac
+    FROM word_stats w JOIN bigram_stats b ON w.doc_id = b.doc_id
+    """,
+    tags=("text-quality", "gopher-repetition"),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (public Rae et al. heuristics): the
+    fraction of tokens taken by the single most frequent word, and the
+    duplicate-bigram fraction. Repetitive (low-quality / templated) documents
+    score high on both. Two per-doc aggregations joined on doc_id; the
+    bigram list is built positionally with ``transform(sequence(...))`` —
+    no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    wc = words.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_word_frac")
+    )
+    a = _toks()
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(a) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(a, i), F.element_at(a, i + 1)),
+    )
+    bigrams = d.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    bigram_stats = bigrams.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.col("bigram")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_bigram_frac")
+    )
+    return word_stats.join(bigram_stats, "doc_id")
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_LONG_NUM_RE}')) AS BIGINT) AS n_long_numbers,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_LONG_NUM_RE}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+    tags=("text-quality", "pii"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, long digit runs) — pure
+    ``regexp_count`` / ``regexp_replace`` projection, fully pushed into
+    whole-stage codegen. The synthetic corpus contains no PII (counts are 0
+    and the hash equals the original text's), so redaction behavior is
+    additionally unit-tested on planted PII (tests/test_text_quality.py);
+    the scrubbed text is surfaced as an md5 so the oracle compares content
+    without shipping full strings through the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_LONG_NUM_RE),
+        F.lit("<NUM>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_LONG_NUM_RE))
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "regex_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_regex_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text-quality", "tokenizer"),
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the budget-estimation primitive of a training
+    pipeline): whitespace tokens vs a BPE-ish pre-tokenizer regex (letter
+    runs | digit runs | single punctuation — the GPT-2 pattern family minus
+    lookarounds, which RE2 lacks)."""
+    d = load_table(spark, sf_dir, "documents")
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_regex_tokens"),
+        F.size(_toks()).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "c4_quality_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(mean_tok_len, 6) AS mean_tok_len,
+           ROUND(distinct_ratio, 6) AS distinct_ratio,
+           (n_tokens BETWEEN 10 AND 1000
+            AND mean_tok_len BETWEEN 2.0 AND 12.0
+            AND distinct_ratio >= 0.2) AS keep
+    FROM stats
+    """,
+    tags=("text-quality", "c4-filter"),
+)
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4-style keep/drop decision (public Raffel et al. heuristics
+    adapted to the corpus): token-count band, mean token length band, and a
+    minimum distinct-token ratio. Emits the signals alongside the boolean so
+    downstream filters stay explainable. All ratios divide exact integer
+    counts — engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    mean_tok_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens.cast("double")
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / n_tokens.cast("double")
+    )
+    keep = (
+        n_tokens.between(10, 1000)
+        & (mean_tok_len >= 2.0)
+        & (mean_tok_len <= 12.0)
+        & (distinct_ratio >= 0.2)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        keep.alias("keep"),
+    )

@@ -1,0 +1,88 @@
+"""Text-quality operator behavior on planted inputs (the synthetic corpus has
+no PII and little repetition, so the oracle gate alone can't show these
+operators doing their job)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import pyspark_retention_pipeline_spark.operators.text_quality as tq
+
+
+def _plant(spark, monkeypatch, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    monkeypatch.setattr(tq, "load_table", lambda *_: docs)
+    return docs
+
+
+def test_pii_scrub_redacts_planted_pii(spark, monkeypatch):
+    _plant(
+        spark,
+        monkeypatch,
+        [
+            (1, "contact me at alice.smith+x@example.co.uk or 1234567890 thanks", "en"),
+            (2, "no pii here just words", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in tq.pii_scrub(spark, "ignored").collect()}
+    assert out[1]["n_emails"] == 1
+    assert out[1]["n_long_numbers"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_long_numbers"] == 0
+
+    # The scrubbed hash must equal the md5 of the manually redacted text.
+    import hashlib
+
+    redacted = "contact me at <EMAIL> or <NUM> thanks"
+    assert out[1]["scrubbed_md5"] == hashlib.md5(redacted.encode()).hexdigest()
+    assert out[2]["scrubbed_md5"] == hashlib.md5(b"no pii here just words").hexdigest()
+
+
+def test_repetition_stats_flags_repetitive_doc(spark, monkeypatch):
+    _plant(
+        spark,
+        monkeypatch,
+        [
+            (1, "spam spam spam spam spam spam spam eggs", "en"),
+            (2, "one two three four five six seven eight", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in tq.repetition_stats(spark, "ignored").collect()}
+    assert out[1]["top_word_frac"] == pytest.approx(7 / 8, abs=1e-6)
+    # 7 bigrams, 2 distinct ("spam spam" x6, "spam eggs") -> 1 - 2/7
+    assert out[1]["dup_bigram_frac"] == pytest.approx(1 - 2 / 7, abs=1e-6)
+    assert out[2]["top_word_frac"] == pytest.approx(1 / 8, abs=1e-6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_c4_filter_drops_degenerate_docs(spark, monkeypatch):
+    _plant(
+        spark,
+        monkeypatch,
+        [
+            (1, " ".join(["word"] * 50), "en"),                # repetitive -> drop
+            (2, "too short", "en"),                            # < 10 tokens -> drop
+            (3, " ".join(f"tok{i}" for i in range(60)), "en"),  # healthy -> keep
+        ],
+    )
+    out = {r["doc_id"]: r["keep"] for r in tq.c4_quality_filter(spark, "ignored").collect()}
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_regex_tokens_count_punctuation_separately(spark, monkeypatch):
+    _plant(spark, monkeypatch, [(1, "hello world42 it's x!", "en")])
+    row = tq.regex_token_count(spark, "ignored").collect()[0]
+    # hello | world | 42 | it | ' | s | x | ! = 8 regex tokens, 4 ws tokens
+    assert row["n_regex_tokens"] == 8
+    assert row["n_ws_tokens"] == 4
+
+
+def test_plan_stays_jvm_side(spark, sf_dir):
+    """No BatchEvalPython / ArrowEvalPython in any text-quality plan — the
+    whole family must compile to built-in expressions."""
+    from pyspark_retention_pipeline_spark.plans import explain_str
+
+    for fn in (tq.repetition_stats, tq.pii_scrub, tq.regex_token_count, tq.c4_quality_filter):
+        plan = explain_str(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, fn.__name__
