@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     similarity,
     ivf,
     analytics,
+    analytics_extra,
     sampling,
     components,
     mlops,

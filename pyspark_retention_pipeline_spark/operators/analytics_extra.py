@@ -1,0 +1,193 @@
+"""Second-wave analytic operators: GROUPING SETS, exact-cents moving windows,
+calendar-spine gap filling, and int8 embedding quantization.
+
+Shapes the round-1 surface didn't cover:
+  * explicit GROUPING SETS with grouping flags (rollup/cube's general form);
+  * sliding ROWS-frame window aggregates — computed over exact integer cents
+    so segment-tree vs naive frame accumulation can't diverge across engines;
+  * spine generation (sequence + left join + zero fill) — the resample/gap
+    primitive of time-series pipelines;
+  * symmetric int8 quantization of embedding vectors with reconstruction
+    error — the 4x memory-compression primitive ANN indexes rely on at
+    100 TB (quantized candidates scanned first, full-precision re-rank on
+    the shortlist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import as_double_array, dot
+from ..registry import query
+from ..tables import load_events, load_table
+
+DAY_US = 86_400_000_000
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("grouping-sets",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube, SURVEY §2.4
+    family) with a grouping_id-style flag distinguishing detail, subtotal,
+    and grand-total rows — one expand-operator pass, no union of scans."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("long")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "moving_avg_order_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+             / (CAST(100 AS DOUBLE) * COUNT(*) OVER w) AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window-frame", "moving-avg"),
+)
+def moving_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS-frame moving average (last 3 orders per customer).
+    The frame sum runs over exact integer cents: engines implement sliding
+    frames differently (incremental update vs segment trees), which can
+    diverge in float low bits — integer addition cannot. The unique
+    (orderdate, orderkey) ordering pins identical frames on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w) / (F.lit(100.0) * F.count("*").over(w))
+        ).alias("moving_avg3"),
+    )
+
+
+@query(
+    "event_day_spine_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), spine AS (
+      SELECT unnest(range(lo, hi + 1)) AS day FROM bounds
+    )
+    SELECT s.day, COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    tags=("spine-fill", "resample"),
+)
+def event_day_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill (the resample primitive): generate the full
+    day range between the observed min and max via ``sequence`` — a 1-row
+    broadcast, not a driver loop — left-join the daily aggregate onto it,
+    and zero-fill missing days. Day arithmetic stays in integer epoch-us."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.withColumn("day", F.expr(f"ts_us DIV {DAY_US}"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "embedding_quantize_stats",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scale AS (
+      SELECT CAST(127 AS DOUBLE)
+               / MAX(list_max(list_transform(v, x -> abs(x)))) AS s
+      FROM vecs
+    ), q AS (
+      SELECT vec_id,
+             list_transform(v, x -> x - round(x * s) / s) AS err_vec,
+             list_max(list_transform(v, x -> abs(round(x * s)))) AS max_q
+      FROM vecs, scale
+    )
+    SELECT vec_id,
+           CAST(max_q AS BIGINT) AS max_abs_q,
+           ROUND(sqrt(list_dot_product(err_vec, err_vec) / 64.0), 9) AS recon_rmse
+    FROM q
+    """,
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings with a global max-abs scale:
+    q = round(x·s), s = 127/max|x|. Emits each vector's max quantized
+    magnitude (must be ≤127) and reconstruction RMSE — the quality metric
+    for the 4x-compressed ANN scan at scale. The scale is a 1-row aggregate
+    broadcast onto the vectors; the error norm reuses the left-fold dot
+    product that matches DuckDB's list_dot_product bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    scale = vecs.agg(
+        (
+            F.lit(127.0)
+            / F.max(F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+        ).alias("s")
+    )
+    with_scale = vecs.crossJoin(F.broadcast(scale))
+    err_vec = F.transform(
+        F.col("v"), lambda x: x - F.round(x * F.col("s")) / F.col("s")
+    )
+    max_q = F.array_max(
+        F.transform(F.col("v"), lambda x: F.abs(F.round(x * F.col("s"))))
+    )
+    return with_scale.select(
+        "vec_id",
+        max_q.cast("long").alias("max_abs_q"),
+        F.round(F.sqrt(dot(err_vec, err_vec) / F.lit(64.0)), 9).alias("recon_rmse"),
+    )
