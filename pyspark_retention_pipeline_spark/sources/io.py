@@ -102,3 +102,29 @@ def read_csv_transactions_permissive(
         "_corrupt_record"
     )
     return clean, quarantined
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of LLM training-data
+    pipelines (one document object per line; splittable when uncompressed,
+    so 100 TB reads parallelize per line block)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-pinned JSON-lines scan. The schema is REQUIRED: inference on
+    JSON is a full extra pass over the data and silently widens types on
+    dirty corpora — at scale the contract must be explicit."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built into Spark) — the second columnar format the engine
+    speaks; same predicate-pushdown/column-pruning behavior as parquet for
+    warehouses standardized on ORC."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — schema travels in the ORC footer (no inference pass)."""
+    return spark.read.orc(path)

@@ -96,3 +96,48 @@ def test_permissive_csv_quarantines_bad_rows(spark, tmp_path):
     assert clean.count() == 2
     assert quarantined.count() == 1
     assert "notanumber" in quarantined.collect()[0]["_corrupt_record"]
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL sink/scan with pinned schema: values and row counts survive the
+    round trip; timestamps go through ISO strings (JSON has no timestamp
+    type), so the docs table (string/long only) round-trips losslessly."""
+    from pyspark.sql import types as T
+
+    from pyspark_retention_pipeline_spark.sources import read_jsonl, write_jsonl
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == orig
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.plans import pushed_filters
+    from pyspark_retention_pipeline_spark.sources import read_orc, write_orc
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    # Predicate pushdown reaches the ORC scan just like parquet.
+    filtered = back.filter(F.col("o_orderstatus") == "F")
+    assert any("o_orderstatus" in f for f in pushed_filters(filtered))
