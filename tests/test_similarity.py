@@ -100,3 +100,16 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall@{len(exact)} = {recall}"
+
+
+def test_quantization_bounds_and_error(spark, sf_dir):
+    """int8 quantization invariants: every quantized magnitude fits int8
+    (<=127) and reconstruction error is small relative to unit-ish vectors."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["embedding_quantize_stats"](spark, sf_dir)
+    stats = out.agg(
+        F.max("max_abs_q").alias("mx"), F.max("recon_rmse").alias("err")
+    ).collect()[0]
+    assert stats["mx"] <= 127
+    assert stats["err"] < 0.05
