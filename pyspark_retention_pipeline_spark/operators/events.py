@@ -364,3 +364,30 @@ def event_type_map_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_types"),
         summary.alias("type_counts"),
     )
+
+
+DAY_US = 86_400_000_000
+
+
+@query("dau_hll_rollup", tags=("sketch", "hll-union"))
+def dau_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-users via HLL sketch partials, rolled up to a total by
+    UNIONING THE SKETCHES — the 100 TB pattern for distinct-count rollups:
+    per-day sketches are tiny mergeable state, so the monthly/total estimate
+    never rescans raw events (re-counting exact distincts at each rollup
+    level re-shuffles the full corpus). Rows-only check (sketch estimates
+    have no SQL twin); relative error vs exact distinct is pinned in
+    tests/test_operators_unit.py. Day -1 row = union-of-sketches total."""
+    e = load_events(spark, sf_dir)
+    daily_sk = (
+        e.withColumn("day", F.expr(f"ts_us DIV {DAY_US}"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    daily = daily_sk.select(
+        "day", F.hll_sketch_estimate("sk").cast("long").alias("approx_users")
+    )
+    total = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users")
+    ).select(F.lit(-1).cast("long").alias("day"), "approx_users")
+    return daily.unionByName(total)

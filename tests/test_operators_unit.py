@@ -119,3 +119,22 @@ def test_class_weights_no_collect(spark, sf_dir):
     assert labels == {0.0, 1.0}
     weights = {r["label"]: r["class_weight"] for r in rows}
     assert weights[0.0] == 1.0 and weights[1.0] > 0
+
+
+def test_dau_hll_rollup_accuracy(spark, sf_dir):
+    """HLL daily sketches + sketch-union total must track exact distincts
+    within HLL error (lgConfigK default 12 -> ~1.6% typical, 5% bound)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.registry import all_queries
+    from pyspark_retention_pipeline_spark.tables import load_events
+
+    out = {r["day"]: r["approx_users"] for r in
+           all_queries()["dau_hll_rollup"](spark, sf_dir).collect()}
+    e = load_events(spark, sf_dir).withColumn("day", F.expr("ts_us DIV 86400000000"))
+    exact_daily = {r["day"]: r["n"] for r in
+                   e.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()}
+    exact_total = e.select("user_id").distinct().count()
+    assert abs(out[-1] - exact_total) / exact_total < 0.05
+    for day, exact in exact_daily.items():
+        assert abs(out[day] - exact) / max(exact, 1) < 0.05, (day, out[day], exact)
