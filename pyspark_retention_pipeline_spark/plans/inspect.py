@@ -111,7 +111,8 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the physical plan (lower is better; AQE may
-    remove some at runtime)."""
-    return explain_str(df).count("Exchange hashpartitioning") + explain_str(df).count(
-        "Exchange rangepartitioning"
-    )
+    remove some at runtime). Formatted explain lists operators as
+    ``(N) Exchange`` with arguments on separate lines, so count operator
+    headers, not the ``Exchange hashpartitioning`` one-liner of simple
+    mode."""
+    return len(re.findall(r"\(\d+\) Exchange\b", explain_str(df)))

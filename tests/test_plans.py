@@ -82,6 +82,24 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     assert not offenders, f"forced broadcast of scaling tables: {offenders}"
 
 
+def test_shuffle_budgets(spark, sf_dir):
+    """Exchange counts stay at the designed minimum (at test SF the dim
+    joins broadcast, so the only shuffles are the aggregations): one for a
+    single group-by query, bounded budgets for multi-stage DAGs."""
+    from pyspark_retention_pipeline_spark.plans import shuffle_count
+
+    budgets = {
+        "pricing_summary": 1,
+        "returned_items_top_customers": 2,
+        "volume_shipping": 2,
+        "order_rollup": 2,  # aggregate + output sort
+        "churn_features": 3,
+    }
+    for name, budget in budgets.items():
+        n = shuffle_count(QUERIES[name](spark, sf_dir))
+        assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling: a hot key that dwarfs the median partition is
     split at runtime (OptimizeSkewedJoin) — the final adaptive plan marks the
