@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     tpch_extra,
     text,
     text_quality,
+    chunking,
     similarity,
     ivf,
     analytics,

@@ -86,3 +86,41 @@ def test_plan_stays_jvm_side(spark, sf_dir):
     for fn in (tq.repetition_stats, tq.pii_scrub, tq.regex_token_count, tq.c4_quality_filter):
         plan = explain_str(fn(spark, sf_dir))
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_chunking_tiles_documents(spark, monkeypatch):
+    """Chunk windows tile each document at the stride: every token index is
+    covered, consecutive chunks overlap by window-stride tokens, and the
+    final partial chunk carries the remainder."""
+    import pyspark_retention_pipeline_spark.operators.chunking as ck
+
+    text = " ".join(f"t{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    monkeypatch.setattr(ck, "load_table", lambda *_: docs)
+    rows = sorted(
+        ck.chunk_documents(spark, "ignored").collect(), key=lambda r: r["chunk_id"]
+    )
+    # 60 tokens, window 50, stride 25 -> starts 0, 25, 50
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [50, 35, 10]
+
+
+def test_packing_respects_budget(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.chunking import (
+        PACK_BUDGET,
+        pack_documents,
+    )
+
+    packs = (
+        pack_documents(spark, sf_dir)
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert len(packs) > 1
+    for r in packs:
+        # contiguous-greedy guarantee: a pack exceeds the budget by at most
+        # one document's tokens
+        assert r["tot"] <= PACK_BUDGET + r["mx"]
