@@ -97,7 +97,10 @@ def test_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
-        assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
+        # Upper bound only: when the suite has already cached a shared
+        # frame (the ML tier caches churn features), parts of the plan
+        # collapse into InMemoryRelation and exchanges legitimately drop.
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
