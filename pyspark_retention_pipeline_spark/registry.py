@@ -88,19 +88,22 @@ _FRONT: tuple[str, ...] = (
     # sampling + multimodal plumbing
     "hash_sample",
     "binary_meta",
-    # representative core slice (round-1 verified; keeps regression signal)
+    # round-2 extension additions (text quality, chunking, quantization)
+    "repetition_stats",
+    "pii_scrub",
+    "regex_token_count",
+    "c4_quality_filter",
+    "chunk_documents",
+    "pack_documents",
+    "embedding_quantize_stats",
+    # representative core slice: the flagship + TPC-H Q1 + three queries
+    # whose forced customer-broadcast was removed this round (their green
+    # rows prove the de-hint preserved results under the driver's gate)
     "churn_features",
-    "class_weights",
-    "threshold_curve",
-    "confusion_matrix",
     "pricing_summary",
-    "customer_rfm",
+    "revenue_by_nation",
     "revenue_share",
     "top_parts_per_segment",
-    "purchase_gaps",
-    "shipping_priority",
-    "order_rollup",
-    "revenue_by_nation",
 )
 
 

@@ -27,6 +27,16 @@ EXTENSION_MUST_BE_IN_WINDOW = {
     "rollup_revenue",
     "hash_sample",
     "binary_meta",
+    # round-2 extension additions
+    "repetition_stats",
+    "pii_scrub",
+    "c4_quality_filter",
+    "chunk_documents",
+    "pack_documents",
+    "embedding_quantize_stats",
+    # de-hinted queries kept in-window as broadcast-removal proof
+    "revenue_by_nation",
+    "top_parts_per_segment",
 }
 
 
