@@ -88,6 +88,11 @@ def test_shuffle_budgets(spark, sf_dir):
     single group-by query, bounded budgets for multi-stage DAGs."""
     from pyspark_retention_pipeline_spark.plans import shuffle_count
 
+    # Other suites may have cached shared frames (the ML tier caches churn
+    # features); a cached subtree's InMemoryRelation section repeats its
+    # exchanges in the formatted explain and skews the count. Measure fresh
+    # plans.
+    spark.catalog.clearCache()
     budgets = {
         "pricing_summary": 1,
         "returned_items_top_customers": 2,
@@ -97,10 +102,7 @@ def test_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
-        # Upper bound only: when the suite has already cached a shared
-        # frame (the ML tier caches churn features), parts of the plan
-        # collapse into InMemoryRelation and exchanges legitimately drop.
-        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+        assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
