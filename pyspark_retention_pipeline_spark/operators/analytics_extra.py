@@ -191,3 +191,31 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_q.cast("long").alias("max_abs_q"),
         F.round(F.sqrt(dot(err_vec, err_vec) / F.lit(64.0)), 9).alias("recon_rmse"),
     )
+
+
+_SQL_API_TEXT = """
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT o.o_custkey) AS n_buyers,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(DISTINCT o.o_custkey) > 5
+"""
+
+
+@query(
+    "sql_api_revenue",
+    oracle=_SQL_API_TEXT,
+    tags=("sql-api",),
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL text executed through ``spark.sql`` over registered views —
+    the identical ANSI string runs on both engines (the SQL API surface is
+    first-class, not just the DataFrame builders). Catalyst plans it exactly
+    like the DataFrame form: pushdown, pruning, AQE all apply."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)

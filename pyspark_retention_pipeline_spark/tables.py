@@ -151,3 +151,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables at once; all of them when ``names`` is empty."""
     picked = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in picked}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so raw SQL text runs
+    against the engine (``spark.sql`` is a first-class API surface beside
+    the DataFrame builders — reference users who write SQL keep writing
+    SQL). Events register with the integer ``ts_us`` column added."""
+    for name in TABLES:
+        df = load_events(spark, sf_dir) if name == "events" else load_table(
+            spark, sf_dir, name
+        )
+        df.createOrReplaceTempView(name)
