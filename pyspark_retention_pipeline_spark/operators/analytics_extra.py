@@ -219,3 +219,61 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_API_TEXT)
+
+
+@query(
+    "orders_per_weekday",
+    oracle="""
+    SELECT CAST((epoch(o_orderdate) // 86400 + 4) % 7 AS BIGINT) AS dow,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("date-math",),
+)
+def orders_per_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week rollup with ENGINE-NEUTRAL integer math: Spark's
+    dayofweek() is 1=Sunday while DuckDB's dayofweek() is 0=Sunday —
+    instead of reconciling dialects, derive dow from epoch days
+    ((days+4) % 7, 0=Monday; 1970-01-01 was a Thursday) so the same
+    arithmetic runs on both engines and inside codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch_days = F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400)
+    dow = ((epoch_days.cast("long") + 4) % 7).cast("long")
+    return o.groupBy(dow.alias("dow")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "acctbal_histogram",
+    oracle="""
+    SELECT GREATEST(LEAST(CAST(floor((c_acctbal - (-1000.0)) / 500.0) AS BIGINT), 21), -1)
+             AS bucket,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM customer
+    GROUP BY 1
+    """,
+    tags=("histogram",),
+)
+def acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (bucket = floor((x-lo)/w), clamped
+    overflow bins) — the distribution-profiling primitive; integer bucket
+    ids from exact arithmetic, one aggregation pass."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.greatest(
+        F.least(
+            F.floor((F.col("c_acctbal") - F.lit(-1000.0)) / F.lit(500.0)).cast("long"),
+            F.lit(21).cast("long"),
+        ),
+        F.lit(-1).cast("long"),
+    )
+    return c.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
