@@ -3,7 +3,7 @@
 SF_DIR ?= /root/testdata/sf0.001
 OUT_DIR ?= ./data/artifacts
 
-.PHONY: test test-gate bench etl train eval plans
+.PHONY: test test-gate bench etl train eval plans sweep
 
 test:
 	python -m pytest tests/ -q
@@ -11,6 +11,11 @@ test:
 # The driver-gate mirror: full oracle parity at sf0.01.
 test-gate:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+
+# Full-registry oracle sweep at the bench scale; writes docs/SWEEP_sf0.1.md
+# (committed per round — the wider net around the driver's 50-query window).
+sweep:
+	python scripts/oracle_sweep.py --sf-dir /root/testdata/sf0.1
 
 bench:
 	python bench.py

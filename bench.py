@@ -20,7 +20,8 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (agg / join / window / threshold /
-# event-time / dedup / text / similarity).
+# event-time / dedup / text / similarity / chunking-packing / quantization /
+# quality-filter).
 HEADLINE = [
     "pricing_summary",
     "customer_rfm",
@@ -36,6 +37,11 @@ HEADLINE = [
     "text_stats",
     "minhash_candidates",
     "knn_bruteforce",
+    # training-data first-class tier (round-2 verdict item 6)
+    "chunk_documents",
+    "pack_documents",
+    "embedding_quantize_stats",
+    "c4_quality_filter",
 ]
 
 

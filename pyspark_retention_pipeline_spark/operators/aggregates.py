@@ -328,22 +328,37 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_custkey
     """,
-    tags=("pandas-udaf", "A10"),
+    tags=("A10", "median"),
 )
 def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer median order value via a grouped-aggregate Pandas UDF —
-    the UDAF-shaped Pandas surface (Arrow-batched per group). pandas'
-    interpolated median and the oracle's quantile_cont(0.5) compute the same
-    midpoint on identical doubles."""
+    """Per-customer median order value via the built-in JVM ``median``
+    aggregate (exact, interpolated — identical midpoint math to the oracle's
+    ``quantile_cont(0.5)``). The grouped-aggregate Pandas-UDAF variant is
+    :func:`median_order_value_udaf_frame` — agreement-tested, but the
+    default stays JVM-side: the Arrow round-trip per group buys nothing a
+    built-in aggregate already does, and the built-in composes freely with
+    other JVM aggregates (round-2 verdict item 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_order")
+    )
+
+
+def median_order_value_udaf_frame(orders: DataFrame) -> DataFrame:
+    """Grouped-aggregate Pandas UDF variant of :func:`median_order_value` —
+    the UDAF-shaped Pandas surface demo (Arrow-batched per group). pandas'
+    interpolated median computes the same midpoint as ``F.median`` on
+    identical doubles; agreement is tested in tests/test_operators_unit.py.
+    Note the placement restriction this surface carries: a grouped-agg
+    pandas UDF cannot mix with JVM aggregates in one ``agg``
+    (INVALID_PANDAS_UDF_PLACEMENT) — one more reason it is the variant, not
+    the default."""
 
     @F.pandas_udf("double")
     def median_udaf(v: pd.Series) -> float:
         return float(v.median())
 
-    o = load_table(spark, sf_dir, "orders")
-    # A grouped-agg pandas UDF cannot mix with JVM aggregates in one agg
-    # (INVALID_PANDAS_UDF_PLACEMENT) — single-expression aggregate here.
-    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.round(median_udaf("o_totalprice"), 4).alias("median_order")
     )
 

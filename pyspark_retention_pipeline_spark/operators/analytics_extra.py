@@ -237,9 +237,15 @@ def orders_per_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     dayofweek() is 1=Sunday while DuckDB's dayofweek() is 0=Sunday —
     instead of reconciling dialects, derive dow from epoch days
     ((days+4) % 7, 0=Monday; 1970-01-01 was a Thursday) so the same
-    arithmetic runs on both engines and inside codegen."""
+    arithmetic runs on both engines and inside codegen. Epoch days come
+    from ``datediff`` against 1970-01-01 — a calendar-date subtraction with
+    no timezone in the chain (``unix_timestamp`` would route the NTZ value
+    through the session timezone, making correctness depend on the
+    ``spark.sql.session.timeZone=UTC`` pin — round-2 advisor finding)."""
     o = load_table(spark, sf_dir, "orders")
-    epoch_days = F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400)
+    epoch_days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
     dow = ((epoch_days.cast("long") + 4) % 7).cast("long")
     return o.groupBy(dow.alias("dow")).agg(
         F.count("*").alias("n_orders"),

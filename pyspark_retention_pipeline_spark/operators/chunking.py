@@ -7,9 +7,11 @@ cumsum), no UDFs:
   * chunking fans each document out into overlapping token windows
     (map-side explode — no shuffle at all);
   * packing assigns documents to fixed-token-budget bins with a running-sum
-    window — one shuffle on the deterministic ordering, and at 100 TB the
-    ordering column can be a partition-local composite (shard_id, doc_id) so
-    packs form within shards without a global sort.
+    window — SHARD-LOCAL by default (partitionBy(shard_id), round-3 verdict
+    item 2): each shard's running sum is an independent task, so the window
+    parallelizes across the cluster instead of funneling every row through
+    one task. The global single-ordering form survives as an explicitly
+    small-data variant (:func:`pack_documents_global_frame`).
 """
 
 from __future__ import annotations
@@ -23,6 +25,13 @@ from ..tables import load_table
 CHUNK_TOKENS = 50
 CHUNK_STRIDE = 25
 PACK_BUDGET = 256
+# Documents per packing shard. Shards are the unit of window parallelism —
+# fixed doc count per shard means shard count grows linearly with the corpus,
+# so each running-sum task stays bounded no matter the total scale.
+PACK_SHARD_DOCS = 100
+# Disjoint pack-id spaces per shard: pack_id = shard_id * STRIDE + local pack.
+# A 100-doc shard can produce at most 100 packs, so 2^20 never collides.
+PACK_ID_STRIDE = 1 << 20
 
 
 @query(
@@ -53,15 +62,18 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk text without shipping it."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # Integer DIV, not double division + cast: floor(/) on doubles loses
+    # exactness past 2^53 and trunc-vs-floor diverges on negatives — DIV
+    # keeps the chunk count in exact integer arithmetic end to end.
     n_chunks_m1 = F.greatest(
-        (F.size(toks) - 1) / F.lit(CHUNK_STRIDE), F.lit(0)
-    ).cast("long")
-    starts = F.sequence(F.lit(0).cast("long"), n_chunks_m1)
+        F.expr(f"(size(toks) - 1) DIV {CHUNK_STRIDE}"), F.lit(0).cast("long")
+    )
     chunk_toks = F.slice(
         F.col("toks"), F.col("chunk_id").cast("int") * CHUNK_STRIDE + 1, CHUNK_TOKENS
     )
     return (
-        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("chunk_id"))
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_m1)).alias("chunk_id"))
         .select(
             "doc_id",
             "chunk_id",
@@ -75,29 +87,67 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_documents",
     oracle=f"""
     WITH sized AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      SELECT doc_id,
+             doc_id // {PACK_SHARD_DOCS} AS shard_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ), cum AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+      SELECT doc_id, shard_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id)
+               AS cum_tokens
       FROM sized
     )
-    SELECT doc_id, n_tokens,
-           CAST((cum_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS pack_id
+    SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id, n_tokens,
+           CAST(shard_id * {PACK_ID_STRIDE} + (cum_tokens - 1) // {PACK_BUDGET}
+                AS BIGINT) AS pack_id
     FROM cum
     """,
     tags=("packing", "training-data"),
 )
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: documents (in deterministic doc_id order)
-    are assigned to consecutive packs by bucketing the running token count
-    at a {PACK_BUDGET}-token budget — the batch-construction transform that
-    minimizes padding. A single running-sum window over exact integer
-    counts; the unique ordering key makes the assignment engine-identical.
-    (Packs can overflow by at most one document's tokens — the standard
-    contiguous-greedy trade; an exact bin packer would serialize.)"""
+    """Greedy sequence packing, SHARD-LOCAL: documents are grouped into
+    fixed-size shards (``shard_id = doc_id DIV {PACK_SHARD_DOCS}``) and the
+    running token count is bucketed at a {PACK_BUDGET}-token budget WITHIN
+    each shard — ``Window.partitionBy(shard_id)``, so every shard's running
+    sum is an independent task and the operator parallelizes linearly with
+    the corpus instead of funneling all rows through one global-sort task
+    (round-2 verdict: the global form was the one scale-unsafe operator on
+    the training-data critical path). ``pack_id`` stays globally unique via
+    disjoint per-shard id spaces (shard_id * {PACK_ID_STRIDE} + local pack).
+    All arithmetic is exact integer math (DIV, not double division). Packs
+    can overflow by at most one document's tokens — the standard
+    contiguous-greedy trade; shard boundaries additionally cost at most one
+    under-filled pack per shard, the price of parallelism.
+    Small-data global ordering is :func:`pack_documents_global_frame`."""
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {PACK_SHARD_DOCS}").alias("shard_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        (
+            F.col("shard_id") * F.lit(PACK_ID_STRIDE)
+            + F.expr(f"(cum_tokens - 1) DIV {PACK_BUDGET}")
+        ).cast("long").alias("pack_id"),
+    )
+
+
+def pack_documents_global_frame(docs: DataFrame) -> DataFrame:
+    """Single-ordering packing over ALL documents — no shard boundaries, so
+    zero under-filled packs, at the cost of a single-partition window (every
+    row through one task). Only for bounded inputs; the registry default is
+    the shard-local :func:`pack_documents`."""
+    sized = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
     )
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
@@ -105,5 +155,5 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "doc_id",
         "n_tokens",
-        ((F.col("cum_tokens") - 1) / F.lit(PACK_BUDGET)).cast("long").alias("pack_id"),
+        F.expr(f"(cum_tokens - 1) DIV {PACK_BUDGET}").cast("long").alias("pack_id"),
     )

@@ -396,7 +396,19 @@ def salted_join(
     feeds a co-partitioned downstream stage, or the engine runs with AQE off.
     The salt assignment is per-row nondeterministic (rand); correctness is
     unaffected because the dim side carries every salt value.
+
+    ``how`` is restricted to fact-preserving join types: under right/full
+    outer joins each UNMATCHED dim row would surface once per salt replica
+    (n_salts copies after ``_salt`` is dropped) — silently wrong results, so
+    those types raise instead.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — the dim side is "
+            f"replicated per salt, so unmatched dim rows would appear "
+            f"{n_salts}x under right/full outer joins; use one of {sorted(allowed)}"
+        )
     salted_fact = fact.withColumn(
         "_salt", (F.rand(42) * n_salts).cast("int")
     )

@@ -30,7 +30,16 @@ _MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 def _train(spark: SparkSession, sf_dir: str):
     from ..ml import train_churn_model
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from other applications: a long-lived process that
+    # creates successive SparkSessions would otherwise accumulate models and
+    # cached DataFrames bound to stopped contexts indefinitely (round-2
+    # advisor finding). Only the current session's entries can ever be
+    # served, so dropping the rest loses nothing.
+    stale = [k for k in _MODEL_CACHE if k[0] != app_id]
+    for k in stale:
+        del _MODEL_CACHE[k]
+    key = (app_id, sf_dir)
     if key not in _MODEL_CACHE:
         features = churn_feature_frame(spark, sf_dir).cache()
         _MODEL_CACHE[key] = (train_churn_model(features), features)

@@ -37,72 +37,72 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Driver-gate priority order. The correctness gate verifies a bounded prefix of
-# ``queries()`` (50 entries in round 1), so ordering is part of the contract:
-# the extension tier (dedup / similarity / text / events / analytics) goes
-# first — it received zero hard-signal rows in round 1 purely because it
-# registered after position 50 — followed by a representative core slice.
-# Everything else keeps registration order, with oracle-backed queries before
-# rows-only ones so no verifiable query is ever displaced by an unverifiable
-# one.
+# ``queries()`` (50 entries per round), so ordering is part of the contract.
+# Round-3 rotation (VERDICT r2 item 1): the window leads with the 15
+# oracle-backed queries that never had a driver row in rounds 1–2, the 3
+# queries whose broadcast de-hint left them stale after their round-1 green
+# row, the flagship continuity slot, and the 4 queries whose plans changed
+# this round; the remaining slots re-verify a representative slice of the
+# extension tier (all green in CORRECTNESS_r02). Everything else keeps
+# registration order, with oracle-backed queries before rows-only ones so no
+# verifiable query is ever displaced by an unverifiable one.
 _FRONT: tuple[str, ...] = (
-    # dedup + text analysis (documents table)
+    # --- never driver-verified until now: 8 TPC-H shapes (tpch_extra) ---
+    "volume_shipping",
+    "market_share",
+    "returned_items_top_customers",
+    "order_count_distribution",
+    "top_revenue_suppliers",
+    "small_qty_part_revenue",
+    "disjunctive_part_predicates",
+    "idle_wealthy_customers",
+    # --- never driver-verified: analytics_extra family + salted skew join ---
+    "grouping_sets_revenue",
+    "moving_avg_order_value",
+    "event_day_spine_fill",
+    "sql_api_revenue",
+    "orders_per_weekday",
+    "acctbal_histogram",
+    "skew_salted_segment_counts",
+    # --- stale after round-2 broadcast de-hint (r1 green, plan changed) ---
+    "segments_by_revenue",
+    "shipping_priority",
+    "promo_revenue_share",
+    # --- flagship continuity slot ---
+    "churn_features",
+    # --- plans/oracles changed in round 3 — need fresh rows ---
+    "pack_documents",
+    "chunk_documents",
+    "quality_zscore_by_lang",
+    "median_order_value",
+    # --- representative extension-tier re-verification (green in r2) ---
     "dedup_exact",
-    "dedup_keep_first",
     "word_jaccard_pairs",
     "doc_fingerprint",
     "text_stats",
-    "token_classes",
     "lang_stats",
     "quality_score",
-    "lang_id_heuristic",
     "token_topk",
     "tfidf_top_terms",
-    # similarity search (embeddings table)
     "embedding_norms",
     "knn_bruteforce",
     "embedding_neardup",
-    "label_centroids",
-    # event-time analytics (events table)
     "tumbling_hourly",
     "sliding_hourly",
     "sessionize",
     "json_props",
-    "event_type_hourly_pivot",
-    "signup_purchase_funnel",
-    "json_typed_parse",
-    "range_join_error_context",
-    "daily_rollup_from_hourly",
-    "event_type_map_summary",
     "asof_last_purchase",
-    # TPC-H-shaped analytics
-    "rollup_revenue",
+    "daily_rollup_from_hourly",
     "monthly_revenue",
-    "customer_rank_family",
-    "salted_supplier_agg",
-    "segment_metrics_unpivot",
-    "retained_buyers_intersect",
-    "inactive_customers_except",
-    "string_ops",
-    "cube_status_priority",
-    "order_value_bounds",
-    # sampling + multimodal plumbing
+    "rollup_revenue",
     "hash_sample",
     "binary_meta",
-    # round-2 extension additions (text quality, chunking, quantization)
     "repetition_stats",
     "pii_scrub",
-    "regex_token_count",
     "c4_quality_filter",
-    "chunk_documents",
-    "pack_documents",
     "embedding_quantize_stats",
-    # representative core slice: the flagship + TPC-H Q1 + three queries
-    # whose forced customer-broadcast was removed this round (their green
-    # rows prove the de-hint preserved results under the driver's gate)
-    "churn_features",
+    # core slice (TPC-H Q1 + the remaining round-2 de-hinted query)
     "pricing_summary",
-    "revenue_by_nation",
-    "revenue_share",
     "top_parts_per_segment",
 )
 

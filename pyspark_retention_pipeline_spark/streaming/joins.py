@@ -20,7 +20,16 @@ ATTRIBUTION = "30 minutes"
 def signup_purchase_attribution(spark, sf_dir: str) -> DataFrame:
     """Purchases attributed to the same user's signup within the attribution
     window (signup_time <= purchase_time <= signup_time + 30 min)."""
-    events = _event_stream(spark, sf_dir)
+    return attribution_join(_event_stream(spark, sf_dir))
+
+
+def attribution_join(events: DataFrame) -> DataFrame:
+    """The interval join itself over any event stream with
+    (user_id, event_type, event_time, value) — split, watermark both sides,
+    join on user + time range. Exposed separately so tests can drive it over
+    a controlled file source and assert the late-data contract: rows behind
+    the watermark horizon are dropped and their join state is evicted, which
+    is what bounds state for a forever-running join."""
     signups = (
         events.filter(F.col("event_type") == "signup")
         .select(

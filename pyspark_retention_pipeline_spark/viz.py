@@ -90,7 +90,9 @@ def feature_importance_svg(rows: Sequence[dict], out_path: str) -> str:
     semantics). ``rows`` come from ``ml.coefficients_frame`` (one per
     feature, already ranked by |coefficient|)."""
     rows = list(rows)
-    max_abs = max(abs(r["coefficient"]) for r in rows) or 1.0
+    # default=0.0 so an empty model (no features) renders an empty chart
+    # instead of raising ValueError from max() on an empty generator.
+    max_abs = max((abs(r["coefficient"]) for r in rows), default=0.0) or 1.0
     mid_x = _W / 2
     bar_h = (_H - 2 * _PAD) / max(len(rows), 1)
     parts = [

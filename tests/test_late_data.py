@@ -75,3 +75,72 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # watermark past it) so it is not emitted in append mode.
     assert counts == [1, 1, 2], rows
     assert sum(counts) == 4  # 6 arrived, 1 dropped as too-late, 1 still open
+
+
+def _typed_events_file(path, rows):
+    """rows: list of (event_id, hour_offset_float, user_id, event_type)."""
+    base = (BASE_NS // (H_US * 1000)) * (H_US * 1000)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + int(r[1] * H_US * 1000) for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_stream_stream_join_drops_late_rows(spark, tmp_path):
+    """Stream-stream interval join late-data contract (round-2 verdict
+    item 7): with both sides watermarked at 1 hour, a purchase arriving
+    behind the watermark horizon is dropped (its signup state was already
+    evicted — the property that bounds join state forever), while a
+    late-ARRIVING purchase still inside the horizon joins normally."""
+    from pyspark_retention_pipeline_spark.streaming.joins import attribution_join
+    from pyspark_retention_pipeline_spark.streaming.windows import (
+        event_stream_from_dir,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = attribution_join(event_stream_from_dir(spark, str(src)))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ss_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # Batch 1: u1 signup→purchase pair in hour 0 (attributes now);
+        # u77 signup at 4.4 (its purchase arrives in batch 2); hour-5.0
+        # rows on BOTH sides advance both watermarks to ~4.0.
+        _typed_events_file(
+            src / "p1.parquet",
+            [
+                (1, 0.0, 1, "signup"),
+                (2, 0.2, 1, "purchase"),
+                (3, 4.4, 77, "signup"),
+                (4, 5.0, 98, "signup"),
+                (5, 5.0, 99, "purchase"),
+            ],
+        )
+        q.processAllAvailable()
+        # Batch 2: u1 purchase at 0.3 is BEHIND the 4.0 watermark — must not
+        # attribute; u77 purchase at 4.6 arrives late but inside the horizon
+        # — must attribute.
+        _typed_events_file(
+            src / "p2.parquet",
+            [(6, 0.3, 1, "purchase"), (7, 4.6, 77, "purchase")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT s_user, p_user FROM t_ss_late").collect()
+    users = sorted(r["s_user"] for r in got)
+    assert users == [1, 77], f"expected exactly u1(batch1) + u77(late-ok): {got}"

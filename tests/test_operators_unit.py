@@ -138,3 +138,42 @@ def test_dau_hll_rollup_accuracy(spark, sf_dir):
     assert abs(out[-1] - exact_total) / exact_total < 0.05
     for day, exact in exact_daily.items():
         assert abs(out[day] - exact) / max(exact, 1) < 0.05, (day, out[day], exact)
+
+
+def test_median_builtin_matches_udaf_variant(spark, sf_dir):
+    """median_order_value defaults to the JVM median aggregate (round-2
+    verdict item 4); the pandas-UDAF surface demo must agree exactly and the
+    default plan must carry no pandas aggregate node."""
+    from pyspark_retention_pipeline_spark.operators.aggregates import (
+        median_order_value,
+        median_order_value_udaf_frame,
+    )
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    built = median_order_value(spark, sf_dir)
+    assert "AggregateInPandas" not in explain_str(built)
+    jvm = {r["custkey"]: r["median_order"] for r in built.collect()}
+    udaf = {
+        r["custkey"]: r["median_order"]
+        for r in median_order_value_udaf_frame(
+            load_table(spark, sf_dir, "orders")
+        ).collect()
+    }
+    assert jvm == udaf
+
+
+def test_salted_join_rejects_dim_replicating_outer_joins(spark):
+    """right/full outer joins would surface each unmatched dim row once per
+    salt replica — salted_join must refuse them (round-2 advisor finding)."""
+    import pytest as _pytest
+
+    from pyspark_retention_pipeline_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, d string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salt-safe"):
+            salted_join(fact, dim, "k", how=how)
+    # fact-preserving types still work; unmatched dim rows never replicate
+    assert salted_join(fact, dim, "k", how="left").count() == 1

@@ -34,9 +34,42 @@ EXTENSION_MUST_BE_IN_WINDOW = {
     "chunk_documents",
     "pack_documents",
     "embedding_quantize_stats",
-    # de-hinted queries kept in-window as broadcast-removal proof
-    "revenue_by_nation",
+    # de-hinted query kept in-window as broadcast-removal proof
     "top_parts_per_segment",
+}
+
+# Round-3 rotation (VERDICT r2 item 1): queries with no driver row in any
+# round — or stale after a round-2 plan change — must occupy window slots
+# until CORRECTNESS_r03 lands their green rows.
+ROTATION_MUST_BE_IN_WINDOW = {
+    # never verified: 8 TPC-H shapes
+    "volume_shipping",
+    "market_share",
+    "returned_items_top_customers",
+    "order_count_distribution",
+    "top_revenue_suppliers",
+    "small_qty_part_revenue",
+    "disjunctive_part_predicates",
+    "idle_wealthy_customers",
+    # never verified: analytics_extra family + salted skew join
+    "grouping_sets_revenue",
+    "moving_avg_order_value",
+    "event_day_spine_fill",
+    "sql_api_revenue",
+    "orders_per_weekday",
+    "acctbal_histogram",
+    "skew_salted_segment_counts",
+    # stale after round-2 broadcast de-hint
+    "segments_by_revenue",
+    "shipping_priority",
+    "promo_revenue_share",
+    # plans/oracles changed in round 3
+    "pack_documents",
+    "chunk_documents",
+    "quality_zscore_by_lang",
+    "median_order_value",
+    # flagship continuity
+    "churn_features",
 }
 
 
@@ -60,6 +93,12 @@ def test_extension_tier_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
     missing = EXTENSION_MUST_BE_IN_WINDOW - window
     assert not missing, f"extension queries outside driver window: {missing}"
+
+
+def test_rotation_debt_inside_driver_window():
+    window = set(list(all_queries())[:DRIVER_WINDOW])
+    missing = ROTATION_MUST_BE_IN_WINDOW - window
+    assert not missing, f"unverified/stale queries outside driver window: {missing}"
 
 
 def test_oracle_backed_precede_rows_only_after_front():

@@ -124,3 +124,80 @@ def test_packing_respects_budget(spark, sf_dir):
         # contiguous-greedy guarantee: a pack exceeds the budget by at most
         # one document's tokens
         assert r["tot"] <= PACK_BUDGET + r["mx"]
+
+
+def test_pack_documents_window_is_partitioned(spark, sf_dir):
+    """Round-2 verdict item 2: the shipped packing plan must parallelize —
+    a global running-sum window would route every row through ONE task
+    (Exchange SinglePartition). The shard-local default partitions the
+    window on shard_id."""
+    from pyspark_retention_pipeline_spark.operators.chunking import pack_documents
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    plan = explain_str(pack_documents(spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "packing window collapsed to one task"
+
+
+def test_pack_global_variant_budget_and_contiguity(spark, sf_dir):
+    """The explicit small-data variant keeps the original global-ordering
+    semantics: packs are contiguous in doc_id and respect the budget up to
+    one document's overflow."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.chunking import (
+        PACK_BUDGET,
+        pack_documents_global_frame,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packs = (
+        pack_documents_global_frame(docs)
+        .groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max("n_tokens").alias("mx"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(packs) > 1
+    for r in packs:
+        assert r["tot"] <= PACK_BUDGET + r["mx"]
+    # contiguity: pack doc_id ranges never interleave
+    spans = sorted((r["lo"], r["hi"]) for r in packs)
+    for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
+        assert prev_hi < lo
+
+
+def test_quality_zscore_agg_matches_pandas_variant(spark, sf_dir):
+    """The scale-safe aggregate form and the applyInPandas variant must
+    agree doc-for-doc (same median/MAD math, different physical plan)."""
+    from pyspark_retention_pipeline_spark.operators.text import (
+        quality_zscore_frame,
+        quality_zscore_pandas_frame,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = {r["doc_id"]: r for r in quality_zscore_frame(docs).collect()}
+    pdv = {r["doc_id"]: r for r in quality_zscore_pandas_frame(docs).collect()}
+    assert set(agg) == set(pdv)
+    for doc_id, a in agg.items():
+        p = pdv[doc_id]
+        assert (a["lang"], a["n_chars"]) == (p["lang"], p["n_chars"])
+        assert abs(a["robust_z"] - p["robust_z"]) < 1e-9, doc_id
+
+
+def test_quality_zscore_plan_stays_jvm_side(spark, sf_dir):
+    """The default z-score plan must be pure codegen — no pandas exec nodes
+    (the per-group pandas frame was the round-2 scale hazard)."""
+    from pyspark_retention_pipeline_spark.operators.text import quality_zscore_frame
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    plan = explain_str(quality_zscore_frame(load_table(spark, sf_dir, "documents")))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "EvalPython" not in plan

@@ -46,3 +46,13 @@ def test_signed_bar_colors():
         "/tmp/claude-0/viz_test.svg",
     )
     assert '#d62728' in svg and '#1f77b4' in svg  # sign-aware colors
+
+
+def test_feature_importance_empty_rows(tmp_path):
+    """An empty coefficient list renders an empty chart instead of raising
+    ValueError from max() on an empty generator (round-2 advisor finding)."""
+    from pyspark_retention_pipeline_spark.viz import feature_importance_svg
+
+    svg = feature_importance_svg([], str(tmp_path / "fi.svg"))
+    assert svg.startswith("<svg")
+    assert (tmp_path / "fi.svg").exists()
