@@ -9,6 +9,7 @@ Grouped by SURVEY.md §2 families:
   * :mod:`.retention`  — the flagship churn feature DAG (reference etl parity)
   * :mod:`.events`     — event-time windowing / sessionization / JSON props
   * :mod:`.text`       — text analysis + exact/near dedup over documents
+  * :mod:`.curation`   — corpus curation: contamination scan, token budgets
   * :mod:`.similarity` — embedding similarity search
   * :mod:`.mlops`      — MLlib pipeline queries (rows-only checks)
   * :mod:`.multimodal` — binary-column plumbing with stubbed decoders
@@ -26,6 +27,7 @@ from . import (  # noqa: F401
     text,
     text_quality,
     chunking,
+    curation,
     similarity,
     ivf,
     analytics,

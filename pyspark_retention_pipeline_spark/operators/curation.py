@@ -1,0 +1,170 @@
+"""Corpus-curation operators — the selection steps between a cleaned corpus
+and a training mix: benchmark-contamination detection and token-budget
+selection. (Round-3 extension-tier additions alongside dedup / quality /
+chunking; public-recipe material — n-gram decontamination and quality-ranked
+token budgets are standard LLM-corpus practice described in public dataset
+reports such as GPT-3's 13-gram dedup appendix and the Gopher/MassiveText
+filtering sections.)
+
+Both operators are built for the 100 TB posture:
+
+  * contamination joins the corpus against the eval side on raw n-grams with
+    NO forced broadcast — the eval set is benchmark-sized in production and
+    AQE will broadcast it when it is; expressed declaratively the plan stays
+    a pair of map-side explodes and one equi-join;
+  * token-budget selection deliberately avoids the "order the whole corpus
+    and take a running sum" formulation (a single-partition window — the
+    exact scale hazard round 2 flagged on pack_documents). Instead it
+    aggregates per score-BIN token totals (a tiny frame, one row per bin),
+    finds the budget-crossing bin, and semi-joins the corpus against the
+    selected bins — two small shuffles, no global sort, no unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+NGRAM = 5
+# Every 97th doc plays the held-out benchmark: a deterministic stand-in for
+# the (externally supplied, benchmark-sized) eval corpus.
+EVAL_MOD = 97
+# Token budget for the curriculum selection and the score-bin width (chars).
+TOKEN_BUDGET = 20_000
+SCORE_BIN_CHARS = 50
+
+
+def _ngrams(text_col):
+    """Distinct word n-grams of ``text_col`` as an array (short docs yield
+    their whole token list as the single gram — same convention both
+    engines)."""
+    toks = F.split(text_col, " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - NGRAM, F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, NGRAM)))
+    )
+
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, s.i + 1, s.i + {NGRAM}), ' ') AS gram
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {NGRAM}, 0) + 1)) AS s(i)
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    ), joined AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(COALESCE(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_contaminated
+      FROM grams g LEFT JOIN eval_grams e ON g.gram = e.gram
+      WHERE g.doc_id % {EVAL_MOD} <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           ROUND(n_contaminated / CAST(n_grams AS DOUBLE), 6)
+             AS contaminated_frac
+    FROM joined
+    """,
+    tags=("curation", "decontamination"),
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the count
+    and fraction of its distinct word {NGRAM}-grams that also occur in the
+    held-out eval slice (``doc_id % {EVAL_MOD} == 0`` stands in for the
+    benchmark suite). The join is on raw n-grams with no broadcast hint —
+    the eval side is benchmark-sized in production and AQE picks the
+    broadcast when it fits; at corpus scale both sides are map-side explodes
+    into one equi-join, and the per-doc rollup shuffles 16-byte keys."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_ngrams(F.col("text"))).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = train.join(
+        eval_grams.withColumn("_hit", F.lit(1)), "gram", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_grams").cast("double"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             n_chars // {SCORE_BIN_CHARS} AS bin,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), bins AS (
+      SELECT bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      FROM sized GROUP BY bin
+    ), cum AS (
+      SELECT bin,
+             COALESCE(SUM(bin_tokens) OVER (
+               ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tokens_above
+      FROM bins
+    )
+    SELECT s.doc_id, CAST(s.bin AS BIGINT) AS bin, s.n_tokens
+    FROM sized s JOIN cum c ON s.bin = c.bin
+    WHERE c.tokens_above < {TOKEN_BUDGET}
+    """,
+    tags=("curation", "token-budget"),
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection ("take the best documents until
+    the budget is spent") WITHOUT a global sort: documents are bucketed into
+    quality bins (length proxy, ``n_chars DIV {SCORE_BIN_CHARS}``), per-bin
+    token totals are aggregated (one tiny row per bin), the running total
+    over bins — descending quality — finds every bin whose preceding bins
+    haven't exhausted the {TOKEN_BUDGET}-token budget, and the corpus is
+    joined back against those bins. The only window runs over the bin frame
+    (hundreds of rows, explicitly bounded — NOT the corpus), so the pattern
+    that made the naive formulation a single-partition corpus window never
+    appears. Whole bins are selected; overshoot is bounded by the boundary
+    bin's total — the deterministic, engine-identical contract."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.expr(f"n_chars DIV {SCORE_BIN_CHARS}").alias("bin"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    bins = sized.groupBy("bin").agg(F.sum("n_tokens").alias("bin_tokens"))
+    # Window over the BIN aggregate only: one row per bin, explicitly tiny.
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bins.select(
+        "bin",
+        F.coalesce(F.sum("bin_tokens").over(w), F.lit(0)).alias("tokens_above"),
+    )
+    selected = cum.filter(F.col("tokens_above") < TOKEN_BUDGET).select("bin")
+    return sized.join(F.broadcast(selected), "bin").select(
+        "doc_id", "bin", "n_tokens"
+    )

@@ -10,6 +10,7 @@ set with shapes the engine didn't yet cover:
   * left-join count histograms (Q13);
   * argmax-by-global-max over an aggregate (Q15);
   * join-against-own-aggregate predicates (Q17);
+  * HAVING-qualified order sets re-joined to their lines (Q18);
   * disjunctive multi-column predicate pushdown through a join (Q19);
   * scalar-subquery threshold + anti-join (Q22).
 
@@ -388,4 +389,70 @@ def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o_keys, "c_custkey", "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_custs"), money_sum("c_acctbal").alias("total_bal"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150.0
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("tpch-q18",),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL TPC-H Q18 (public spec): the complete customer/orders/lineitem
+    form — where ``large_volume_orders`` (joins.py) covers only the HAVING
+    subquery core, this re-joins the qualifying order set back to LINEITEM
+    and aggregates over the customer-enriched grain, the part of Q18 that
+    stresses shuffle reuse: the qualifying set is an aggregate on lineitem's
+    natural grouping key (map-side combinable, carries only orderkeys) and
+    the re-join to lineitem and orders runs on that same key, so both
+    lineitem passes share one partitioning; customer joins last on the
+    already-reduced row set. Quantities are integral doubles, so their sums
+    are exact in any order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150.0)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
     )

@@ -1,0 +1,68 @@
+"""Curation-operator semantics on planted inputs (the synthetic corpus is
+uniform enough that the oracle gate alone can't show contamination detection
+or budget cutoffs doing their job)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pyspark_retention_pipeline_spark.operators.curation as cu
+
+
+def _docs(spark, monkeypatch, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    return docs
+
+
+def test_ngram_contamination_flags_eval_overlap(spark, monkeypatch):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    # doc 5 copies a full 5-gram from the eval doc; doc 1 shares no 5-gram.
+    contaminated = "xx alpha beta gamma delta epsilon yy zz ww vv"
+    clean = "one two three four five six seven eight nine ten"
+    _docs(
+        spark,
+        monkeypatch,
+        [(0, eval_text, 1), (5, contaminated, 1), (1, clean, 1)],
+    )
+    out = {r["doc_id"]: r for r in cu.ngram_contamination(spark, "ignored").collect()}
+    # eval docs (doc_id % 97 == 0) are scanned against, never scored
+    assert set(out) == {5, 1}
+    assert out[5]["n_contaminated"] >= 1
+    assert out[5]["contaminated_frac"] > 0.0
+    assert out[1]["n_contaminated"] == 0
+    assert out[1]["contaminated_frac"] == 0.0
+
+
+def test_token_budget_selects_whole_bins_top_down(spark, monkeypatch):
+    # Three quality bins (n_chars 150 / 100 / 50 → bins 3 / 2 / 1), each doc
+    # 10 tokens. Budget 25 tokens: bin 3 (20 tokens above = 0 < 25 for bin 3,
+    # 20 < 25 for bin 2 → selected; bin 1 has 40 tokens above ≥ 25 → cut).
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        (1, text, 150),
+        (2, text, 150),
+        (3, text, 100),
+        (4, text, 100),
+        (5, text, 50),
+        (6, text, 50),
+    ]
+    _docs(spark, monkeypatch, rows)
+    monkeypatch.setattr(cu, "TOKEN_BUDGET", 25)
+    got = sorted(r["doc_id"] for r in cu.token_budget_select(spark, "ignored").collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_token_budget_window_runs_on_bins_not_corpus(spark, sf_dir):
+    """The only window in the plan consumes the per-bin aggregate (rows =
+    distinct bins), never the corpus — the scale contract that distinguishes
+    this from the single-partition running-sum formulation."""
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    plan = explain_str(cu.token_budget_select(spark, sf_dir))
+    assert "Window" in plan
+    # The bin frame reaching the window is an aggregate (one row per bin)...
+    assert "HashAggregate" in plan
+    # ...and the corpus-side join against the selected bins is a broadcast —
+    # the corpus itself never re-partitions for the selection.
+    assert "BroadcastHashJoin" in plan
