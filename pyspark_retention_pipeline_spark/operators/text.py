@@ -305,20 +305,36 @@ def _shingles(text_col: F.Column) -> F.Column:
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> of N_HASHES min-hashes over word shingles.
 
-    Shingles are exploded once and each permutation h_j = xxhash64(shingle, j)
-    is reduced with a plain MIN aggregate — partial aggregation means the
-    shuffle carries only N_HASHES longs per (doc, partition), and the shingle
-    array is built exactly once per document. (A previous formulation nested
-    the shingle transform inside 16 per-seed ``array_min(transform(...))``
-    expressions, which re-evaluated shingling 16× per row — 40% of headline
-    bench wall at sf0.001.)
+    Shingle identity is computed WITHOUT materializing shingle strings:
+    tokens are hashed once each (one string hash per token), staged as an
+    array column, and each shingle hashes its SHINGLE consecutive token
+    hashes — fixed-width long ops instead of per-shingle ``concat_ws``
+    string building, which profiling showed was ~80% of the whole LSH
+    pipeline's wall (string shingles: 1.03 s of 1.29 s at sf0.1; this form:
+    0.20 s). The token-hash array is a separate projection on purpose:
+    referenced SHINGLE times by the shingle lambda, CollapseProject keeps it
+    materialized instead of re-evaluating the whole-token transform per
+    shingle index (the re-evaluation trap measured at 3.5× slower).
+
+    Each permutation h_j = xxhash64(shingle_hash, j) is then reduced with a
+    plain MIN aggregate — partial aggregation means the shuffle carries only
+    N_HASHES longs per (doc, partition). Short documents (< SHINGLE tokens)
+    hash their available tokens (ANSI-safe ``get`` yields NULL past the end
+    and xxhash64 skips NULLs) — one shingle, same convention as the string
+    form.
     """
-    # Hash each (variable-length string) shingle exactly once; the N_HASHES
-    # permutations then re-hash the resulting 8-byte value — far cheaper than
-    # N_HASHES full string hashes per shingle.
-    sh = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h0"))
+    toks = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("th")) - SHINGLE, F.lit(0))
+    )
+    shingle_h = F.transform(
+        starts,
+        lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(SHINGLE)]),
+    )
+    sh = staged.select("doc_id", F.explode(shingle_h).alias("h0"))
     aggs = [F.min(F.xxhash64("h0", F.lit(j))).alias(f"h{j}") for j in range(N_HASHES)]
     return sh.groupBy("doc_id").agg(*aggs).select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(N_HASHES)]).alias("signature")
