@@ -42,6 +42,9 @@ HEADLINE = [
     "pack_documents",
     "embedding_quantize_stats",
     "c4_quality_filter",
+    # corpus-curation tier (round 3)
+    "ngram_contamination",
+    "token_budget_select",
 ]
 
 

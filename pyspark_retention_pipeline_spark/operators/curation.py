@@ -37,15 +37,34 @@ TOKEN_BUDGET = 20_000
 SCORE_BIN_CHARS = 50
 
 
-def _ngrams(text_col):
-    """Distinct word n-grams of ``text_col`` as an array (short docs yield
-    their whole token list as the single gram — same convention both
-    engines)."""
-    toks = F.split(text_col, " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - NGRAM, F.lit(0)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, NGRAM)))
+def _gram_hash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) rows where ``gram`` is the 64-bit hash of a distinct
+    word {NGRAM}-gram — n-gram identity WITHOUT materializing n-gram
+    strings: tokens hash once each, staged as an array column (referenced
+    {NGRAM} times by the gram lambda, so CollapseProject keeps it
+    materialized instead of re-evaluating the token transform per index),
+    and each gram hashes its consecutive token hashes. Same staging trick as
+    ``text.minhash_signature_frame`` — measured 3.3× faster than per-gram
+    ``concat_ws`` string building at sf0.1, and the downstream join carries
+    8-byte longs instead of gram strings. A 64-bit collision falsely merges
+    two grams — negligible at verification scale (P ≈ n²/2⁶⁴) and an
+    accepted deviation for a filtering heuristic at corpus scale, the
+    standard trade in public n-gram-decontamination recipes. Short docs
+    (< {NGRAM} tokens) hash their available tokens (``get`` past the end is
+    NULL; xxhash64 skips NULLs) — one gram, same convention as the string
+    form."""
+    toks = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
     )
+    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - NGRAM, F.lit(0)))
+    gram_h = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(NGRAM)]),
+        )
+    )
+    return staged.select("doc_id", F.explode(gram_h).alias("gram"))
 
 
 @query(
@@ -80,14 +99,13 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: for every training document, the count
     and fraction of its distinct word {NGRAM}-grams that also occur in the
     held-out eval slice (``doc_id % {EVAL_MOD} == 0`` stands in for the
-    benchmark suite). The join is on raw n-grams with no broadcast hint —
-    the eval side is benchmark-sized in production and AQE picks the
-    broadcast when it fits; at corpus scale both sides are map-side explodes
-    into one equi-join, and the per-doc rollup shuffles 16-byte keys."""
+    benchmark suite). The join is on 64-bit gram hashes (see
+    :func:`_gram_hash_frame`) with no broadcast hint — the eval side is
+    benchmark-sized in production and AQE picks the broadcast when it fits;
+    at corpus scale both sides are map-side explodes into one equi-join,
+    and the per-doc rollup shuffles 16-byte keys."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(_ngrams(F.col("text"))).alias("gram")
-    )
+    grams = _gram_hash_frame(d)
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
     )
