@@ -572,20 +572,40 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram hashes — guarantees any sufficiently long match between documents
     shares a fingerprint, with ~2/(w+1) selection density. All higher-order
     array functions, one row per doc, no shuffle; rows-only (engine-specific
-    hash)."""
+    hash).
+
+    The k-gram hash array is built from staged per-token hashes and
+    materialized as its own projection before the windowed min — the same
+    staging discipline as :func:`minhash_signature_frame`. The inlined
+    formulation (k-gram transform nested inside the window transform)
+    re-evaluated ALL k-gram string hashing per window position —
+    O(tokens²) work, measured at 63 s for sf0.1 vs 0.3 s staged (200×).
+    Rows-only operators never hit the bench, which is exactly how that form
+    survived two rounds."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    kgram_starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0)))
-    kgram_hashes = F.transform(
-        kgram_starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)))
+    staged = d.select(
+        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
+    )
+    kgram_starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("th")) - WINNOW_K, F.lit(0))
+    )
+    kgrams = staged.select(
+        "doc_id",
+        F.transform(
+            kgram_starts,
+            lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(WINNOW_K)]),
+        ).alias("kh"),
     )
     win_starts = F.sequence(
-        F.lit(0), F.greatest(F.size(kgram_hashes) - WINNOW_W, F.lit(0))
+        F.lit(0), F.greatest(F.size(F.col("kh")) - WINNOW_W, F.lit(0))
     )
     fingerprints = F.array_distinct(
-        F.transform(win_starts, lambda i: F.array_min(F.slice(kgram_hashes, i + 1, WINNOW_W)))
+        F.transform(
+            win_starts, lambda i: F.array_min(F.slice(F.col("kh"), i + 1, WINNOW_W))
+        )
     )
-    return d.select(
+    return kgrams.select(
         "doc_id",
         fingerprints.alias("fingerprints"),
         F.size(fingerprints).cast("long").alias("n_fingerprints"),
