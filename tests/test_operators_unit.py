@@ -177,3 +177,23 @@ def test_salted_join_rejects_dim_replicating_outer_joins(spark):
             salted_join(fact, dim, "k", how=how)
     # fact-preserving types still work; unmatched dim rows never replicate
     assert salted_join(fact, dim, "k", how="left").count() == 1
+
+
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    """The HLL variant must track the exact per-customer distinct count
+    within a loose sketch-error band (small cardinalities hit HLL's
+    linear-counting regime, so the practical error is tiny)."""
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["custkey"]: r["distinct_parts"]
+        for r in qs["distinct_products"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["custkey"]: r["approx_distinct_parts"]
+        for r in qs["approx_distinct_products"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ev in exact.items():
+        assert abs(approx[k] - ev) <= max(2, 0.15 * ev), (k, ev, approx[k])
