@@ -294,14 +294,6 @@ BAND_SIZE = 4
 SHINGLE = 3
 
 
-def _shingles(text_col: F.Column) -> F.Column:
-    """Word 3-gram shingles via higher-order functions (no UDF):
-    toks[i..i+2] joined for each valid start index."""
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)))
-
-
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> of N_HASHES min-hashes over word shingles.
 
