@@ -54,3 +54,78 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sampleBy(
         "o_orderstatus", fractions={"F": 0.5, "O": 0.1, "P": 0.1}, seed=42
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# Per-language target sampling rates (percent) for the corpus-mixing demo:
+# downweight the dominant language, keep the rest — the "data mixture" knob
+# from public LLM dataset recipes (e.g. The Pile / MassiveText weightings).
+MIX_RATES_PCT = {"en": 50, "de": 100, "es": 100, "fr": 100, "zh": 100}
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES_PCT.items())
+) + " ELSE 0 END"
+
+
+@query(
+    "lang_mix_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < {_MIX_CASE_SQL}
+    """,
+    tags=("sampling", "data-mixture"),
+)
+def lang_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group down-sampling to a target corpus mixture:
+    each language keeps an md5-bucket fraction of its documents
+    (en 50%, others 100%) — the mixture-weighting step of a training-data
+    pipeline, expressed as one stateless filter. Membership is a pure
+    function of doc_id, so re-runs, retries, and any partitioning produce
+    the identical mix; rates live in one literal CASE that codegen folds
+    into the scan filter. No shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    rate = F.expr(_MIX_CASE_SQL)
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("sampling", "split"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the md5 key
+    bucket — the leakage-safe split: assignment is a pure function of
+    doc_id, so a document can never migrate between splits across re-runs,
+    incremental loads, or engine versions (``randomSplit`` guarantees none
+    of these — SURVEY §7). Map-side only; composes with group-aware keys
+    (hash a cluster/domain id instead of doc_id to keep near-duplicates on
+    one side of the split)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -66,3 +66,54 @@ def test_token_budget_window_runs_on_bins_not_corpus(spark, sf_dir):
     # ...and the corpus-side join against the selected bins is a broadcast —
     # the corpus itself never re-partitions for the selection.
     assert "BroadcastHashJoin" in plan
+
+
+def test_lang_mix_sample_downweights_target(spark, sf_dir):
+    """The mixture sampler keeps ~50% of 'en' docs and 100% of every other
+    language, deterministically."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.registry import all_queries
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    qs = all_queries()
+    before = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    after = {
+        r["lang"]: r["n"]
+        for r in qs["lang_mix_sample"](spark, sf_dir)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in before.items():
+        if lang == "en":
+            assert after["en"] < n, "en must be downsampled"
+        else:
+            assert after[lang] == n, f"{lang} must be kept whole"
+    # determinism: a second evaluation selects the identical doc set
+    a = {r["doc_id"] for r in qs["lang_mix_sample"](spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in qs["lang_mix_sample"](spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_train_val_test_split_partitions_corpus(spark, sf_dir):
+    """Every doc lands in exactly one split, proportions are ~90/5/5, and
+    assignment is stable across evaluations."""
+    from pyspark_retention_pipeline_spark.registry import all_queries
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    qs = all_queries()
+    rows = qs["train_val_test_split"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    total = sum(len(v) for v in by_split.values())
+    assert total == n_docs
+    assert 0.8 < len(by_split["train"]) / total < 0.97
+    again = {(r["doc_id"], r["split"]) for r in qs["train_val_test_split"](spark, sf_dir).collect()}
+    assert {(d, s) for s, ds in by_split.items() for d in ds} == again
