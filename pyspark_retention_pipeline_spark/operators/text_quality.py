@@ -60,7 +60,10 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-bigram fraction. Repetitive (low-quality / templated) documents
     score high on both. Two per-doc aggregations joined on doc_id; the
     bigram list is built positionally with ``transform(sequence(...))`` —
-    no UDF."""
+    no UDF. The token array is staged as its own projection before the
+    bigram transform: referenced inline, the ``split`` expression is
+    re-evaluated per bigram INDEX (O(tokens²) splitting — the round-3
+    re-evaluation trap, see ``text.minhash_signature_frame``)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_toks()).alias("tok"))
     wc = words.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
@@ -69,12 +72,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("double") / F.sum("c").cast("double"), 6
         ).alias("top_word_frac")
     )
-    a = _toks()
+    staged = d.select("doc_id", _toks().alias("a"))
+    a = F.col("a")
     bigram_arr = F.transform(
         F.sequence(F.lit(1), F.size(a) - 1),
         lambda i: F.concat_ws(" ", F.element_at(a, i), F.element_at(a, i + 1)),
     )
-    bigrams = d.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    bigrams = staged.select("doc_id", F.explode(bigram_arr).alias("bigram"))
     bigram_stats = bigrams.groupBy("doc_id").agg(
         F.round(
             F.lit(1.0)
