@@ -118,14 +118,25 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash a cluster/domain id instead of doc_id to keep near-duplicates on
     one side of the split)."""
     d = load_table(spark, sf_dir, "documents")
+    return split_assignment_frame(d, "doc_id").select("doc_id", "lang", "split")
+
+
+def split_assignment_frame(
+    df: DataFrame, key_col: str, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Append a deterministic ``split`` column from the md5 bucket of
+    ``key_col``. The key IS the leakage contract: hash ``doc_id`` for an
+    i.i.d. split, or a GROUP id (dedup cluster canonical id, domain, author)
+    so every member of a group lands in the same split — the group-aware
+    split that keeps near-duplicates from straddling train/test
+    (tests/test_curation.py::test_group_aware_split_keeps_groups_together).
+    Map-side only; no shuffle."""
     bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long") % 100
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
     )

@@ -117,3 +117,23 @@ def test_train_val_test_split_partitions_corpus(spark, sf_dir):
     assert 0.8 < len(by_split["train"]) / total < 0.97
     again = {(r["doc_id"], r["split"]) for r in qs["train_val_test_split"](spark, sf_dir).collect()}
     assert {(d, s) for s, ds in by_split.items() for d in ds} == again
+
+
+def test_group_aware_split_keeps_groups_together(spark):
+    """Splitting on a group key (e.g. dedup-cluster canonical id) must put
+    every member of a group in the same split — the near-dup leakage
+    guard — while doc-keyed splitting of the same frame may not."""
+    from pyspark_retention_pipeline_spark.operators.sampling import (
+        split_assignment_frame,
+    )
+
+    rows = [(i, i % 7) for i in range(200)]  # 7 clusters of ~29 docs
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = split_assignment_frame(df, "cluster_id").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+    # sanity: the same frame split per-doc spreads docs over several splits
+    per_doc = {r["split"] for r in split_assignment_frame(df, "doc_id").collect()}
+    assert len(per_doc) > 1
