@@ -402,8 +402,11 @@ def salted_join(
     (n_salts copies after ``_salt`` is dropped) — silently wrong results, so
     those types raise instead.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
-    if how not in allowed:
+    # Normalize the same way Spark's JoinType.apply does (lowercase, drop
+    # underscores) so every alias Spark itself accepts for a fact-preserving
+    # type ("leftouter", "semi", "leftsemi", "anti", "leftanti") passes.
+    allowed = {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} is not salt-safe — the dim side is "
             f"replicated per salt, so unmatched dim rows would appear "

@@ -177,6 +177,14 @@ def test_salted_join_rejects_dim_replicating_outer_joins(spark):
             salted_join(fact, dim, "k", how=how)
     # fact-preserving types still work; unmatched dim rows never replicate
     assert salted_join(fact, dim, "k", how="left").count() == 1
+    # every Spark alias of a fact-preserving type passes (round-3 advisor:
+    # the allowlist rejected 'leftouter'/'semi'/'leftsemi'/'anti'/'leftanti')
+    for how in ("left_outer", "leftouter", "inner"):
+        assert salted_join(fact, dim, "k", how=how).count() == 1
+    for how in ("semi", "leftsemi", "left_semi"):
+        assert salted_join(fact, dim, "k", how=how).count() == 1
+    for how in ("anti", "leftanti", "left_anti"):
+        assert salted_join(fact, dim, "k", how=how).count() == 0
 
 
 def test_approx_distinct_tracks_exact(spark, sf_dir):
