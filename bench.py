@@ -45,6 +45,10 @@ HEADLINE = [
     # corpus-curation tier (round 3)
     "ngram_contamination",
     "token_budget_select",
+    # round 4: Q18 (agg-filtered semi-join into a 4-way join — the shape
+    # that catches join-order regressions) + the end-to-end curation pipeline
+    "large_volume_customers",
+    "curate_corpus",
 ]
 
 
@@ -77,6 +81,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    # ML-tier wall clock (round-3 verdict item 3): training runs INSIDE the
+    # query fn (MLlib jobs fire at build time), so the noop-write methodology
+    # above would time only the scoring scan. Clear the model cache and time
+    # fn-call + action together, cold, single run — train + batch score.
+    from pyspark_retention_pipeline_spark.operators import mlops
+
+    mlops._MODEL_CACHE.clear()
+    start = time.perf_counter()
+    queries["ml_churn_scores"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["ml_pipeline_wall"] = round(time.perf_counter() - start, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_wall",
@@ -87,16 +104,21 @@ def main() -> None:
     }
     baseline = _load_baseline()
     if baseline:
-        ratios = {
-            q: round(timings[q] / baseline["queries"][q], 2)
-            for q in timings
-            if baseline.get("queries", {}).get(q)
-        }
+        base_q = baseline.get("queries", {})
+        overlap = [q for q in timings if base_q.get(q)]
+        ratios = {q: round(timings[q] / base_q[q], 2) for q in overlap}
+        # Like-for-like: the workload grows each round (new queries enter the
+        # headline set), so the ratio compares only queries present in BOTH
+        # rounds; additions are listed, not silently folded into the total.
         result["vs_baseline"] = {
             "baseline_total": baseline.get("value"),
-            "total_ratio": round(sum(timings.values()) / baseline["value"], 3)
-            if baseline.get("value")
+            "total_ratio": round(
+                sum(timings[q] for q in overlap) / sum(base_q[q] for q in overlap),
+                3,
+            )
+            if overlap
             else None,
+            "new_queries": sorted(set(timings) - set(base_q)),
             "regressions_gt_1.5x": {q: r for q, r in ratios.items() if r > 1.5},
         }
     print(json.dumps(result))

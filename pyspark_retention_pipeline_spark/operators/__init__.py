@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     analytics_extra,
     sampling,
     components,
+    sinks,
     mlops,
     multimodal,
 )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
+from .sampling import _MIX_CASE_SQL, split_assignment_frame
 
 NGRAM = 5
 # Every 97th doc plays the held-out benchmark: a deterministic stand-in for
@@ -35,6 +36,11 @@ EVAL_MOD = 97
 # Token budget for the curriculum selection and the score-bin width (chars).
 TOKEN_BUDGET = 20_000
 SCORE_BIN_CHARS = 50
+# Contamination keep-rule denominator: a document survives curation when
+# n_contaminated * CONTAM_KEEP_DEN <= n_grams, i.e. at most 1/5 of its
+# distinct n-grams overlap the eval suite. Integer comparison — no float
+# threshold, so both engines agree bit-for-bit.
+CONTAM_KEEP_DEN = 5
 
 
 def _gram_hash_frame(docs: DataFrame) -> DataFrame:
@@ -185,4 +191,149 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = cum.filter(F.col("tokens_above") < TOKEN_BUDGET).select("bin")
     return sized.join(F.broadcast(selected), "bin").select(
         "doc_id", "bin", "n_tokens"
+    )
+
+
+_GRAM_SQL = f"""
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, s.i + 1, s.i + {NGRAM}), ' ') AS gram
+      FROM {{src}},
+           UNNEST(range(0, greatest(len(t) - {NGRAM}, 0) + 1)) AS s(i)
+"""
+
+
+@query(
+    "curate_corpus",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1 AND doc_id % {EVAL_MOD} <> 0
+    ), ktoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM kept
+    ), kgrams AS ({_GRAM_SQL.format(src="ktoks")}
+    ), etoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % {EVAL_MOD} = 0
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM ({_GRAM_SQL.format(src="etoks")})
+    ), contam AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(COALESCE(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_contaminated
+      FROM kgrams g LEFT JOIN eval_grams e ON g.gram = e.gram
+      GROUP BY g.doc_id
+    ), clean AS (
+      SELECT k.doc_id, k.lang, c.n_grams, c.n_contaminated
+      FROM kept k JOIN contam c ON k.doc_id = c.doc_id
+      WHERE c.n_contaminated * {CONTAM_KEEP_DEN} <= c.n_grams
+    ), mixed AS (
+      SELECT doc_id, lang, n_grams, n_contaminated,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM clean
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < {_MIX_CASE_SQL}
+    )
+    SELECT doc_id, lang, n_grams, n_contaminated,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM mixed
+    """,
+    tags=("curation", "pipeline"),
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composition the training-data brief
+    actually describes, as ONE declarative plan (round-3 verdict item 2):
+
+      1. **exact dedup** — keep-first per md5 fingerprint (16-byte
+         pre-shuffle keys, same form as ``dedup_keep_first``);
+      2. **eval holdout + contamination filter** — the held-out slice
+         (``doc_id % {EVAL_MOD} == 0``) leaves the corpus entirely, and any
+         surviving document whose distinct {NGRAM}-gram overlap with the
+         eval suite exceeds 1/{CONTAM_KEEP_DEN} is dropped (integer
+         keep-rule ``n_contaminated * {CONTAM_KEEP_DEN} <= n_grams`` — no
+         float threshold, exact cross-engine parity);
+      3. **mixture sampling** — deterministic per-language md5-bucket rates
+         (same knob as ``lang_mix_sample``);
+      4. **leakage-safe split** — pure-function-of-key 90/5/5 train/val/test
+         assignment (``split_assignment_frame``).
+
+    Every stage is a pure function of document content/key, so the whole
+    pipeline is restart- and engine-stable end to end. Cluster keys here are
+    EXACT-duplicate fingerprints (SQL-expressible → hash-verified against
+    the DuckDB oracle); the near-dup-cluster form of the same composition is
+    :func:`curate_corpus_neardup` (iterative connected components →
+    rows-only by contract). Scale posture: one fingerprint window shuffle,
+    two gram-explode joins (eval side benchmark-sized, AQE broadcasts it),
+    and map-side-only sampling/split — no global sort, no unbounded state."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("doc_id") % EVAL_MOD != 0))
+        .select("doc_id", "lang", "text")
+    )
+    eval_grams = (
+        _gram_hash_frame(d.filter(F.col("doc_id") % EVAL_MOD == 0))
+        .select("gram")
+        .distinct()
+    )
+    contam = (
+        _gram_hash_frame(kept)
+        .join(eval_grams.withColumn("_hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )
+    clean = (
+        kept.select("doc_id", "lang")
+        .join(contam, "doc_id")
+        .filter(F.col("n_contaminated") * CONTAM_KEEP_DEN <= F.col("n_grams"))
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    mixed = clean.filter(bucket < F.expr(_MIX_CASE_SQL))
+    return split_assignment_frame(mixed, "doc_id").select(
+        "doc_id", "lang", "n_grams", "n_contaminated", "split"
+    )
+
+
+@query("curate_corpus_neardup", tags=("curation", "pipeline", "dedup-neardup"))
+def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate-aware form of :func:`curate_corpus`'s split stage:
+    minhash-LSH candidate pairs → connected components → cluster canonical
+    id → GROUP-AWARE 90/5/5 split keyed on the CLUSTER id, so every member
+    of a near-dup cluster lands on the same side of train/val/test and
+    near-duplicates can never leak across the split boundary
+    (tests/test_curation.py asserts no cluster — and no candidate pair —
+    straddles splits). Documents outside any cluster are their own
+    canonical. Rows-only by contract (iterative clustering, SURVEY §7);
+    the SQL-expressible stages of the composition are hash-verified via
+    :func:`curate_corpus`."""
+    from .components import connected_components
+    from .text import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    comp = connected_components(pairs)
+    base = (
+        d.select("doc_id", "lang")
+        .join(comp, d.doc_id == comp.vertex, "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+    )
+    return split_assignment_frame(base, "canonical_id").select(
+        "doc_id", "canonical_id", "lang", "split"
     )

@@ -1,0 +1,59 @@
+"""Sink round-trip coverage — the parquet WRITE path (S3, reference
+``pipeline/etl.py:147-151``) exercised under the driver's hash gate.
+
+Every other oracle-backed query reads driver-generated parquet; this one
+also WRITES a partitioned snapshot, re-reads it, and aggregates — so a green
+CORRECTNESS row proves the partitioned ``DataFrameWriter.parquet`` layout
+round-trips values, types, and partition-column encoding exactly (round-3
+verdict item 4: the sink tier previously had only rows-only pytest signal).
+
+The snapshot lands under the repo's (gitignored) ``spark-warehouse/`` — one
+fixed path per scale factor, ``overwrite`` mode, so repeated runs are
+idempotent and nothing accumulates.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import money_sum
+from ..registry import query
+from ..sources.io import write_partitioned_parquet
+from ..tables import load_table
+
+_ROUNDTRIP_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "roundtrip"
+
+
+@query(
+    "parquet_roundtrip_revenue",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "parquet", "roundtrip"),
+)
+def parquet_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders as a parquet snapshot partitioned by ``o_orderstatus``,
+    re-read it, and roll revenue up per status. The oracle aggregates the
+    ORIGINAL table, so a hash match certifies the write→read round trip
+    (values, doubles, partition-column decoding) end to end. Status has 3
+    values, so the partitioned layout is 3 directories — the pruning-friendly
+    layout downstream scans want; the write itself shuffles nothing."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(_ROUNDTRIP_ROOT / f"orders_by_status_{Path(sf_dir.rstrip('/')).name}")
+    write_partitioned_parquet(o, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        money_sum("o_totalprice").alias("revenue"),
+    )

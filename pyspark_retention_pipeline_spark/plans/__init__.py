@@ -8,6 +8,7 @@ from .inspect import (
     pushed_filters,
     scan_columns,
     shuffle_count,
+    unpartitioned_corpus_windows,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "pushed_filters",
     "scan_columns",
     "shuffle_count",
+    "unpartitioned_corpus_windows",
 ]

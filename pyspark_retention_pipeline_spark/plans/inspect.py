@@ -109,6 +109,48 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
     return tables
 
 
+# Logical nodes that bound the row count flowing into a window: a window
+# whose input passes through one of these is a per-group/top-k frame (tiny by
+# construction), not a corpus funneled into one task.
+_BOUNDED_REDUCTIONS = frozenset({"Aggregate", "GlobalLimit", "Deduplicate"})
+
+
+def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
+    """Unpartitioned ``Window`` nodes whose input is NOT aggregate-reduced.
+
+    An unpartitioned window funnels its entire input through one task —
+    harmless when the input is an aggregate frame (one row per group, e.g.
+    the bin-frame window in ``token_budget_select``), a 100 TB cliff when it
+    is the raw corpus. Spark logs the same WARN for both, so the bench log
+    can't distinguish a deliberate tiny frame from a regression; this makes
+    the distinction a checked invariant (round-3 verdict item 7): returns
+    one descriptor per unpartitioned window with no ``Aggregate`` /
+    ``GlobalLimit`` / ``Deduplicate`` anywhere below it in the optimized
+    logical plan. Registry-wide test:
+    ``tests/test_plans.py::test_no_unpartitioned_corpus_windows``."""
+
+    def reduced(node) -> bool:
+        if node.getClass().getSimpleName() in _BOUNDED_REDUCTIONS:
+            return True
+        kids = node.children()
+        return any(reduced(kids.apply(i)) for i in range(kids.size()))
+
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().size() == 0:
+            child = node.children().apply(0)
+            if not reduced(child):
+                out.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the physical plan (lower is better; AQE may
     remove some at runtime). Formatted explain lists operators as

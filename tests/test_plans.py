@@ -82,6 +82,46 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     assert not offenders, f"forced broadcast of scaling tables: {offenders}"
 
 
+# Queries allowed to keep an unpartitioned window over a non-aggregate
+# frame. EMPTY by design: every registered unpartitioned window today sits
+# above an aggregate-reduced frame (bin totals, threshold grids), which the
+# inspector proves structurally. A future exemption needs a documented
+# boundedness argument here, not just a passing test.
+UNPARTITIONED_WINDOW_EXEMPT: set[str] = set()
+
+
+def test_no_unpartitioned_corpus_windows(spark, sf_dir):
+    """Round-3 verdict item 7: Spark's 'No Partition Defined for Window'
+    WARN fires for deliberate tiny frames and for genuine 100 TB cliffs
+    alike, drowning real regressions in bench-log noise. Make it an
+    invariant instead: across the registry, every unpartitioned Window node
+    must sit above an Aggregate/GlobalLimit/Deduplicate (a bounded,
+    per-group frame — e.g. token_budget_select's bin window), with named
+    exemptions only. ML/clustering queries whose construction trains models
+    or iterates are skipped, as in the broadcast sweep."""
+    from pyspark_retention_pipeline_spark.plans import (
+        unpartitioned_corpus_windows,
+    )
+
+    skip = {
+        "ml_churn_scores",
+        "ml_churn_coefficients",
+        "ml_churn_metrics",
+        "ml_threshold_from_scores",
+        "ivf_knn",
+        "dedup_clusters",
+        "curate_corpus_neardup",
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name in UNPARTITIONED_WINDOW_EXEMPT:
+            continue
+        hits = unpartitioned_corpus_windows(fn(spark, sf_dir))
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, f"unpartitioned corpus-scale windows: {offenders}"
+
+
 def test_shuffle_budgets(spark, sf_dir):
     """Exchange counts stay at the designed minimum (at test SF the dim
     joins broadcast, so the only shuffles are the aggregations): one for a

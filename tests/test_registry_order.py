@@ -38,36 +38,22 @@ EXTENSION_MUST_BE_IN_WINDOW = {
     "top_parts_per_segment",
 }
 
-# Round-3 rotation (VERDICT r2 item 1): queries with no driver row in any
-# round — or stale after a round-2 plan change — must occupy window slots
-# until CORRECTNESS_r03 lands their green rows.
+# Round-4 rotation (VERDICT r3 item 1): queries with no driver row in any
+# round — or whose implementation changed this round — must occupy window
+# slots until CORRECTNESS_r04 lands their green rows.
 ROTATION_MUST_BE_IN_WINDOW = {
-    # never verified: 8 TPC-H shapes
-    "volume_shipping",
-    "market_share",
-    "returned_items_top_customers",
-    "order_count_distribution",
-    "top_revenue_suppliers",
-    "small_qty_part_revenue",
-    "disjunctive_part_predicates",
-    "idle_wealthy_customers",
-    # never verified: analytics_extra family + salted skew join
-    "grouping_sets_revenue",
-    "moving_avg_order_value",
-    "event_day_spine_fill",
-    "sql_api_revenue",
-    "orders_per_weekday",
-    "acctbal_histogram",
-    "skew_salted_segment_counts",
-    # stale after round-2 broadcast de-hint
-    "segments_by_revenue",
-    "shipping_priority",
-    "promo_revenue_share",
-    # plans/oracles changed in round 3
+    # never verified: round-3 late additions
+    "ngram_contamination",
+    "token_budget_select",
+    "lang_mix_sample",
+    "train_val_test_split",
+    "large_volume_customers",
+    # never verified: round-4 additions
+    "curate_corpus",
+    "parquet_roundtrip_revenue",
+    # implementation changed in round 4
     "pack_documents",
-    "chunk_documents",
-    "quality_zscore_by_lang",
-    "median_order_value",
+    "skew_salted_segment_counts",
     # flagship continuity
     "churn_features",
 }
