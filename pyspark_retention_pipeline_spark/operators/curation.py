@@ -305,6 +305,111 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every 10th-mod-7 doc plays the "new crawl batch" for incremental dedup —
+# the rest is the historical corpus it must not duplicate.
+BATCH_MOD, BATCH_REM = 10, 7
+# Token-count histogram bin width (tokens).
+TOKEN_BIN = 32
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    SELECT b.doc_id, md5(b.text) AS fingerprint
+    FROM documents b
+    WHERE b.doc_id % {BATCH_MOD} = {BATCH_REM}
+      AND NOT EXISTS (
+        SELECT 1 FROM documents h
+        WHERE h.doc_id % {BATCH_MOD} <> {BATCH_REM}
+          AND md5(h.text) = md5(b.text)
+      )
+    """,
+    tags=("curation", "dedup-exact", "incremental"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the recurring production
+    shape: a new crawl batch (``doc_id % {BATCH_MOD} == {BATCH_REM}`` stands
+    in) survives only if its content fingerprint does not already exist in
+    the historical corpus. ANTI join on 16-byte md5 fingerprints: the
+    history side is reduced to DISTINCT fingerprints before the join (in
+    production this is the persisted fingerprint index of the corpus — a
+    fraction of corpus bytes), the batch side is typically days, not years,
+    of data, and no document body ever crosses the shuffle. Contrast with
+    ``dedup_exact``, which re-clusters the WHOLE corpus per run — at 100 TB
+    you run that once, then this per batch."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == BATCH_REM).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    history = (
+        d.filter(F.col("doc_id") % BATCH_MOD != BATCH_REM)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    return batch.join(history, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "source_mix_report",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("curation", "mixture", "profiling"),
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report — the per-(source, language) doc/token/char
+    totals a mixture design starts from (what `lang_mix_sample`'s rates are
+    tuned against). One map-side-combinable aggregate over tiny group keys;
+    exact integer sums only, so parity is unconditional. At 100 TB this is
+    the cheapest full-corpus statement there is: one pass, grouped on a
+    handful of keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "token_len_histogram",
+    oracle=f"""
+    SELECT CAST(len(string_split(text, ' ')) // {TOKEN_BIN} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS bin_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("curation", "histogram", "profiling"),
+)
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in {TOKEN_BIN}-token bins — the length
+    distribution behind chunking/packing/budget decisions (where does the
+    corpus mass sit, how heavy is the tail). Same fixed-width-bin form as
+    ``acctbal_histogram``, applied to the token counts; one aggregate,
+    integer math end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(
+            F.expr(f"size(split(text, ' ')) DIV {TOKEN_BIN}").alias("bin"),
+            n_tokens.alias("_nt"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
 @query("curate_corpus_neardup", tags=("curation", "pipeline", "dedup-neardup"))
 def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-duplicate-aware form of :func:`curate_corpus`'s split stage:

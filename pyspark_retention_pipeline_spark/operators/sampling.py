@@ -121,6 +121,48 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assignment_frame(d, "doc_id").select("doc_id", "lang", "split")
 
 
+# Epochs materialized by the epoch-shuffle demo; production passes any count.
+N_EPOCHS = 3
+# Shuffle buckets per epoch — the write-partition grain of the shuffled copy.
+SHUFFLE_BUCKETS = 1024
+
+
+@query(
+    "epoch_shuffle",
+    oracle=f"""
+    SELECT d.doc_id, CAST(e.i AS BIGINT) AS epoch,
+           CAST(('0x' || substring(md5(CAST(e.i AS VARCHAR) || ':' ||
+                                       CAST(d.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % {SHUFFLE_BUCKETS} AS shuffle_bucket
+    FROM documents d, UNNEST(range(0, {N_EPOCHS})) AS e(i)
+    """,
+    tags=("sampling", "shuffle", "training-data"),
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shuffle assignment: each (epoch, doc) pair
+    gets an md5 bucket in [0, {SHUFFLE_BUCKETS}) — a different pseudo-random
+    data order per epoch WITHOUT a global sort. The training writer
+    partitions each epoch's copy by ``shuffle_bucket`` (and sorts within
+    partitions if byte-exact order matters); readers stream buckets in
+    order. Because the bucket is a pure function of (epoch, doc_id), a
+    restarted job reproduces the identical order mid-epoch — the property
+    ``orderBy(rand())`` cannot give — and epochs are independent
+    permutations. Map-side only: the explode is the only fan-out, there is
+    no shuffle at all in the assignment itself."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(N_EPOCHS - 1).cast("long"))
+    )
+    keyed = d.select("doc_id", epochs.alias("epoch"))
+    key = F.concat_ws(
+        ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
+        "long"
+    ) % SHUFFLE_BUCKETS
+    return keyed.select("doc_id", "epoch", bucket.alias("shuffle_bucket"))
+
+
 def split_assignment_frame(
     df: DataFrame, key_col: str, train_pct: int = 90, val_pct: int = 5
 ) -> DataFrame:

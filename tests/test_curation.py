@@ -187,3 +187,49 @@ def test_curate_corpus_neardup_no_cluster_straddles_split(spark, sf_dir):
     assert crossers == 0
     # a cluster genuinely exists (otherwise the guard is vacuous)
     assert out.filter(F.col("doc_id") != F.col("canonical_id")).count() > 0
+
+
+def test_incremental_dedup_drops_only_known_fingerprints(spark, monkeypatch):
+    """A batch doc whose text already exists in the historical corpus is
+    dropped; novel batch docs survive; history docs are never emitted."""
+    docs = spark.createDataFrame(
+        [
+            (1, "seen before", "en", "web", 11),   # history
+            (2, "only in history", "en", "web", 15),
+            (7, "seen before", "en", "web", 11),   # batch dup of doc 1
+            (17, "genuinely new", "en", "web", 13),  # batch, novel
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {r["doc_id"] for r in cu.incremental_dedup(spark, "ignored").collect()}
+    assert out == {17}
+
+
+def test_epoch_shuffle_orders_are_independent_and_stable(spark, sf_dir):
+    """Each epoch is a different permutation (bucket assignments differ
+    between epochs for a meaningful fraction of docs), every (doc, epoch)
+    appears exactly once, and re-evaluation reproduces the assignment."""
+    from pyspark_retention_pipeline_spark.operators.sampling import (
+        N_EPOCHS,
+        SHUFFLE_BUCKETS,
+        epoch_shuffle,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = epoch_shuffle(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs * N_EPOCHS
+    by_epoch = {}
+    for r in rows:
+        assert 0 <= r["shuffle_bucket"] < SHUFFLE_BUCKETS
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["shuffle_bucket"]
+    assert set(by_epoch) == set(range(N_EPOCHS))
+    e0, e1 = by_epoch[0], by_epoch[1]
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > n_docs // 2  # epochs are genuinely different orders
+    again = {
+        (r["doc_id"], r["epoch"]): r["shuffle_bucket"]
+        for r in epoch_shuffle(spark, sf_dir).collect()
+    }
+    assert all(again[(d, e)] == b for e, m in by_epoch.items() for d, b in m.items())

@@ -51,6 +51,10 @@ ROTATION_MUST_BE_IN_WINDOW = {
     # never verified: round-4 additions
     "curate_corpus",
     "parquet_roundtrip_revenue",
+    "incremental_dedup",
+    "source_mix_report",
+    "token_len_histogram",
+    "epoch_shuffle",
     # implementation changed in round 4
     "pack_documents",
     "skew_salted_segment_counts",
