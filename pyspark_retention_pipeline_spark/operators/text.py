@@ -400,21 +400,27 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     → bit. One row per doc, no shuffle, no UDF."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), " "))
+    # Stage the per-token hash as its own transform so each token hashes
+    # ONCE; the 64 bit extractions below then reference the lambda variable
+    # ``h`` (free), not 64 copies of ``xxhash64(t)``. A smaller win than the
+    # round-3 staging fixes (1.05 s → 0.91 s at sf0.1 — here the ±1-vote
+    # fold arithmetic dominates, not the hash), but strictly less work.
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def token_bits(t):
+    def hash_bits(h):
         # shiftright takes a Python int bit count, so the 64 bit positions are
         # unrolled here rather than expressed with a transform over a sequence.
         return F.array(
             *[
-                F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
                 for i in range(64)
             ]
         )
 
     votes = F.aggregate(
-        toks,
+        hashes,
         F.array(*[F.lit(0) for _ in range(64)]),
-        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, v: a + v),
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, v: a + v),
     )
     bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
     return d.select("doc_id", bits.alias("simhash_bits"))
