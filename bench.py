@@ -46,9 +46,13 @@ HEADLINE = [
     "ngram_contamination",
     "token_budget_select",
     # round 4: Q18 (agg-filtered semi-join into a 4-way join — the shape
-    # that catches join-order regressions) + the end-to-end curation pipeline
+    # that catches join-order regressions), the end-to-end curation
+    # pipeline, and the two staging-fix queries (regression guards on the
+    # literal-plane / staged-hash wins)
     "large_volume_customers",
     "curate_corpus",
+    "lsh_bucket_candidates",
+    "simhash64",
 ]
 
 
