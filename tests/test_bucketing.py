@@ -38,3 +38,32 @@ def test_unbucketed_join_does_exchange(spark, sf_dir):
     # Raw parquet sides must shuffle (or broadcast at tiny sf) — the contrast
     # that makes the bucketed assertion meaningful.
     assert "Exchange" in plan or "Broadcast" in plan
+
+
+def test_bucketed_fingerprint_index_shuffles_batch_side_only(spark, sf_dir):
+    """The incremental-dedup layout story: the persisted fingerprint index
+    reads bucket-aligned (no index-side Exchange) and only the new batch
+    shuffles — the historical corpus is never re-shuffled per batch. The
+    result matches the layout-agnostic registry query exactly."""
+    from pyspark_retention_pipeline_spark.registry import all_queries
+    from pyspark_retention_pipeline_spark.sources.bucketing import (
+        bucket_fingerprint_index,
+        incremental_dedup_against_index,
+    )
+
+    tbl = bucket_fingerprint_index(spark, sf_dir, n_buckets=4, table="t_fp_index")
+    try:
+        out = incremental_dedup_against_index(spark, sf_dir, tbl)
+        plan = explain_str(out)
+        # exactly ONE exchange: the batch side aligning to the bucket count
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+        got = {r["doc_id"] for r in out.collect()}
+        want = {
+            r["doc_id"]
+            for r in all_queries()["incremental_dedup"](spark, sf_dir).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -139,10 +139,20 @@ def test_shuffle_budgets(spark, sf_dir):
         "volume_shipping": 2,
         "order_rollup": 2,  # aggregate + output sort
         "churn_features": 3,
+        # round 4: lock the new plans' shuffle inventory
+        "large_volume_customers": 2,  # lineitem agg + re-join share one partitioning
+        "incremental_dedup": 1,  # fingerprint anti-join (16-byte keys)
+        "curate_corpus": 4,  # fingerprint window, gram agg+join, doc rollup
+        "token_budget_select": 2,  # bin agg + bin-frame window
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
         assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    # Map-side-only operators: ZERO exchanges, ever — a shuffle appearing in
+    # a pure filter/assignment plan is a regression by definition.
+    for name in ("epoch_shuffle", "lang_mix_sample", "hash_sample"):
+        n = shuffle_count(QUERIES[name](spark, sf_dir))
+        assert n == 0, f"{name}: expected a map-side-only plan, found {n} exchanges"
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
