@@ -54,8 +54,12 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Carry the pre-round label ("old") through the hop so the change
+        # test at the end is a column comparison, not another full join back
+        # to `labels` (one join per round saved — round-4 audit).
         hopped = labels.join(neighbor_min, "vertex", "left").select(
             "vertex",
+            F.col("component").alias("old"),
             F.least(
                 F.col("component"), F.coalesce("nbr_component", F.col("component"))
             ).alias("component"),
@@ -66,19 +70,18 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         lbl = hopped.select(
             F.col("vertex").alias("c_vertex"), F.col("component").alias("c_component")
         )
-        jumped = (
+        updated = (
             hopped.join(lbl, hopped.component == lbl.c_vertex, "left")
             .select(
                 "vertex",
                 F.least(
                     F.col("component"), F.coalesce("c_component", F.col("component"))
                 ).alias("component"),
+                "old",
             )
-        )
-        updated = (
-            jumped.alias("new")
-            .join(labels.select("vertex", F.col("component").alias("old")), "vertex")
-            .select("vertex", "component", (F.col("component") < F.col("old")).alias("_changed"))
+            .select(
+                "vertex", "component", (F.col("component") < F.col("old")).alias("_changed")
+            )
             .localCheckpoint()
         )
         n_changed = updated.filter(F.col("_changed")).count()
