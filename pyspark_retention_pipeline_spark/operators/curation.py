@@ -194,6 +194,87 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_budget_select",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, n_tokens,
+             (20 * n_distinct) // n_tokens AS band
+      FROM stats
+      WHERE n_tokens BETWEEN 10 AND 1000
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND 5 * n_distinct >= n_tokens
+    ), bands AS (
+      SELECT band, CAST(SUM(n_tokens) AS BIGINT) AS band_tokens
+      FROM kept GROUP BY band
+    ), cum AS (
+      SELECT band,
+             COALESCE(SUM(band_tokens) OVER (
+               ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tokens_above
+      FROM bands
+    )
+    SELECT k.doc_id, CAST(k.band AS BIGINT) AS band, k.n_tokens
+    FROM kept k JOIN cum c ON k.band = c.band
+    WHERE c.tokens_above < {TOKEN_BUDGET}
+    """,
+    tags=("curation", "token-budget", "text-quality"),
+)
+def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection ranked by ACTUAL quality, not the length proxy:
+    documents first pass the C4-style keep rule (token band, mean-token-len
+    band, distinct-token ratio — same public heuristics as
+    ``c4_quality_filter``, with the ratio threshold in integer form
+    ``5 * n_distinct >= n_tokens``), then spend the {TOKEN_BUDGET}-token
+    budget from the highest distinct-token band downward — the band is
+    ``(20 * n_distinct) DIV n_tokens``, pure integer math, so both engines
+    bin identically. Physically identical posture to
+    :func:`token_budget_select`: per-band totals, a window over the tiny
+    BAND frame only, broadcast semi-join back — no global sort at any
+    scale. The composition a curation pipeline actually runs: filter by
+    quality floor, then rank the survivors by quality for the budget."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stats = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("mean_tok_len"),
+    )
+    kept = stats.filter(
+        F.col("n_tokens").between(10, 1000)
+        & (F.col("mean_tok_len") >= 2.0)
+        & (F.col("mean_tok_len") <= 12.0)
+        & (5 * F.col("n_distinct") >= F.col("n_tokens"))
+    ).select(
+        "doc_id", "n_tokens", F.expr("(20 * n_distinct) DIV n_tokens").alias("band")
+    )
+    bands = kept.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bands.select(
+        "band",
+        F.coalesce(F.sum("band_tokens").over(w), F.lit(0)).alias("tokens_above"),
+    )
+    selected = cum.filter(F.col("tokens_above") < TOKEN_BUDGET).select("band")
+    return kept.join(F.broadcast(selected), "band").select(
+        "doc_id", "band", "n_tokens"
+    )
+
+
 _GRAM_SQL = f"""
       SELECT DISTINCT doc_id,
              array_to_string(list_slice(t, s.i + 1, s.i + {NGRAM}), ' ') AS gram

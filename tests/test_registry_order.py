@@ -55,6 +55,7 @@ ROTATION_MUST_BE_IN_WINDOW = {
     "source_mix_report",
     "token_len_histogram",
     "epoch_shuffle",
+    "quality_budget_select",
     # implementation changed in round 4
     "pack_documents",
     "skew_salted_segment_counts",
