@@ -118,6 +118,70 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+FRAME_SAMPLE_K = 8  # frames sampled per video
+FRAME_MS = 40  # frame period at the assumed 25 fps
+RESIZE_MAX = 224  # max output dimension of the resize stage
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, out_width int, out_height int, "
+    "frame_md5 string"
+)
+
+
+def sample_frames(decoded: DataFrame) -> DataFrame:
+    """Uniform frame sampling + resize metadata over decoded video rows —
+    the frame-sample / resize stages of a multimodal ingest, as a second
+    Arrow-batched ``mapInPandas`` stage. Each video yields
+    ``min({FRAME_SAMPLE_K}, n_frames)`` frames at uniformly spaced indices
+    (``floor(j * n_frames / k)`` — deterministic, order-free); the "frame
+    bytes" are a stub (md5 of payload + frame index — a real extractor
+    slots into the same loop), while the resize arithmetic is real: the
+    longer side scales to {RESIZE_MAX}px, aspect preserved, integer math.
+    Output is bounded fan-out (≤ {FRAME_SAMPLE_K} rows per video), so the
+    stage is embarrassingly parallel per input split at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "ts_ms": [],
+                "out_width": [], "out_height": [], "frame_md5": [],
+            }
+            for doc_id, payload, n_frames, w, h in zip(
+                b["doc_id"], b["payload"], b["n_frames"], b["width"], b["height"]
+            ):
+                k = min(FRAME_SAMPLE_K, int(n_frames))
+                scale_den = max(int(w), int(h))
+                out_w = max(1, int(w) * RESIZE_MAX // scale_den)
+                out_h = max(1, int(h) * RESIZE_MAX // scale_den)
+                for j in range(k):
+                    idx = j * int(n_frames) // k
+                    digest = hashlib.md5(
+                        bytes(payload) + idx.to_bytes(4, "big")
+                    ).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * FRAME_MS)
+                    out["out_width"].append(out_w)
+                    out["out_height"].append(out_h)
+                    out["frame_md5"].append(digest)
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query("media_frame_sample", tags=("multimodal", "mapInPandas", "frame-sample"))
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video ingest → decode → uniform frame sample → resize metadata: the
+    full multimodal chain (ingest/decode/frame-sample/resize from the
+    training-data brief) as two Arrow-batched stages with typed schemas.
+    Rows-only check (the extractors are stubs; the Spark-side plumbing —
+    schema, batch shape, bounded fan-out, partitioning — is the real
+    deliverable, as with ``media_decode_stub``)."""
+    videos = decode_media(media_frame(spark, sf_dir)).filter(
+        F.col("media_type") == "video/mp4"
+    )
+    return sample_frames(videos)
+
+
 @query("media_decode_stub", tags=("multimodal", "mapInPandas"))
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary ingest → Arrow-batched decode →

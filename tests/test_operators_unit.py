@@ -205,3 +205,39 @@ def test_approx_distinct_tracks_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, ev in exact.items():
         assert abs(approx[k] - ev) <= max(2, 0.15 * ev), (k, ev, approx[k])
+
+
+def test_media_frame_sample_uniform_bounded_and_resized(spark):
+    """Frame sampling: <= FRAME_SAMPLE_K frames per video at strictly
+    increasing uniform indices < n_frames, timestamps on the frame period,
+    resize output capped at RESIZE_MAX on the longer side with aspect
+    preserved, and the whole stage deterministic across evaluations."""
+    from pyspark_retention_pipeline_spark.operators.multimodal import (
+        FRAME_MS,
+        FRAME_SAMPLE_K,
+        RESIZE_MAX,
+        decode_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"payload {i} bytes".encode(), "video/mp4") for i in range(6)],
+        "doc_id long, payload binary, media_type string",
+    )
+    decoded = decode_media(df)
+    meta = {r["doc_id"]: r for r in decoded.collect()}
+    rows = sample_frames(decoded).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(meta)
+    for doc_id, frames in by_doc.items():
+        n_frames = meta[doc_id]["n_frames"]
+        assert len(frames) == min(FRAME_SAMPLE_K, n_frames)
+        idxs = [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])]
+        assert idxs == sorted(set(idxs)) and idxs[0] == 0 and idxs[-1] < n_frames
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * FRAME_MS
+            assert max(f["out_width"], f["out_height"]) == RESIZE_MAX
+    again = {(r["doc_id"], r["frame_idx"]): r["frame_md5"] for r in sample_frames(decoded).collect()}
+    assert all(again[(r["doc_id"], r["frame_idx"])] == r["frame_md5"] for r in rows)
