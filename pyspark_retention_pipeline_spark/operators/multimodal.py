@@ -182,6 +182,90 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(videos)
 
 
+EMBED_DIMS = 16  # one component per md5 digest byte
+MEDIA_N_QUERIES = 20  # doc_id < this act as the query set
+MEDIA_TOP_K = 3
+
+
+@query(
+    "media_embed_knn",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             list_transform(range({EMBED_DIMS}), i ->
+               (CAST(('0x' || substring(md5(text), CAST(2*i+1 AS BIGINT), 2))
+                     AS BIGINT) - 127.5) / 127.5) AS emb
+      FROM documents
+    ), n AS (
+      SELECT doc_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v
+    ), pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+      FROM n q CROSS JOIN n c
+      WHERE q.doc_id < {MEDIA_N_QUERIES} AND q.doc_id <> c.doc_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {MEDIA_TOP_K}
+    """,
+    tags=("multimodal", "similarity", "feature-extract"),
+)
+def media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media FEATURE-EXTRACT → similarity search, fully JVM-side: each
+    payload's {EMBED_DIMS}-dim feature vector is derived from its md5 digest
+    bytes entirely in codegen expressions (conv/substring — a stand-in with
+    the exact shape of a perceptual-hash or CLIP-embedding column; a real
+    extractor would produce the same ``array<double>`` via
+    :func:`decode_media`-style ``mapInPandas``), then cosine top-{MEDIA_TOP_K}
+    runs the same bounded-query pattern as ``knn_bruteforce`` — the query
+    side is literal-bounded ({MEDIA_N_QUERIES} rows) and left un-hinted for
+    AQE to broadcast. Completes the brief's multimodal chain (decode /
+    feature-extract / resize / frame-sample) with the extract stage under
+    the hash gate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    emb = F.array(
+        *[
+            (F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("double") - 127.5)
+            / 127.5
+            for i in range(EMBED_DIMS)
+        ]
+    )
+    from ..exprs import dot
+
+    vecs = d.select("doc_id", emb.alias("emb")).select(
+        "doc_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    q = vecs.filter(F.col("doc_id") < MEDIA_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        vecs.crossJoin(q)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            (dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MEDIA_TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
 @query("media_decode_stub", tags=("multimodal", "mapInPandas"))
 def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary ingest → Arrow-batched decode →

@@ -56,6 +56,7 @@ ROTATION_MUST_BE_IN_WINDOW = {
     "token_len_histogram",
     "epoch_shuffle",
     "quality_budget_select",
+    "media_embed_knn",
     # implementation changed in round 4
     "pack_documents",
     "skew_salted_segment_counts",
