@@ -12,7 +12,16 @@ set with shapes the engine didn't yet cover:
   * join-against-own-aggregate predicates (Q17);
   * HAVING-qualified order sets re-joined to their lines (Q18);
   * disjunctive multi-column predicate pushdown through a join (Q19);
-  * scalar-subquery threshold + anti-join (Q22).
+  * scalar-subquery threshold + anti-join (Q22);
+  * cross-role join predicates — customer nation = supplier nation (Q5);
+  * pushdown-dominated filter + global aggregate (Q6);
+  * 5-way star join with a substring part predicate (Q9, ADAPTED: no
+    partsupp → the supply-cost term is out of scope, profit reduces to
+    discounted revenue);
+  * sole-late-supplier on multi-supplier orders (Q21, ADAPTED: no
+    commit/receipt dates → lateness is ship > order + 90 days; the
+    spec's EXISTS / NOT-EXISTS self-joins become two aggregations over
+    one l_orderkey partitioning).
 
 All money aggregates follow the cross-engine determinism rules from
 ``exprs``/``registry``: 2-decimal inputs use ``money_sum``, derived products
@@ -455,4 +464,208 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
             "total_qty",
         )
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {_SCALED_REV} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+    GROUP BY n.n_name
+    """,
+    tags=("tpch-q5",),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (public spec): revenue from orders where the customer
+    and the line's supplier share a nation, per nation of one region. The
+    distinctive feature is the NON-key join condition ``c_nationkey =
+    s_nationkey`` riding on the supplier equi-join — a join predicate
+    across two different dimension roles. nation/region broadcast; the
+    region + year filters reach the dimension/orders scans."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(F.year("o_orderdate") == 1996)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(scaled_sum(_rev()).alias("revenue"))
+    )
+
+
+@query(
+    "forecast_revenue_discount",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+             / CAST(10000 AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch-q6",),
+)
+def forecast_revenue_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (public spec): revenue increase if small-quantity
+    discounts were dropped — a pure filter + global aggregate, the query
+    that lives or dies on predicate pushdown and column pruning (3 of 11
+    lineitem columns read, all three predicates in PushedFilters). The
+    price×discount product sums via exact scaled integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            scaled_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS y,
+           {_SCALED_REV} AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("tpch-q9",),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, ADAPTED: the testdata has no partsupp table, so the
+    ``ps_supplycost * l_quantity`` term of true Q9 profit is out of scope
+    (module docstring) and profit reduces to discounted revenue — the
+    SHAPE retained is the 5-way star join fanned from lineitem with a
+    substring predicate on the part name, grouped by supplier nation ×
+    order year. The part filter prunes before the join (LIKE reaches the
+    part scan); nation broadcasts; everything else AQE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name").filter(
+        F.col("p_name").contains("widget")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .agg(scaled_sum(_rev()).alias("profit"))
+    )
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    WITH tagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) > 90 AS INT)
+               AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+      FROM tagged GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             CAST(SUM(supp_late) AS BIGINT) AS n_late
+      FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name AS nation, COUNT(*) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE ps.supp_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY 1, 2
+    """,
+    tags=("tpch-q21",),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, ADAPTED: suppliers who were the SOLE late supplier
+    on a finished multi-supplier order (no l_commitdate/l_receiptdate in
+    the testdata, so "late" is ship > order date + 90 days). The spec
+    writes this as EXISTS + NOT-EXISTS self-joins over lineitem; the
+    Spark-first form aggregates lineitem ONCE to (order, supplier,
+    late-flag) grain, derives per-order supplier/late counts from that
+    same frame, and filters — two aggregations sharing one l_orderkey
+    partitioning instead of three passes over the fact table, with the
+    EXISTS ("another supplier") and NOT-EXISTS ("no other late supplier")
+    becoming ``n_supp >= 2 AND n_late = 1``. The oracle mirrors the
+    aggregate form, so parity also certifies the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    ).filter(F.col("o_orderstatus") == "F")
+    tagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") > 90).cast("int").alias("late"),
+    )
+    per_supp = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("supp_late").cast("long").alias("n_late"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("numwait"))
     )

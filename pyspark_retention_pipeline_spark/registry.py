@@ -39,12 +39,12 @@ _REGISTRY: dict[str, Query] = {}
 # Driver-gate priority order. The correctness gate verifies a bounded prefix of
 # ``queries()`` (50 entries per round), so ordering is part of the contract.
 # Round-4 rotation (VERDICT r3 item 1 + round-3 advisor item 3): the window
-# leads with the 13 oracle-backed queries that have never had a driver row
-# (the 5 round-3 late additions plus this round's 8 — landing these
+# leads with the 17 oracle-backed queries that have never had a driver row
+# (the 5 round-3 late additions plus this round's 12 — landing these
 # completes all-time driver coverage of every oracle-backed query), then
 # the 2 queries whose
 # implementation changed this round, the flagship continuity slot, the
-# pinned extension tier, and 16 slots refreshing the OLDEST coverage (green
+# pinned extension tier, and 12 slots refreshing the OLDEST coverage (green
 # only in round 1, unchecked since). Everything else keeps registration
 # order, with oracle-backed queries before rows-only ones so no verifiable
 # query is ever displaced by an unverifiable one.
@@ -64,6 +64,10 @@ _FRONT: tuple[str, ...] = (
     "epoch_shuffle",
     "quality_budget_select",
     "media_embed_knn",
+    "local_supplier_volume",
+    "forecast_revenue_discount",
+    "product_type_profit",
+    "waiting_suppliers",
     # --- implementation changed in round 4 — need fresh rows ---
     "pack_documents",  # hash-bucket sharding + dense pack ids
     "skew_salted_segment_counts",  # salted_join alias normalization
@@ -90,13 +94,9 @@ _FRONT: tuple[str, ...] = (
     "top_parts_per_segment",
     # --- oldest-coverage refresh: green in round 1 only, unchanged since ---
     "valid_lines",
-    "recent_window",
-    "threshold_pred",
-    "sql_expr_filter",
     "order_rollup",
     "customer_rfm",
     "distinct_products",
-    "recent90_agg",
     "distinct_customers",
     "customer_profile",
     "p99_quantile",

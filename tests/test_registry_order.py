@@ -57,6 +57,10 @@ ROTATION_MUST_BE_IN_WINDOW = {
     "epoch_shuffle",
     "quality_budget_select",
     "media_embed_knn",
+    "local_supplier_volume",
+    "forecast_revenue_discount",
+    "product_type_profit",
+    "waiting_suppliers",
     # implementation changed in round 4
     "pack_documents",
     "skew_salted_segment_counts",
