@@ -92,20 +92,73 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ranking",),
 )
 def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ranking-function family over per-customer spend (deterministic
-    total ordering via the key tiebreak)."""
+    """The ranking-function family over per-customer spend — TWO-PHASE
+    distributed rank, not a single unpartitioned WindowExec.
+
+    A naive ``Window.orderBy(...)`` funnels the whole customer grain
+    (150k×SF rows) through ONE task; at 100× scale that single sort is the
+    job. Instead:
+
+    1. ``repartitionByRange`` on the sort key — a range shuffle whose
+       partitions are themselves globally ordered (partition 0 holds the
+       top spenders);
+    2. per-partition ``row_number`` over ``Window.partitionBy(pid)`` —
+       every partition ranks its own slice in parallel;
+    3. a tiny per-partition count frame (≤ #partitions rows) yields
+       cumulative offsets + the global N, broadcast back;
+    4. global rank = local row_number + offset. The deterministic
+       ``custkey`` tiebreak makes the total order UNIQUE, so RANK and
+       DENSE_RANK coincide with ROW_NUMBER (no tie can straddle a range
+       boundary); NTILE(k) and PERCENT_RANK are closed-form expressions of
+       (global row_number, N) per the SQL spec, so no second sort is needed.
+
+    Result is hash-identical to the single-window form; the plan has no
+    unpartitioned window over an unbounded grain."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         money_sum("o_totalprice").alias("total_spend")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey"))
-    return spend.select(
-        "custkey",
-        "total_spend",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = spend.repartitionByRange(
+        nparts, F.col("total_spend").desc(), F.col("custkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("total_spend").desc(), F.col("custkey")
+    )
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    # Tiny frame: one row per range partition. The unpartitioned windows here
+    # run over an Aggregate-bounded input (≤ nparts rows) — the safe kind.
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).cast("long").alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).cast("long").alias("_n"),
+    )
+    rn = (F.col("_off") + F.col("_lrn")).alias("_rn")
+    k = F.lit(4).cast("long")
+    q = (F.col("_n") / k).cast("long")  # floor-div: base bucket size
+    rem = F.col("_n") % k  # first `rem` buckets get q+1 rows
+    big_span = rem * (q + F.lit(1))  # rows covered by the larger buckets
+    ntile = F.when(
+        F.col("_rn") <= big_span,
+        (F.col("_rn") - F.lit(1)) / (q + F.lit(1)) + F.lit(1),
+    ).otherwise(rem + (F.col("_rn") - big_span - F.lit(1)) / q + F.lit(1))
+    pct = F.when(
+        F.col("_n") > 1,
+        (F.col("_rn") - F.lit(1)).cast("double") / (F.col("_n") - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select("custkey", "total_spend", "_n", rn)
+        .select(
+            "custkey",
+            "total_spend",
+            F.col("_rn").alias("rnk"),
+            F.col("_rn").alias("drnk"),
+            ntile.cast("long").alias("quartile"),
+            F.round(pct, 6).alias("pct_rank"),
+        )
     )
 
 

@@ -257,10 +257,11 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (public spec): supplier(s) achieving the maximum
-    windowed revenue — the scalar MAX subquery becomes a window max over the
-    empty partitioning on the already-aggregated supplier grain (25×SF rows),
-    avoiding a second scan; equality on exact scaled sums is
-    engine-deterministic."""
+    windowed revenue. The scalar MAX subquery is a 1-row aggregate
+    broadcast-cross-joined onto the supplier grain (the `idle_wealthy_customers`
+    pattern) — no unpartitioned WindowExec, so the filter stays fully parallel
+    no matter how large the supplier grain grows; equality on exact scaled
+    sums is engine-deterministic."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -273,9 +274,9 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(scaled_sum(_rev()).alias("total_revenue"))
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    mx = srev.agg(F.max("total_revenue").alias("_mx"))
     return (
-        srev.withColumn("_mx", mx)
+        srev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(s, F.col("suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
