@@ -37,74 +37,74 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Driver-gate priority order. The correctness gate verifies a bounded prefix of
-# ``queries()`` (50 entries per round), so ordering is part of the contract.
-# Round-4 rotation (VERDICT r3 item 1 + round-3 advisor item 3): the window
-# leads with the 17 oracle-backed queries that have never had a driver row
-# (the 5 round-3 late additions plus this round's 12 — landing these
-# completes all-time driver coverage of every oracle-backed query), then
-# the 2 queries whose
-# implementation changed this round, the flagship continuity slot, the
-# pinned extension tier, and 12 slots refreshing the OLDEST coverage (green
-# only in round 1, unchecked since). Everything else keeps registration
-# order, with oracle-backed queries before rows-only ones so no verifiable
-# query is ever displaced by an unverifiable one.
+# ``queries()`` (50 entries per round), so ordering is part of the contract —
+# re-derive this list EVERY round (round-end checklist; round 5 skipped it and
+# shipped two rewrites with no driver row, VERDICT r5 item 2).
+# Round-6 rotation (VERDICT r5 items 1/2/7): the window leads with the 12
+# oracle-backed event-time queries repaired by the load_events precision fix
+# (every consumer of the loader gets a fresh hash row), then the 2 round-5
+# plan rewrites that shipped without driver rows, then ALL 19 rows-only
+# queries — 17 of them have never had even a rows>0 driver record — then the
+# flagship continuity slot, and oldest-coverage backfill (green in round 2
+# only, unchecked since). Everything else keeps registration order, with
+# oracle-backed queries before rows-only ones so no verifiable query is ever
+# displaced by an unverifiable one.
 _FRONT: tuple[str, ...] = (
-    # --- never driver-verified: round-3 late additions ---
-    "ngram_contamination",
-    "token_budget_select",
-    "lang_mix_sample",
-    "train_val_test_split",
-    "large_volume_customers",
-    # --- never driver-verified: round-4 additions ---
-    "curate_corpus",
-    "parquet_roundtrip_revenue",
-    "incremental_dedup",
-    "source_mix_report",
-    "token_len_histogram",
-    "epoch_shuffle",
-    "quality_budget_select",
-    "media_embed_knn",
-    "local_supplier_volume",
-    "forecast_revenue_discount",
-    "product_type_profit",
-    "waiting_suppliers",
-    # --- implementation changed in round 4 — need fresh rows ---
-    "pack_documents",  # hash-bucket sharding + dense pack ids
-    "skew_salted_segment_counts",  # salted_join alias normalization
-    # --- flagship continuity slot ---
-    "churn_features",
-    # --- pinned extension tier (re-verified every round) ---
-    "dedup_exact",
-    "word_jaccard_pairs",
-    "text_stats",
-    "knn_bruteforce",
-    "embedding_neardup",
+    # --- repaired by the round-6 load_events ns→µs fix — need fresh rows ---
     "tumbling_hourly",
     "sessionize",
+    "sliding_hourly",
+    "daily_rollup_from_hourly",
+    "event_type_hourly_pivot",
+    "range_join_error_context",
+    "asof_last_purchase",
+    "event_day_spine_fill",
     "json_props",
-    "monthly_revenue",
-    "rollup_revenue",
-    "hash_sample",
-    "binary_meta",
-    "repetition_stats",
-    "pii_scrub",
-    "c4_quality_filter",
-    "chunk_documents",
-    "embedding_quantize_stats",
-    "top_parts_per_segment",
-    # --- oldest-coverage refresh: green in round 1 only, unchanged since ---
-    "valid_lines",
-    "order_rollup",
-    "customer_rfm",
-    "distinct_products",
-    "distinct_customers",
-    "customer_profile",
-    "p99_quantile",
-    "purchase_gaps",
-    "threshold_curve",
-    "confusion_matrix",
-    "class_counts",
-    "class_weights",
+    "json_typed_parse",
+    "signup_purchase_funnel",
+    "event_type_map_summary",
+    # --- round-5 plan rewrites that shipped without a driver row ---
+    "customer_rank_family",  # two-phase distributed rank
+    "top_revenue_suppliers",  # broadcast scalar-max
+    # --- rows-only tier: first-ever driver rows>0 records (17 of 19) ---
+    "dau_hll_rollup",  # also repaired by the load_events fix
+    "minhash_signatures",
+    "minhash_candidates",
+    "simhash64",
+    "winnowing_fingerprints",
+    "stratified_sample",
+    "curate_corpus_neardup",
+    "lsh_bucket_candidates",
+    "knn_vectorized",
+    "ivf_knn",
+    "dedup_clusters",
+    "ml_churn_scores",
+    "ml_churn_coefficients",
+    "ml_churn_metrics",
+    "ml_threshold_from_scores",
+    "media_frame_sample",
+    "media_decode_stub",
+    "approx_distinct_products",
+    "p99_quantile_approx",
+    # --- flagship continuity slot ---
+    "churn_features",
+    # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
+    "cast_projection",
+    "recent_window",
+    "cohort_filter",
+    "segment_case",
+    "not_cancelled",
+    "sql_expr_filter",
+    "top_customers",
+    "threshold_pred",
+    "left_join_enrich",
+    "label_antijoin",
+    "churned_customers",
+    "active_customers_semi",
+    "recent90_agg",
+    "segments_by_revenue",
+    "revenue_share",
+    "best_threshold",
 )
 
 

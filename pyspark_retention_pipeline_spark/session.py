@@ -26,12 +26,12 @@ def get_spark(
       * ``spark.sql.adaptive.enabled`` — AQE re-plans at runtime (skew joins,
         partition coalescing); mandatory posture for 100 TB inputs.
       * ``spark.sql.session.timeZone=UTC`` — deterministic timestamp semantics.
-      * ``spark.sql.legacy.parquet.nanosAsLong`` — the ``events`` table is
-        written with nanosecond timestamps which the vectorized Parquet reader
-        otherwise rejects; we read them as epoch-nanos longs (see
-        :mod:`.tables`).
       * shuffle partitions default to the local core count rather than 200 —
         on a cluster, size this ~2-3× total executor cores.
+
+    No ``nanosAsLong`` here: events-timestamp precision is probed per file by
+    :func:`pyspark_retention_pipeline_spark.tables.load_events`, which sets
+    the legacy flag only when it actually finds nanosecond parquet.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
@@ -48,7 +48,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,18 +1,25 @@
-"""Custom Python Data Source for nanosecond-timestamp Parquet.
+"""Custom Python Data Source DEMO: nanosecond-timestamp Parquet.
 
 Spark's vectorized Parquet reader rejects INT64 TIMESTAMP(NANOS) files
-(``PARQUET_TYPE_ILLEGAL``); the engine's default workaround is the
-``nanosAsLong`` legacy flag (tables.load_events). This module is the
-*extensible-source* alternative: a PySpark 4 Python Data Source
-(public API: pyspark.sql.datasource) that reads such files with pyarrow,
-one partition per Parquet row group — distributed, Arrow-batched, and
-schema-explicit, with the nanos surfaced as both a long and a usable
-microsecond timestamp.
+(``PARQUET_TYPE_ILLEGAL``); this module shows the *extensible-source* way
+around that: a PySpark 4 Python Data Source (public API:
+pyspark.sql.datasource) that reads such files with pyarrow, one partition per
+Parquet row group — distributed, Arrow-batched, and schema-explicit, with the
+nanos surfaced as both a long and a derived microsecond value.
+
+NOTE — demo, not engine path. Earlier testdata generations wrote the events
+table at nanosecond precision and this source mirrored ``tables.load_events``;
+the current testdata is microsecond parquet, which Spark reads natively, so
+``load_events`` now probes the footer and only falls back to the
+``nanosAsLong`` flag for genuinely-nano files. This source is kept as the
+reference implementation of a partitioned Python Data Source (the pattern a
+user would follow for any reader Spark lacks); its test writes its own
+nanosecond fixture.
 
 Usage:
     spark.dataSource.register(NanoParquetDataSource)
     df = (spark.read.format("nanoparquet")
-          .option("path", ".../events.parquet").load())
+          .option("path", ".../nanos.parquet").load())
 """
 
 from __future__ import annotations

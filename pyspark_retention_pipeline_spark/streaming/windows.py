@@ -32,13 +32,16 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def event_stream_from_dir(spark: SparkSession, directory: str) -> DataFrame:
-    """Streaming events source over a directory of nano-timestamp parquet
-    files (new files are picked up as they appear — the file-source ingest
-    model). The on-disk nanos become a proper event-time timestamp column
-    (microsecond precision, integer division) for watermarking."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming events source over a directory of parquet files (new files
+    are picked up as they appear — the file-source ingest model). The stream
+    starts before any file exists, so the schema is pinned statically to the
+    canonical µs-precision events schema (``ts`` TIMESTAMP_NTZ); the batch
+    loader's per-file precision probe doesn't apply here. Watermarks require
+    instant-semantics TIMESTAMP, so ``event_time`` is the NTZ value cast under
+    the session time zone — exact because the engine session pins UTC
+    (:func:`..session.get_spark`)."""
     raw = spark.readStream.schema(SCHEMAS["events"]).parquet(directory)
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,13 +99,15 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("label", T.IntegerType()),
         ]
     ),
-    # events is special-cased below: its on-disk ``ts`` is nanosecond-precision,
-    # which Spark reads as an epoch-nanos long under
-    # spark.sql.legacy.parquet.nanosAsLong.
+    # events is special-cased below (load_events): the on-disk ``ts``
+    # precision has drifted across testdata generations (ns → µs), so the
+    # loader probes the parquet footer and derives ``ts_us`` from whatever
+    # precision it actually finds instead of assuming one. This is the
+    # canonical schema for the common case (µs/ms timestamp, read as NTZ).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -114,6 +116,21 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
+# Nanosecond-precision parquet has no Spark timestamp type; under the
+# ``nanosAsLong`` legacy flag the physical INT64 surfaces as an epoch-nanos
+# long — this schema variant covers that branch of load_events.
+_EVENTS_NS_SCHEMA = T.StructType(
+    [T.StructField("ts", T.LongType()) if f.name == "ts" else f for f in SCHEMAS["events"]]
+)
+
+# Epoch-microsecond sanity band for the testdata era: 2001-09 .. 2096. A
+# unit mix-up (ns read as µs, µs read as ms, …) lands 1000× outside this
+# band, so the loader can fail loudly instead of silently collapsing hour
+# buckets (round-5 regression: testdata moved ns→µs and ``ts DIV 1000``
+# quietly produced epoch-millis).
+_EPOCH_US_SANE_MIN = 1_000_000_000_000_000
+_EPOCH_US_SANE_MAX = 4_000_000_000_000_000
+
 TABLES = tuple(SCHEMAS)
 
 
@@ -121,7 +138,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame.
 
     ``events`` comes back with ``ts_us`` (epoch microseconds, long) alongside
-    the raw ``ts`` nanos — event-time logic in this engine is done on integer
+    the raw ``ts`` — event-time logic in this engine is done on integer
     epoch values, which are time-zone-free and compare exactly across engines
     (external oracles store timestamps at microsecond precision).
     """
@@ -132,19 +149,99 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with nanosecond timestamps read scalably.
+def _events_footer_probe(path: str):
+    """(arrow ts type, min epoch-µs from footer stats) for an events parquet
+    file or directory — footer-only, no Spark job, no data pages beyond at
+    most one batch when the writer omitted column statistics."""
+    import datetime
+    import glob
+    import os
 
-    Spark's vectorized Parquet reader has no nanosecond timestamp type; the
-    supported path is ``spark.sql.legacy.parquet.nanosAsLong`` which surfaces
-    the physical INT64 as epoch nanoseconds. We derive ``ts_us`` via integer
-    floor-division (keeps whole-stage codegen; no Python round trip).
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = parts[0]
+    pf = pq.ParquetFile(path)
+    ts_type = pf.schema_arrow.field("ts").type
+
+    def to_us(v):
+        if isinstance(v, datetime.datetime):
+            delta = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+            return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        # Raw int64 column stats: interpret by the declared unit (ns for the
+        # legacy nano files, else assume the value already is what it claims).
+        unit = getattr(ts_type, "unit", None)
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}.get(unit, 1)
+        return int(v) // 1000 if scale is None else int(v) * scale
+
+    md = pf.metadata
+    col_idx = next(
+        i for i in range(md.num_columns) if md.schema.column(i).name == "ts"
+    )
+    stats = md.row_group(0).column(col_idx).statistics
+    if stats is not None and stats.has_min_max:
+        return ts_type, to_us(stats.min)
+    first = next(pf.iter_batches(batch_size=1, columns=["ts"]))
+    return ts_type, to_us(first.column(0)[0].as_py())
+
+
+def _assert_sane_epoch_us(value: int, path: str) -> None:
+    if not (_EPOCH_US_SANE_MIN <= value <= _EPOCH_US_SANE_MAX):
+        raise ValueError(
+            f"events timestamp sanity check failed for {path}: derived epoch-µs "
+            f"{value} is outside [{_EPOCH_US_SANE_MIN}, {_EPOCH_US_SANE_MAX}] "
+            "(2001..2096) — the on-disk timestamp precision has likely drifted "
+            "again (ns/µs/ms mix-up); fix load_events' unit branch rather than "
+            "papering over it downstream."
+        )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table read precision-proof: ``ts_us`` (epoch microseconds, long)
+    is derived from the timestamp precision the parquet footer *actually*
+    declares, never from an assumed unit.
+
+      * µs/ms/s timestamps (the current testdata writes ``timestamp[us]``):
+        read as ``TIMESTAMP_NTZ`` and diff against the NTZ epoch —
+        ``timestampdiff(MICROSECOND, ...)`` is pure integer arithmetic on the
+        stored value, independent of the session time zone (a cast through
+        ``TIMESTAMP`` would shift by the session offset).
+      * ns timestamps (older testdata generations): Spark's vectorized reader
+        has no nanosecond type; the supported path is the
+        ``spark.sql.legacy.parquet.nanosAsLong`` flag + integer DIV 1000
+        (double division at epoch-nanos magnitude ~1.7e18 loses low bits).
+
+    Either branch ends with a footer-stat magnitude assert so a future
+    precision drift fails loudly at load time instead of silently collapsing
+    hour buckets (the round-5 failure mode).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
-    # Integer division — a double division at epoch-nanos magnitude (~1.7e18)
-    # loses the low bits and corrupts the microsecond value.
-    return df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    path = f"{sf_dir}/events.parquet"
+    ts_type, min_us = _events_footer_probe(path)
+    if getattr(ts_type, "unit", None) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(_EVENTS_NS_SCHEMA).parquet(path)
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    elif getattr(ts_type, "tz", None):
+        # Instant-semantics (isAdjustedToUTC) timestamps: unix_micros is exact.
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()) if f.name == "ts" else f
+                for f in SCHEMAS["events"]
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        df = df.withColumn("ts_us", F.unix_micros("ts"))
+    else:
+        df = spark.read.schema(SCHEMAS["events"]).parquet(path)
+        df = df.withColumn(
+            "ts_us",
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
+    _assert_sane_epoch_us(min_us, path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

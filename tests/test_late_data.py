@@ -13,18 +13,18 @@ from pyspark.sql import functions as F
 from pyspark_retention_pipeline_spark.streaming.windows import event_stream_from_dir
 
 H_US = 3_600_000_000
-BASE_NS = 1_700_000_000_000_000_000  # arbitrary epoch-ns anchor (hour-aligned below)
+BASE_US = 1_700_000_000_000_000  # arbitrary epoch-µs anchor (hour-aligned below)
 
 
 def _events_file(path, rows):
     """rows: list of (event_id, hour_offset_float)."""
-    base = (BASE_NS // (H_US * 1000)) * (H_US * 1000)  # align to an hour
+    base = (BASE_US // H_US) * H_US  # align to an hour
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
             "ts": pa.array(
-                [base + int(r[1] * H_US * 1000) for r in rows],
-                pa.timestamp("ns"),
+                [base + int(r[1] * H_US) for r in rows],
+                pa.timestamp("us"),
             ),
             "user_id": pa.array([1] * len(rows), pa.int64()),
             "event_type": pa.array(["click"] * len(rows)),
@@ -79,12 +79,12 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
 
 def _typed_events_file(path, rows):
     """rows: list of (event_id, hour_offset_float, user_id, event_type)."""
-    base = (BASE_NS // (H_US * 1000)) * (H_US * 1000)
+    base = (BASE_US // H_US) * H_US
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
             "ts": pa.array(
-                [base + int(r[1] * H_US * 1000) for r in rows], pa.timestamp("ns")
+                [base + int(r[1] * H_US) for r in rows], pa.timestamp("us")
             ),
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows]),

@@ -123,18 +123,31 @@ def test_class_weights_no_collect(spark, sf_dir):
 
 def test_dau_hll_rollup_accuracy(spark, sf_dir):
     """HLL daily sketches + sketch-union total must track exact distincts
-    within HLL error (lgConfigK default 12 -> ~1.6% typical, 5% bound)."""
-    from pyspark.sql import functions as F
+    within HLL error (lgConfigK default 12 -> ~1.6% typical, 5% bound).
+
+    The exact side comes from DUCKDB reading the same parquet — NOT from
+    load_events — so a timestamp-unit drift in the loader (round-5: ts_us
+    off by 1000x collapsed all day buckets, and the old self-referential
+    comparison collapsed identically and stayed green) breaks the day-key
+    set equality here instead of passing silently."""
+    import duckdb
 
     from pyspark_retention_pipeline_spark.registry import all_queries
-    from pyspark_retention_pipeline_spark.tables import load_events
 
     out = {r["day"]: r["approx_users"] for r in
            all_queries()["dau_hll_rollup"](spark, sf_dir).collect()}
-    e = load_events(spark, sf_dir).withColumn("day", F.expr("ts_us DIV 86400000000"))
-    exact_daily = {r["day"]: r["n"] for r in
-                   e.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()}
-    exact_total = e.select("user_id").distinct().count()
+    exact_daily = dict(duckdb.sql(
+        f"SELECT epoch_us(ts) // 86400000000 AS day, COUNT(DISTINCT user_id) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+    ).fetchall())
+    exact_total = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert set(out) == set(exact_daily) | {-1}, (
+        "day-bucket keys diverge from the independent oracle — "
+        "timestamp-unit drift in load_events?"
+    )
+    assert len(exact_daily) > 1  # guard: a unit collapse yields a single bucket
     assert abs(out[-1] - exact_total) / exact_total < 0.05
     for day, exact in exact_daily.items():
         assert abs(out[day] - exact) / max(exact, 1) < 0.05, (day, out[day], exact)
