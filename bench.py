@@ -89,6 +89,10 @@ def main() -> None:
     # query fn (MLlib jobs fire at build time), so the noop-write methodology
     # above would time only the scoring scan. Clear the model cache and time
     # fn-call + action together, cold, single run — train + batch score.
+    # Reported as its OWN top-level metric, NOT folded into the headline sum:
+    # a cold single-run MLlib CV train mixed into a best-of-two steady-state
+    # total made the round-5 ratio look like a regression when it was
+    # cold-start noise (round-5 verdict item 6 / ADVICE item 3).
     from pyspark_retention_pipeline_spark.operators import mlops
 
     mlops._MODEL_CACHE.clear()
@@ -96,13 +100,14 @@ def main() -> None:
     queries["ml_churn_scores"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
-    timings["ml_pipeline_wall"] = round(time.perf_counter() - start, 3)
+    ml_wall = round(time.perf_counter() - start, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "ml_pipeline_wall": ml_wall,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }

@@ -112,6 +112,16 @@ def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
        boundary); NTILE(k) and PERCENT_RANK are closed-form expressions of
        (global row_number, N) per the SQL spec, so no second sort is needed.
 
+    The offsets branch and the probe branch both descend from the SAME
+    range exchange, whose boundaries are *sampled* — if each branch executed
+    its own copy they could sample different boundaries and the per-_pid
+    counts would disagree with the probe rows' _pid values (silently wrong
+    ranks). A lazy ``localCheckpoint`` pins ``local`` to one materialization
+    both branches read, so consistency no longer hinges on
+    ``spark.sql.exchange.reuse``/AQE replan behavior (round-5 ADVICE item
+    1); lazy, so plan-only sweeps still trigger no job. The checkpoint holds
+    the aggregated customer grain, not the raw corpus.
+
     Result is hash-identical to the single-window form; the plan has no
     unpartitioned window over an unbounded grain."""
     o = load_table(spark, sf_dir, "orders")
@@ -125,7 +135,9 @@ def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = Window.partitionBy("_pid").orderBy(
         F.col("total_spend").desc(), F.col("custkey")
     )
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
     # Tiny frame: one row per range partition. The unpartitioned windows here
     # run over an Aggregate-bounded input (≤ nparts rows) — the safe kind.
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))

@@ -143,17 +143,41 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous-greedy trade; shard boundaries additionally cost at most one
     under-filled pack per shard, the price of parallelism.
     Small-data global ordering is :func:`pack_documents_global_frame`."""
-    return pack_documents_frame(load_table(spark, sf_dir, "documents"))
+    return pack_documents_frame(
+        load_table(spark, sf_dir, "documents"),
+        n_docs=_parquet_num_rows(f"{sf_dir}/documents.parquet"),
+    )
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job, no data pages.
+    Building the pack_documents plan used to fire a ``docs.count()`` job at
+    query-construction time (round-5 ADVICE item 4); the footer already
+    stores the exact count."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
 def pack_documents_frame(
-    docs: DataFrame, shard_docs: int = PACK_SHARD_DOCS
+    docs: DataFrame, shard_docs: int = PACK_SHARD_DOCS, n_docs: int | None = None
 ) -> DataFrame:
     """Shard-local packing over an arbitrary ``(doc_id, text)`` frame — see
-    :func:`pack_documents`. The shard count comes from ``docs.count()``
-    (parquet metadata only for file-backed frames); both windows share one
-    ``partitionBy(shard_id)`` exchange."""
-    n_docs = docs.count()
+    :func:`pack_documents`. The shard count needs the document count up
+    front; pass ``n_docs`` when the caller can get it without a job (parquet
+    footer metadata — the registry path does), else this falls back to
+    ``docs.count()``. Both windows share one ``partitionBy(shard_id)``
+    exchange."""
+    if n_docs is None:
+        n_docs = docs.count()
     n_shards = max(1, -(-n_docs // shard_docs))
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10

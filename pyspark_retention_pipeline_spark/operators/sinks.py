@@ -8,8 +8,11 @@ round-trips values, types, and partition-column encoding exactly (round-3
 verdict item 4: the sink tier previously had only rows-only pytest signal).
 
 The snapshot lands under the repo's (gitignored) ``spark-warehouse/`` — one
-fixed path per scale factor, ``overwrite`` mode, so repeated runs are
-idempotent and nothing accumulates.
+path per (Spark application, scale factor), ``overwrite`` mode. Keying the
+path by ``applicationId`` makes concurrent sessions (driver gate + a local
+pytest run, say) write disjoint directories instead of racing on one shared
+snapshot and corrupting each other's re-read (round-5 ADVICE item 2);
+within one application repeated runs stay idempotent.
 """
 
 from __future__ import annotations
@@ -49,7 +52,11 @@ def parquet_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    path = str(_ROUNDTRIP_ROOT / f"orders_by_status_{Path(sf_dir.rstrip('/')).name}")
+    path = str(
+        _ROUNDTRIP_ROOT
+        / spark.sparkContext.applicationId
+        / f"orders_by_status_{Path(sf_dir.rstrip('/')).name}"
+    )
     write_partitioned_parquet(o, path, ["o_orderstatus"])
     back = spark.read.parquet(path)
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(

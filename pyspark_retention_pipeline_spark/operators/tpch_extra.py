@@ -35,7 +35,7 @@ strategy (see joins.py module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..exprs import money_sum, scaled_sum, ts_lit

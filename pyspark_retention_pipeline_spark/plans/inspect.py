@@ -125,15 +125,24 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     can't distinguish a deliberate tiny frame from a regression; this makes
     the distinction a checked invariant (round-3 verdict item 7): returns
     one descriptor per unpartitioned window with no ``Aggregate`` /
-    ``GlobalLimit`` / ``Deduplicate`` anywhere below it in the optimized
-    logical plan. Registry-wide test:
-    ``tests/test_plans.py::test_no_unpartitioned_corpus_windows``."""
+    ``GlobalLimit`` / ``Deduplicate`` bounding EVERY row-contributing path
+    below it in the optimized logical plan. Registry-wide test:
+    ``tests/test_plans.py::test_no_unpartitioned_corpus_windows``.
+
+    A reduction bounds the window only if every path that contributes rows
+    passes through one — so multi-child nodes (Join, Union) require ALL
+    children bounded. The earlier ``any``-descent falsely marked a
+    corpus-scale window bounded when the corpus was merely *joined* to a
+    tiny aggregate (round-5 ADVICE item 1): the aggregate bounds the
+    broadcast side's cardinality, not the probe side's."""
 
     def reduced(node) -> bool:
         if node.getClass().getSimpleName() in _BOUNDED_REDUCTIONS:
             return True
         kids = node.children()
-        return any(reduced(kids.apply(i)) for i in range(kids.size()))
+        if kids.size() == 0:
+            return False  # bare relation: corpus-scale
+        return all(reduced(kids.apply(i)) for i in range(kids.size()))
 
     out: list[str] = []
 

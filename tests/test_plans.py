@@ -122,6 +122,59 @@ def test_no_unpartitioned_corpus_windows(spark, sf_dir):
     assert not offenders, f"unpartitioned corpus-scale windows: {offenders}"
 
 
+def test_unpartitioned_window_detector_sees_through_join(spark, sf_dir):
+    """Round-5 ADVICE item 1: the detector must NOT treat a corpus joined to
+    a tiny aggregate as bounded — the aggregate bounds only the broadcast
+    side; every corpus row still funnels through the single window task. The
+    old any-descent reducer was fooled by exactly this shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.plans import unpartitioned_corpus_windows
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    tiny = o.agg(F.max("o_totalprice").alias("max_price"))  # 1-row aggregate
+    joined = o.crossJoin(F.broadcast(tiny))
+    w = Window.orderBy("o_orderkey")  # unpartitioned over the full corpus
+    flagged = unpartitioned_corpus_windows(
+        joined.withColumn("rank", F.row_number().over(w))
+    )
+    assert flagged, "corpus-scale window behind a tiny-aggregate join not flagged"
+
+    # Control: the same window over a genuinely aggregate-bounded frame
+    # (one row per group) must stay exempt.
+    grouped = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    ok = unpartitioned_corpus_windows(
+        grouped.withColumn("rank", F.row_number().over(Window.orderBy("n")))
+    )
+    assert not ok, f"aggregate-bounded window falsely flagged: {ok}"
+
+
+def test_two_phase_rank_survives_no_exchange_reuse(spark, sf_dir):
+    """Round-5 ADVICE item 1: the two-phase rank's offsets branch and probe
+    branch must see the SAME sampled range boundaries even when Spark never
+    reuses the exchange — the lazy localCheckpoint pins one materialization.
+    Run with exchange reuse + AQE off and compare against the default run."""
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["customer_rank_family"]
+    baseline = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    confs = {"spark.sql.exchange.reuse": "false", "spark.sql.adaptive.enabled": "false"}
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hardened = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert hardened == baseline
+
+
 def test_shuffle_budgets(spark, sf_dir):
     """Exchange counts stay at the designed minimum (at test SF the dim
     joins broadcast, so the only shuffles are the aggregations): one for a
