@@ -1,9 +1,17 @@
 """Driver-gate ordering contract for the query registry.
 
 The driver's correctness gate verifies a bounded prefix of ``queries()``
-(50 entries in round 1), so insertion order is load-bearing: every slot in
-the window must be oracle-backed (hard-verifiable), and the extension tier
-(dedup / similarity / text / events) must sit inside the window.
+(50 entries per round), so insertion order is load-bearing. The policy is
+re-derived EVERY round (round-5 verdict item 2 made this a checklist item);
+this file pins the CURRENT round's rotation so a code change that silently
+reorders the registry fails loudly.
+
+Round-6 policy (VERDICT r5 items 1/2/7): the window must seat (a) every
+query repaired by the load_events precision fix, (b) the two round-5 plan
+rewrites that shipped without driver rows, (c) ALL rows-only queries — 17
+of 19 had never had even a rows>0 driver record — and (d) the flagship.
+Seating rows-only queries costs oracle slots this round by design; the
+backfill tier keeps the remaining slots on the stalest oracle coverage.
 """
 
 from pyspark_retention_pipeline_spark.registry import (
@@ -14,59 +22,29 @@ from pyspark_retention_pipeline_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-EXTENSION_MUST_BE_IN_WINDOW = {
-    "dedup_exact",
-    "word_jaccard_pairs",
-    "knn_bruteforce",
-    "embedding_neardup",
-    "sessionize",
+# (a) every consumer of load_events — all were broken or suspect under the
+# round-5 ns→µs testdata drift and need fresh driver rows post-fix.
+EVENT_REPAIRED = {
     "tumbling_hourly",
+    "sessionize",
+    "sliding_hourly",
+    "daily_rollup_from_hourly",
+    "event_type_hourly_pivot",
+    "range_join_error_context",
+    "asof_last_purchase",
+    "event_day_spine_fill",
     "json_props",
-    "text_stats",
-    "monthly_revenue",
-    "rollup_revenue",
-    "hash_sample",
-    "binary_meta",
-    # round-2 extension additions
-    "repetition_stats",
-    "pii_scrub",
-    "c4_quality_filter",
-    "chunk_documents",
-    "pack_documents",
-    "embedding_quantize_stats",
-    # de-hinted query kept in-window as broadcast-removal proof
-    "top_parts_per_segment",
+    "json_typed_parse",
+    "signup_purchase_funnel",
+    "event_type_map_summary",
+    "dau_hll_rollup",
 }
 
-# Round-4 rotation (VERDICT r3 item 1): queries with no driver row in any
-# round — or whose implementation changed this round — must occupy window
-# slots until CORRECTNESS_r04 lands their green rows.
-ROTATION_MUST_BE_IN_WINDOW = {
-    # never verified: round-3 late additions
-    "ngram_contamination",
-    "token_budget_select",
-    "lang_mix_sample",
-    "train_val_test_split",
-    "large_volume_customers",
-    # never verified: round-4 additions
-    "curate_corpus",
-    "parquet_roundtrip_revenue",
-    "incremental_dedup",
-    "source_mix_report",
-    "token_len_histogram",
-    "epoch_shuffle",
-    "quality_budget_select",
-    "media_embed_knn",
-    "local_supplier_volume",
-    "forecast_revenue_discount",
-    "product_type_profit",
-    "waiting_suppliers",
-    # implementation changed in round 4
-    "pack_documents",
-    "skew_salted_segment_counts",
-    # flagship continuity
-    "churn_features",
-}
+# (b) plans rewritten in round 5 with no driver row since the rewrite.
+REWRITTEN_R5 = {"customer_rank_family", "top_revenue_suppliers"}
+
+# (d) flagship continuity slot — in the window every round.
+FLAGSHIP = {"churn_features"}
 
 
 def test_front_names_all_exist():
@@ -75,26 +53,27 @@ def test_front_names_all_exist():
     assert not missing, f"_FRONT references unregistered queries: {missing}"
 
 
-def test_driver_window_is_fully_oracle_backed():
+def test_front_fills_driver_window_exactly():
+    assert len(_FRONT) == DRIVER_WINDOW
+    assert len(set(_FRONT)) == DRIVER_WINDOW
+    assert list(all_queries())[:DRIVER_WINDOW] == list(_FRONT)
+
+
+def test_repaired_and_rewritten_inside_driver_window():
+    window = set(list(all_queries())[:DRIVER_WINDOW])
+    missing = (EVENT_REPAIRED | REWRITTEN_R5 | FLAGSHIP) - window
+    assert not missing, f"repaired/rewritten queries outside driver window: {missing}"
+
+
+def test_all_rows_only_queries_inside_driver_window():
+    """(c) every rows-only query gets a driver rows>0 record this round —
+    17 of 19 have never had one (VERDICT r5 item 7)."""
     ordered = list(all_queries())
     oracles = all_oracle_sql()
-    window = ordered[:DRIVER_WINDOW]
-    unverifiable = [n for n in window if n not in oracles]
-    assert not unverifiable, (
-        f"rows-only queries occupy driver correctness slots: {unverifiable}"
-    )
-
-
-def test_extension_tier_inside_driver_window():
-    window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = EXTENSION_MUST_BE_IN_WINDOW - window
-    assert not missing, f"extension queries outside driver window: {missing}"
-
-
-def test_rotation_debt_inside_driver_window():
-    window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = ROTATION_MUST_BE_IN_WINDOW - window
-    assert not missing, f"unverified/stale queries outside driver window: {missing}"
+    window = set(ordered[:DRIVER_WINDOW])
+    rows_only = {n for n in ordered if n not in oracles}
+    missing = rows_only - window
+    assert not missing, f"rows-only queries outside driver window: {missing}"
 
 
 def test_oracle_backed_precede_rows_only_after_front():
