@@ -391,3 +391,68 @@ def dau_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users")
     ).select(F.lit(-1).cast("long").alias("day"), "approx_users")
     return daily.unionByName(total)
+
+
+WEEK_US = 604_800_000_000
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+    ), f AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    ), c AS (
+      SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+             COUNT(*) AS n_users
+      FROM uw JOIN f USING (user_id) GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_offset, CAST(c.n_users AS BIGINT) AS n_users,
+           ROUND(c.n_users / s.n_users, 6) AS retention_rate
+    FROM c JOIN (SELECT cohort_week, n_users FROM c WHERE week_offset = 0) s
+      USING (cohort_week)
+    """,
+    tags=("retention", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the namesake analysis of a retention
+    pipeline: users cohorted by first-active week, each later week's
+    distinct-active count expressed as a share of the cohort.
+
+    ONE wide shuffle (on user_id) computes both the cohort assignment and
+    the per-user active-week set in a single aggregation: ``collect_set`` of
+    the week bucket is bounded by the calendar (≤52 rows/user/year), so the
+    aggregation state stays tiny no matter how many events a user has — the
+    map-side partial dedups weeks before anything shuffles. The exploded
+    (user, cohort, week) grain is then distinct by construction, so the
+    matrix needs only a plain COUNT, and the cohort-size divisor comes from
+    a window over the already-aggregated matrix itself (ordered by
+    week_offset, the first row of each cohort partition IS the cohort size)
+    — so raw events are scanned once and shuffled once; everything after the
+    first aggregation operates on ≤ #cohorts × #weeks rows. The naive
+    alternative (distinct on (user, week), then a groupBy(user) for cohorts,
+    then a re-join against a second scan) reads and shuffles the event grain
+    twice."""
+    e = load_events(spark, sf_dir)
+    week = F.expr(f"ts_us DIV {WEEK_US}")
+    per_user = e.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week"),
+        F.collect_set(week).alias("weeks"),
+    )
+    grid = per_user.select(
+        "cohort_week", F.explode("weeks").alias("week")
+    ).select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+    counts = grid.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    # Aggregate-bounded window: one partition per cohort, ≤ #weeks rows each;
+    # ordered by week_offset the first row is the offset-0 cohort size.
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    size = F.first("n_users").over(w)
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / size, 6).alias("retention_rate"),
+    )

@@ -260,3 +260,4 @@ def knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
     )
+

@@ -86,6 +86,8 @@ _FRONT: tuple[str, ...] = (
     "media_decode_stub",
     "approx_distinct_products",
     "p99_quantile_approx",
+    # --- new this round: never driver-verified ---
+    "cohort_retention",
     # --- flagship continuity slot ---
     "churn_features",
     # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
@@ -104,7 +106,6 @@ _FRONT: tuple[str, ...] = (
     "recent90_agg",
     "segments_by_revenue",
     "revenue_share",
-    "best_threshold",
 )
 
 

@@ -43,6 +43,9 @@ EVENT_REPAIRED = {
 # (b) plans rewritten in round 5 with no driver row since the rewrite.
 REWRITTEN_R5 = {"customer_rank_family", "top_revenue_suppliers"}
 
+# new queries added this round — never driver-verified, must be seated.
+NEW_THIS_ROUND = {"cohort_retention"}
+
 # (d) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
@@ -61,7 +64,7 @@ def test_front_fills_driver_window_exactly():
 
 def test_repaired_and_rewritten_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (EVENT_REPAIRED | REWRITTEN_R5 | FLAGSHIP) - window
+    missing = (EVENT_REPAIRED | REWRITTEN_R5 | NEW_THIS_ROUND | FLAGSHIP) - window
     assert not missing, f"repaired/rewritten queries outside driver window: {missing}"
 
 
