@@ -523,3 +523,73 @@ def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assignment_frame(base, "canonical_id").select(
         "doc_id", "canonical_id", "lang", "split"
     )
+
+
+# Per-source document cap: quality bins of the unique-token ratio (20 bins
+# over [0,1]); whole bins are kept per source until the cap is reached.
+SOURCE_CAP_DOCS = 15
+QUALITY_BINS = 20
+
+
+@query(
+    "source_cap_select",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / length(string_split(text, ' ')) * {QUALITY_BINS}) AS BIGINT)
+               AS qbin
+      FROM documents
+    ), bins AS (
+      SELECT source, qbin, COUNT(*) AS n_docs FROM scored GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, qbin,
+             COALESCE(SUM(n_docs) OVER (
+               PARTITION BY source ORDER BY qbin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_above
+      FROM bins
+    )
+    SELECT s.doc_id, s.source, s.qbin
+    FROM scored s JOIN cum c ON s.source = c.source AND s.qbin = c.qbin
+    WHERE c.n_above < {SOURCE_CAP_DOCS}
+    """,
+    tags=("curation", "source-cap"),
+)
+def source_cap_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination curation: cap every source at its ~{SOURCE_CAP_DOCS}
+    highest-quality documents, so no single domain swamps the training mix
+    (the per-source twin of the C4/Gopher corpus-balance step).
+
+    Scale shape: NO per-source row_number over the corpus — a top-K window
+    partitioned by source funnels each source's entire document set through
+    one task, and real web corpora have sources with billions of pages. As
+    in ``token_budget_select``, documents land in coarse quality bins
+    (unique-token ratio × {QUALITY_BINS}, integer floor — identical IEEE on
+    both engines); the per-(source, bin) counts aggregate to a tiny frame
+    (≤ #sources × {QUALITY_BINS} rows) where a partitioned running count
+    finds each source's selection threshold, and the corpus joins back
+    against the broadcast bin whitelist. Whole bins are kept, so overshoot
+    is bounded by the boundary bin's occupancy — deterministic across
+    engines, no order-dependent tiebreak inside a bin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    scored = d.select(
+        "doc_id", "source", F.floor(ratio * QUALITY_BINS).alias("qbin")
+    )
+    bins = scored.groupBy("source", "qbin").agg(F.count("*").alias("n_docs"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qbin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.select(
+        "source",
+        "qbin",
+        F.coalesce(F.sum("n_docs").over(w), F.lit(0)).alias("n_above"),
+    )
+    sel = cum.filter(F.col("n_above") < SOURCE_CAP_DOCS).select("source", "qbin")
+    return scored.join(F.broadcast(sel), ["source", "qbin"]).select(
+        "doc_id", "source", "qbin"
+    )

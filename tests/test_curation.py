@@ -233,3 +233,30 @@ def test_epoch_shuffle_orders_are_independent_and_stable(spark, sf_dir):
         for r in epoch_shuffle(spark, sf_dir).collect()
     }
     assert all(again[(d, e)] == b for e, m in by_epoch.items() for d, b in m.items())
+
+
+def test_source_cap_select_respects_cap(spark, sf_dir):
+    """Every source keeps at least min(cap, available) docs and overshoots
+    the cap by at most the boundary bin's occupancy (whole-bin selection)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.curation import (
+        SOURCE_CAP_DOCS,
+        source_cap_select,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    out = source_cap_select(spark, sf_dir)
+    kept = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              load_table(spark, sf_dir, "documents")
+              .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # boundary-bin occupancy per source = max docs in one kept (source, qbin)
+    worst_bin = {r["source"]: r["m"] for r in
+                 out.groupBy("source", "qbin").agg(F.count("*").alias("b"))
+                 .groupBy("source").agg(F.max("b").alias("m")).collect()}
+    assert set(kept) == set(totals)  # no source dropped entirely
+    for src, n in kept.items():
+        assert n >= min(SOURCE_CAP_DOCS, totals[src]), (src, n)
+        assert n <= SOURCE_CAP_DOCS + worst_bin[src] - 1, (src, n, worst_bin[src])
