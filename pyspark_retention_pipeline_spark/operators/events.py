@@ -1,11 +1,13 @@
 """Event-time operators over the ``events`` table (SURVEY.md §2.9 extension
 tier): tumbling / sliding windows, sessionization, JSON property access.
 
-The events source carries nanosecond timestamps (see tables.load_events);
-all event-time logic here runs on **integer epoch microseconds** — time-zone
-free, exactly comparable across engines, and cheaper than timestamp ops at
-scale (plain long arithmetic inside codegen). Streaming-native variants of the
-same windows live in ``pyspark_retention_pipeline_spark/streaming/``.
+The events source's on-disk timestamp precision varies by testdata
+generation (tables.load_events probes the parquet footer); all event-time
+logic here runs on the derived **integer epoch microseconds** column
+``ts_us`` — time-zone free, exactly comparable across engines, and cheaper
+than timestamp ops at scale (plain long arithmetic inside codegen).
+Streaming-native variants of the same windows live in
+``pyspark_retention_pipeline_spark/streaming/``.
 """
 
 from __future__ import annotations
@@ -456,3 +458,94 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / size, 6).alias("retention_rate"),
     )
+
+
+@query(
+    "dn_retention",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+    ), f AS (
+      SELECT user_id, MIN(day) AS day0 FROM ud GROUP BY user_id
+    ), flags AS (
+      SELECT f.user_id,
+             MAX(CASE WHEN ud.day = f.day0 + 1 THEN 1 ELSE 0 END) AS d1,
+             MAX(CASE WHEN ud.day = f.day0 + 7 THEN 1 ELSE 0 END) AS d7,
+             MAX(CASE WHEN ud.day = f.day0 + 30 THEN 1 ELSE 0 END) AS d30
+      FROM ud JOIN f USING (user_id) GROUP BY f.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(d1) AS BIGINT) AS d1_users,
+           CAST(SUM(d7) AS BIGINT) AS d7_users,
+           CAST(SUM(d30) AS BIGINT) AS d30_users,
+           ROUND(SUM(d1) / COUNT(*), 6) AS d1_rate,
+           ROUND(SUM(d7) / COUNT(*), 6) AS d7_rate,
+           ROUND(SUM(d30) / COUNT(*), 6) AS d30_rate
+    FROM flags
+    """,
+    tags=("retention", "dn"),
+)
+def dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7/D30 retention: of all users, how many were active
+    exactly N days after their first-seen day. Same single-shuffle shape as
+    ``cohort_retention`` — per-user ``min(day)`` + calendar-bounded
+    ``collect_set(day)`` in ONE aggregation on user_id — but here no explode
+    at all: the day-offset membership tests are ``array_contains`` flags on
+    the per-user set, and the final global rollup is a 1-row aggregate. The
+    relational alternative (distinct days ⋈ first-day frame, conditional
+    MAX per user — the oracle's form) shuffles the day grain twice."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    per_user = e.groupBy("user_id").agg(
+        F.min(day).alias("day0"), F.collect_set(day).alias("days")
+    )
+    def flag(n: int) -> F.Column:
+        return F.when(
+            F.array_contains("days", F.col("day0") + n), 1
+        ).otherwise(0)
+    flags = per_user.select(
+        flag(1).alias("d1"), flag(7).alias("d7"), flag(30).alias("d30")
+    )
+    n = F.count("*")
+    return flags.agg(
+        n.alias("n_users"),
+        F.sum("d1").alias("d1_users"),
+        F.sum("d7").alias("d7_users"),
+        F.sum("d30").alias("d30_users"),
+        F.round(F.sum("d1") / n, 6).alias("d1_rate"),
+        F.round(F.sum("d7") / n, 6).alias("d7_rate"),
+        F.round(F.sum("d30") / n, 6).alias("d30_rate"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("markov", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix behind
+    next-action models and funnel diagnostics). One shuffle on user_id feeds
+    the per-user ordered ``lag``; the (prev, next) pair count then aggregates
+    map-side into at most |event_types|² rows — the wide grain never
+    re-shuffles. Deterministic ordering via the (ts_us, event_id) tiebreak,
+    as in ``sessionize``."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
