@@ -53,6 +53,10 @@ HEADLINE = [
     "curate_corpus",
     "lsh_bucket_candidates",
     "simhash64",
+    # round 6: retention-analytics family (the engine's namesake) + corpus
+    # balance
+    "cohort_retention",
+    "source_cap_select",
 ]
 
 

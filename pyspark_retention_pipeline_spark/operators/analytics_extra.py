@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import as_double_array, dot
+from ..exprs import as_double_array, dot, money_sum
 from ..registry import query
 from ..tables import load_events, load_table
 
@@ -282,4 +282,73 @@ def acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2
+    ), coh AS (
+      SELECT o_custkey, m, rev, MIN(m) OVER (PARTITION BY o_custkey) AS m0
+      FROM per
+    ), agg AS (
+      SELECT m0 AS cohort_month, m - m0 AS month_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_custs,
+             ROUND(SUM(rev), 2) AS revenue
+      FROM coh GROUP BY 1, 2
+    )
+    SELECT cohort_month, month_offset, n_custs, revenue,
+           ROUND(SUM(revenue) OVER (
+             PARTITION BY cohort_month ORDER BY month_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS cum_revenue
+    FROM agg
+    """,
+    tags=("retention", "ltv"),
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the monetary sibling of
+    ``events.cohort_retention``: customers cohorted by first-order month,
+    each later month's revenue and its running total per cohort.
+
+    Scale shape mirrors the retention matrix: ONE wide shuffle on
+    (custkey, month) collapses the order grain to per-customer-month
+    revenue (map-side partial aggregation does the heavy lifting); the
+    cohort assignment is a min-window over that already-aggregated grain
+    partitioned by customer; the matrix aggregation and the cumulative-LTV
+    window then operate on ≤ #cohorts × #months rows. Money discipline
+    throughout: every SUM of doubles is rounded at 2 decimals before the
+    next stage consumes it (exprs.money_sum), and the cumulative window
+    folds those already-identical values in deterministic offset order, so
+    the running totals match the oracle bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    month = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    per = o.groupBy("o_custkey", month.alias("m")).agg(
+        money_sum("o_totalprice").alias("rev")
+    )
+    coh = per.withColumn(
+        "m0", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
+    agg = coh.groupBy(
+        F.col("m0").alias("cohort_month"),
+        (F.col("m") - F.col("m0")).alias("month_offset"),
+    ).agg(F.count("*").alias("n_custs"), money_sum("rev").alias("revenue"))
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "cohort_month",
+        "month_offset",
+        "n_custs",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
     )

@@ -88,6 +88,10 @@ _FRONT: tuple[str, ...] = (
     "p99_quantile_approx",
     # --- new this round: never driver-verified ---
     "cohort_retention",
+    "dn_retention",
+    "event_transition_matrix",
+    "cohort_ltv",
+    "source_cap_select",
     # --- flagship continuity slot ---
     "churn_features",
     # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
@@ -102,10 +106,6 @@ _FRONT: tuple[str, ...] = (
     "left_join_enrich",
     "label_antijoin",
     "churned_customers",
-    "active_customers_semi",
-    "recent90_agg",
-    "segments_by_revenue",
-    "revenue_share",
 )
 
 

@@ -44,7 +44,13 @@ EVENT_REPAIRED = {
 REWRITTEN_R5 = {"customer_rank_family", "top_revenue_suppliers"}
 
 # new queries added this round — never driver-verified, must be seated.
-NEW_THIS_ROUND = {"cohort_retention"}
+NEW_THIS_ROUND = {
+    "cohort_retention",
+    "dn_retention",
+    "event_transition_matrix",
+    "cohort_ltv",
+    "source_cap_select",
+}
 
 # (d) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
