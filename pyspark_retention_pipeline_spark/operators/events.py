@@ -549,3 +549,79 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "session_funnel",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM gaps
+    ), seqs AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, ',' ORDER BY ts_us, event_id) AS seq
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN seq LIKE '%view%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS s1_view,
+           CAST(SUM(CASE WHEN seq LIKE '%view%click%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS s2_click,
+           CAST(SUM(CASE WHEN seq LIKE '%view%click%signup%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS s3_signup,
+           CAST(SUM(CASE WHEN seq LIKE '%view%click%signup%purchase%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS s4_purchase
+    FROM seqs
+    """,
+    tags=("funnel", "sequence"),
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel WITHIN a session (view → click → signup →
+    purchase, 30-min-gap sessions): how many sessions reach each stage in
+    order. Sequence containment is subsequence matching on the session's
+    ordered event-type string — a single LIKE with interleaved wildcards,
+    pure codegen on both engines (event-type names share no substrings, so
+    the comma-joined encoding is unambiguous). The session assignment reuses
+    the ``sessionize`` lag + running-sum shape; the per-session type string
+    is an ``array_sort(collect_list(struct(ts_us, event_id, type)))`` whose
+    struct field order gives the same deterministic (ts_us, event_id)
+    ordering as the oracle's ``string_agg(... ORDER BY)``. One shuffle on
+    user_id feeds the windows; sessions aggregate map-side after that; the
+    final rollup is one row. Per-session state is bounded by session length
+    (gap-capped), not user history."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.select("user_id", "event_id", "event_type", "ts_us").withColumn(
+        "session_id", F.sum(is_new).over(run).cast("long")
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(ordered_types, ",").alias("seq")
+    )
+    def stage(pattern: str) -> F.Column:
+        return F.sum(F.when(F.col("seq").like(pattern), 1).otherwise(0))
+    return seqs.agg(
+        F.count("*").alias("n_sessions"),
+        stage("%view%").alias("s1_view"),
+        stage("%view%click%").alias("s2_click"),
+        stage("%view%click%signup%").alias("s3_signup"),
+        stage("%view%click%signup%purchase%").alias("s4_purchase"),
+    )

@@ -92,6 +92,7 @@ _FRONT: tuple[str, ...] = (
     "event_transition_matrix",
     "cohort_ltv",
     "source_cap_select",
+    "session_funnel",
     # --- flagship continuity slot ---
     "churn_features",
     # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
@@ -105,7 +106,6 @@ _FRONT: tuple[str, ...] = (
     "threshold_pred",
     "left_join_enrich",
     "label_antijoin",
-    "churned_customers",
 )
 
 

@@ -50,6 +50,7 @@ NEW_THIS_ROUND = {
     "event_transition_matrix",
     "cohort_ltv",
     "source_cap_select",
+    "session_funnel",
 }
 
 # (d) flagship continuity slot — in the window every round.
