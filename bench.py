@@ -54,9 +54,12 @@ HEADLINE = [
     "lsh_bucket_candidates",
     "simhash64",
     # round 6: retention-analytics family (the engine's namesake) + corpus
-    # balance
+    # balance + engagement tier (stickiness has the widest fan-out: a
+    # bounded 28-way explode over the distinct user-day grain)
     "cohort_retention",
     "source_cap_select",
+    "growth_accounting",
+    "stickiness_ratio",
 ]
 
 

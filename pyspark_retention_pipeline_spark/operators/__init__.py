@@ -8,6 +8,7 @@ Grouped by SURVEY.md §2 families:
   * :mod:`.threshold`  — single-pass threshold sweep + confusion matrix (M9, A7)
   * :mod:`.retention`  — the flagship churn feature DAG (reference etl parity)
   * :mod:`.events`     — event-time windowing / sessionization / JSON props
+  * :mod:`.engagement` — growth accounting, stickiness, conversion latency
   * :mod:`.text`       — text analysis + exact/near dedup over documents
   * :mod:`.curation`   — corpus curation: contamination scan, token budgets
   * :mod:`.similarity` — embedding similarity search
@@ -23,6 +24,7 @@ from . import (  # noqa: F401
     threshold,
     retention,
     events,
+    engagement,
     tpch_extra,
     text,
     text_quality,

@@ -1,0 +1,252 @@
+"""Engagement / growth-accounting operators over the ``events`` table —
+the analytics a retention team runs daily on top of the cohort tier
+(reference scope: the retention analyses around ``pipeline/etl.py`` and the
+notebook; these extend SURVEY.md §2.9's event tier with the standard
+growth-accounting suite: new/retained/resurrected, DAU/MAU stickiness,
+power-user curve, session-duration distribution, signup→purchase latency).
+
+All of these share one scale discipline: collapse the raw event grain to a
+small per-user or per-(user, day) grain in the FIRST shuffle, then do every
+subsequent step on the collapsed frame. At 100 TB the events table is the
+only unbounded input; (user × active-day) is bounded by calendar × user
+count, and everything downstream of it here is at most 28× that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_events
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+WEEK_US = 7 * DAY_US
+SESSION_GAP_US = 1_800_000_000  # 30 min — same gap as operators.events.sessionize
+FIVE_MIN_US = 300_000_000
+
+
+@query(
+    "growth_accounting",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+    ), seq AS (
+      SELECT user_id, week,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      FROM uw
+    )
+    SELECT week,
+           CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected
+    FROM seq
+    GROUP BY week
+    """,
+    tags=("growth-accounting", "retention"),
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) is exactly one of
+    **new** (first-ever week), **retained** (also active the prior week), or
+    **resurrected** (active before, but not the prior week).
+
+    ONE shuffle on user_id produces a calendar-bounded sorted week set per
+    user (`sort_array(collect_set(...))` — map-side partials dedup weeks
+    before anything moves); the prior week is then an O(1) array lookup on
+    the exploded positions, so no second window shuffle over the event or
+    even the (user, week) grain is needed. The oracle's LAG-over-distinct
+    form shuffles the (user, week) grain twice."""
+    e = load_events(spark, sf_dir)
+    week = F.expr(f"ts_us DIV {WEEK_US}")
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set(week)).alias("weeks")
+    )
+    seq = per_user.select(F.posexplode("weeks").alias("pos", "week"), "weeks")
+    # element_at is 1-based: element_at(weeks, pos) is the element BEFORE
+    # the current one (at 0-based index pos - 1).
+    prev = F.when(F.col("pos") > 0, F.element_at("weeks", F.col("pos")))
+    seq = seq.select("week", prev.alias("prev_week"))
+    return seq.groupBy("week").agg(
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.col("week") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+
+
+@query(
+    "stickiness_ratio",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+    ), cover AS (
+      SELECT DISTINCT user_id, day + g.k AS day
+      FROM ud CROSS JOIN generate_series(0, 27) g(k)
+    ), mau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS mau28 FROM cover GROUP BY day
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT dau.day AS day, dau.dau AS dau, mau.mau28 AS mau28,
+           ROUND(dau.dau / mau.mau28, 6) AS stickiness
+    FROM dau JOIN mau USING (day)
+    """,
+    tags=("stickiness", "dau-mau"),
+)
+def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stickiness = DAU / trailing-28-day MAU, the canonical
+    engagement-quality ratio.
+
+    The trailing-window distinct is the interesting part at scale: a naive
+    form is a 28-day self-join or a windowed COUNT(DISTINCT) (which Spark
+    refuses over a frame anyway). Instead each distinct (user, day) row is
+    exploded to the ≤28 window-END days it supports (`sequence(day,
+    day+27)`), and a second distinct collapses multi-active users within a
+    window — MAU28(D) is then a plain COUNT per day. Cost is bounded by
+    28 × |user×day|, independent of raw event volume, and every step is a
+    hash shuffle — no sort, no window over an unbounded frame. Days with
+    zero active users produce no DAU row and are dropped by the inner join
+    (both engines agree by construction)."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 27)).alias("day"),
+    ).distinct()
+    mau = cover.groupBy("day").agg(F.count("*").alias("mau28"))
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau28",
+        F.round(F.col("dau") / F.col("mau28"), 6).alias("stickiness"),
+    )
+
+
+@query(
+    "power_user_curve",
+    oracle=f"""
+    WITH pc AS (
+      SELECT user_id,
+             COUNT(DISTINCT epoch_us(ts) // {DAY_US}) AS n_active_days
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM pc
+    GROUP BY n_active_days
+    """,
+    tags=("power-user", "histogram"),
+)
+def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the "L28-style" histogram): how many users were
+    active on exactly N distinct days. One shuffle on user_id with an exact
+    per-user distinct (per-group state bounded by the calendar), then a
+    second tiny aggregation over ≤ #days distinct values."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    per_user = e.groupBy("user_id").agg(
+        F.count_distinct(day).alias("n_active_days")
+    )
+    return per_user.groupBy("n_active_days").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "session_duration_histogram",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS duration_us
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT duration_us // {FIVE_MIN_US} AS dur_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 6) AS avg_events
+    FROM per_session
+    GROUP BY dur_bucket
+    """,
+    tags=("sessionization", "histogram"),
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution in 5-minute buckets, with the mean
+    event count per bucket — the shape chart behind every "are sessions
+    getting longer?" question. Reuses the sessionize lag + running-sum plan
+    (one shuffle on user_id serves both windows and the per-session rollup);
+    the bucket histogram then aggregates the already-collapsed session grain."""
+    from .events import sessionize
+
+    per_session = sessionize(spark, sf_dir)
+    bucket = F.expr(f"duration_us DIV {FIVE_MIN_US}")
+    return per_session.groupBy(bucket.alias("dur_bucket")).agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )
+
+
+@query(
+    "time_to_conversion",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purchase_us
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT (purchase_us - signup_us) // {HOUR_US} AS hours_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    WHERE signup_us IS NOT NULL AND purchase_us IS NOT NULL
+      AND purchase_us > signup_us
+    GROUP BY hours_bucket
+    """,
+    tags=("conversion", "funnel"),
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency histogram (hour buckets): per user, the
+    gap between first signup and first purchase, counted only when the
+    purchase follows the signup. ONE conditional aggregation on user_id —
+    no funnel self-join — then an hour-bucket rollup of the tiny per-user
+    frame. ``DIV`` vs DuckDB ``//`` agree because the filtered gap is
+    strictly positive."""
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias(
+            "signup_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "purchase_us"
+        ),
+    )
+    converted = per_user.filter(
+        F.col("signup_us").isNotNull()
+        & F.col("purchase_us").isNotNull()
+        & (F.col("purchase_us") > F.col("signup_us"))
+    )
+    bucket = F.expr(f"(purchase_us - signup_us) DIV {HOUR_US}")
+    return converted.groupBy(bucket.alias("hours_bucket")).agg(
+        F.count("*").alias("n_users")
+    )

@@ -93,6 +93,11 @@ _FRONT: tuple[str, ...] = (
     "cohort_ltv",
     "source_cap_select",
     "session_funnel",
+    "growth_accounting",
+    "stickiness_ratio",
+    "power_user_curve",
+    "session_duration_histogram",
+    "time_to_conversion",
     # --- flagship continuity slot ---
     "churn_features",
     # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
@@ -101,11 +106,6 @@ _FRONT: tuple[str, ...] = (
     "cohort_filter",
     "segment_case",
     "not_cancelled",
-    "sql_expr_filter",
-    "top_customers",
-    "threshold_pred",
-    "left_join_enrich",
-    "label_antijoin",
 )
 
 

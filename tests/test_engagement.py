@@ -1,0 +1,112 @@
+"""Semantic invariants for the engagement / growth-accounting tier
+(operators/engagement.py). Oracle parity is covered by test_oracle_parity;
+these pin the accounting identities that parity alone can't express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark_retention_pipeline_spark.operators.engagement import (
+    DAY_US,
+    growth_accounting,
+    power_user_curve,
+    session_duration_histogram,
+    stickiness_ratio,
+    time_to_conversion,
+)
+from pyspark_retention_pipeline_spark.operators.events import sessionize
+from pyspark_retention_pipeline_spark.tables import load_events
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_events(spark, sf_dir)
+
+
+def test_growth_accounting_identity(spark, sf_dir, events):
+    """Every user is 'new' exactly once, so n_new sums to the user count;
+    and each weekly row partitions the week's actives into the 3 classes."""
+    ga = growth_accounting(spark, sf_dir).collect()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_new for r in ga) == n_users
+    first_week = min(r.week for r in ga)
+    for r in ga:
+        if r.week == first_week:
+            assert r.n_retained == 0 and r.n_resurrected == 0
+        assert r.n_new >= 0 and r.n_retained >= 0 and r.n_resurrected >= 0
+
+
+def test_growth_accounting_matches_weekly_actives(spark, sf_dir, events):
+    ga = {r.week: r for r in growth_accounting(spark, sf_dir).collect()}
+    weekly = {
+        r.week: r.n_active
+        for r in events.select(
+            "user_id", F.expr(f"ts_us DIV {7 * DAY_US}").alias("week")
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n_active"))
+        .collect()
+    }
+    assert set(ga) == set(weekly)
+    for week, r in ga.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == weekly[week]
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = stickiness_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mau28 >= r.dau > 0
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_stickiness_mau_covers_trailing_window(spark, sf_dir, events):
+    """Spot-check MAU28 on the max-DAU day against a direct filter."""
+    rows = stickiness_ratio(spark, sf_dir).collect()
+    probe = max(rows, key=lambda r: r.dau)
+    direct = (
+        events.select("user_id", F.expr(f"ts_us DIV {DAY_US}").alias("day"))
+        .filter((F.col("day") <= probe.day) & (F.col("day") >= probe.day - 27))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert probe.mau28 == direct
+
+
+def test_power_user_curve_accounts_for_everyone(spark, sf_dir, events):
+    rows = power_user_curve(spark, sf_dir).collect()
+    assert sum(r.n_users for r in rows) == events.select("user_id").distinct().count()
+    # weighted sum = |distinct (user, day)|
+    user_days = (
+        events.select("user_id", F.expr(f"ts_us DIV {DAY_US}").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_active_days * r.n_users for r in rows) == user_days
+
+
+def test_session_duration_histogram_counts_sessions(spark, sf_dir):
+    hist = session_duration_histogram(spark, sf_dir).collect()
+    n_sessions = sessionize(spark, sf_dir).count()
+    assert sum(r.n_sessions for r in hist) == n_sessions
+    for r in hist:
+        assert r.dur_bucket >= 0 and r.avg_events >= 1.0
+
+
+def test_time_to_conversion_subset_of_funnel_users(spark, sf_dir, events):
+    rows = time_to_conversion(spark, sf_dir).collect()
+    both = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("s"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("p"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("p").isNotNull())
+        .count()
+    )
+    assert sum(r.n_users for r in rows) <= both
+    for r in rows:
+        assert r.hours_bucket >= 0 and r.n_users > 0

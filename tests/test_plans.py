@@ -197,6 +197,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "incremental_dedup": 1,  # fingerprint anti-join (16-byte keys)
         "curate_corpus": 4,  # fingerprint window, gram agg+join, doc rollup
         "token_budget_select": 2,  # bin agg + bin-frame window
+        # round 6: engagement tier — every plan collapses the event grain
+        # in its FIRST exchange; later exchanges move bounded frames only
+        "growth_accounting": 2,  # user_id agg + week rollup
+        "power_user_curve": 3,  # two-phase per-user distinct + histogram
+        "session_duration_histogram": 2,  # sessionize shuffle + bucket rollup
+        "time_to_conversion": 2,  # conditional user agg + hour rollup
+        "stickiness_ratio": 5,  # 2 distincts + dau/mau aggs + day join
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

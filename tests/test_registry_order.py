@@ -51,6 +51,11 @@ NEW_THIS_ROUND = {
     "cohort_ltv",
     "source_cap_select",
     "session_funnel",
+    "growth_accounting",
+    "stickiness_ratio",
+    "power_user_curve",
+    "session_duration_histogram",
+    "time_to_conversion",
 }
 
 # (d) flagship continuity slot — in the window every round.
