@@ -352,3 +352,82 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
     )
+
+
+@query(
+    "rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(SUM(cents) OVER (ORDER BY day
+                                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 / 100.0, 2) AS rolling_7d
+    FROM daily
+    """,
+    tags=("window-range-frame", "time-series"),
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a RANGE frame (value-based bounds — frames
+    skip missing calendar days correctly, unlike a ROWS frame over a sparse
+    spine). The frame runs over exact integer cents (engines disagree on
+    sliding-frame float accumulation order; integer addition can't), and the
+    window sits above the per-day aggregate: the unbounded orders grain is
+    collapsed in the FIRST shuffle, the single-partition sort only ever sees
+    ≤ #days rows — the detector-sanctioned bounded-frame shape."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(day.alias("day")).agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("rolling_7d"),
+    )
+
+
+@query(
+    "daily_activity_revenue_outer",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), od AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COALESCE(ev.day, od.day) AS BIGINT) AS day,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(od.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+    FROM ev FULL OUTER JOIN od ON ev.day = od.day
+    """,
+    tags=("J-full-outer", "time-series"),
+)
+def daily_activity_revenue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two independently-aggregated daily series (event
+    activity vs order revenue) with zero-fill — the join type the rest of
+    the registry never needs, exercised here where it's genuinely required:
+    the two tables cover different calendars, so BOTH null sides are hit.
+    Each input collapses to its day grain before the join; the outer join
+    itself moves only ≤ #days rows per side, and with AQE both bounded
+    sides typically meet in a broadcast."""
+    e = load_events(spark, sf_dir)
+    ev = e.groupBy(F.expr(f"ts_us DIV {DAY_US}").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    od = o.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("day")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    joined = ev.join(od, "day", "full")
+    return joined.select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )

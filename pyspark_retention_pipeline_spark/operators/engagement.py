@@ -250,3 +250,52 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return converted.groupBy(bucket.alias("hours_bucket")).agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "first_touch_attribution",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS rn
+      FROM events
+    ), conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT r.event_type AS first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c.converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(c.converted) / COUNT(*), 6) AS conversion_rate
+    FROM ranked r JOIN conv c USING (user_id)
+    WHERE r.rn = 1
+    GROUP BY 1
+    """,
+    tags=("attribution", "conversion"),
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: users grouped by their first-ever event type,
+    with the share that ever purchased. ONE shuffle on user_id computes both
+    the first touch (MIN over a (ts, event_id, type) struct — lexicographic
+    struct ordering makes argmin a plain MIN, no window, no self-join) and
+    the conversion flag; the attribution rollup then aggregates ≤ |users|
+    rows into ≤ |event types|. The oracle's row_number ⋈ conditional-agg
+    form shuffles the event grain twice — the struct-min trick has no ANSI
+    twin."""
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id", "event_type")).alias("first"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_user.groupBy(
+        F.col("first.event_type").alias("first_touch")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
+    )

@@ -98,14 +98,14 @@ _FRONT: tuple[str, ...] = (
     "power_user_curve",
     "session_duration_histogram",
     "time_to_conversion",
+    "first_touch_attribution",
+    "rolling_7d_revenue",
+    "daily_activity_revenue_outer",
     # --- flagship continuity slot ---
     "churn_features",
     # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
     "cast_projection",
     "recent_window",
-    "cohort_filter",
-    "segment_case",
-    "not_cancelled",
 )
 
 

@@ -110,3 +110,49 @@ def test_time_to_conversion_subset_of_funnel_users(spark, sf_dir, events):
     assert sum(r.n_users for r in rows) <= both
     for r in rows:
         assert r.hours_bucket >= 0 and r.n_users > 0
+
+
+def test_first_touch_attribution_partitions_users(spark, sf_dir, events):
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        first_touch_attribution,
+    )
+
+    rows = first_touch_attribution(spark, sf_dir).collect()
+    assert sum(r.n_users for r in rows) == events.select("user_id").distinct().count()
+    purchasers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_converted for r in rows) == purchasers
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_users
+        # a user whose first touch IS a purchase always counts as converted
+        if r.first_touch == "purchase":
+            assert r.n_converted == r.n_users
+
+
+def test_rolling_7d_revenue_window_identity(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        rolling_7d_revenue,
+    )
+
+    rows = {r.day: r for r in rolling_7d_revenue(spark, sf_dir).collect()}
+    for day, r in rows.items():
+        expect = round(
+            sum(rows[d].revenue for d in range(day - 6, day + 1) if d in rows), 2
+        )
+        assert abs(r.rolling_7d - expect) < 1e-6, (day, r.rolling_7d, expect)
+
+
+def test_daily_outer_join_hits_both_null_sides(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        daily_activity_revenue_outer,
+    )
+
+    rows = daily_activity_revenue_outer(spark, sf_dir).collect()
+    # events (2024-era) and orders (1990s TPC-H dates) calendars are disjoint
+    # enough that both unmatched sides must appear.
+    assert any(r.n_events == 0 and r.revenue > 0 for r in rows)
+    assert any(r.n_events > 0 and r.revenue == 0.0 for r in rows)

@@ -56,6 +56,9 @@ NEW_THIS_ROUND = {
     "power_user_curve",
     "session_duration_histogram",
     "time_to_conversion",
+    "first_touch_attribution",
+    "rolling_7d_revenue",
+    "daily_activity_revenue_outer",
 }
 
 # (d) flagship continuity slot — in the window every round.
