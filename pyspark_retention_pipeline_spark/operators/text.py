@@ -608,3 +608,70 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprints.alias("fingerprints"),
         F.size(fingerprints).cast("long").alias("n_fingerprints"),
     )
+
+
+@query(
+    "doc_len_quartiles_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+           ROUND(quantile_cont(n_chars, 0.90), 4) AS p90
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "A10", "percentile-array"),
+)
+def doc_len_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles in ONE aggregation: the
+    percentile argument is an *array*, so all four cut points come out of a
+    single sort-based accumulator per group instead of four separate
+    aggregates (4× less per-group state at the exchange). The length-curve
+    per language is the first chart of any corpus-mix review."""
+    d = load_table(spark, sf_dir, "documents")
+    qs = F.percentile(
+        "n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(qs[0], 4).alias("p25"),
+        F.round(qs[1], 4).alias("p50"),
+        F.round(qs[2], 4).alias("p75"),
+        F.round(qs[3], 4).alias("p90"),
+    )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    WITH g AS (
+      SELECT source, md5(text) AS fingerprint, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+           ROUND((SUM(n) - COUNT(*)) / SUM(n), 6) AS dup_rate
+    FROM g GROUP BY source
+    """,
+    tags=("dedup-exact", "diagnostics"),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate scorecard per source — the triage view that decides
+    which crawl needs near-dup attention first. Same 16-byte-key discipline
+    as dedup_exact: text hashes to md5 BEFORE the shuffle, the second
+    rollup runs on the already-collapsed (source, fingerprint) grain.
+    ``n_redundant`` counts copies beyond each fingerprint's canonical doc."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", F.md5("text").alias("fingerprint")).agg(
+        F.count("*").alias("n")
+    )
+    n_docs = F.sum("n")
+    n_redundant = F.sum("n") - F.count("*")
+    return g.groupBy("source").agg(
+        n_docs.cast("long").alias("n_docs"),
+        n_redundant.cast("long").alias("n_redundant"),
+        F.round(n_redundant / n_docs, 6).alias("dup_rate"),
+    )

@@ -45,8 +45,9 @@ _REGISTRY: dict[str, Query] = {}
 # (every consumer of the loader gets a fresh hash row), then the 2 round-5
 # plan rewrites that shipped without driver rows, then ALL 19 rows-only
 # queries — 17 of them have never had even a rows>0 driver record — then the
-# flagship continuity slot, and oldest-coverage backfill (green in round 2
-# only, unchecked since). Everything else keeps registration order, with
+# queries ADDED this round (never driver-verified), and the flagship
+# continuity slot. New-query volume consumed the oldest-coverage backfill
+# tier this round. Everything else keeps registration order, with
 # oracle-backed queries before rows-only ones so no verifiable query is ever
 # displaced by an unverifiable one.
 _FRONT: tuple[str, ...] = (
@@ -101,11 +102,10 @@ _FRONT: tuple[str, ...] = (
     "first_touch_attribution",
     "rolling_7d_revenue",
     "daily_activity_revenue_outer",
+    "doc_len_quartiles_by_lang",
+    "dup_rate_by_source",
     # --- flagship continuity slot ---
     "churn_features",
-    # --- oldest-coverage refresh: green in round 2 only, unchanged since ---
-    "cast_projection",
-    "recent_window",
 )
 
 

@@ -207,6 +207,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "rolling_7d_revenue": 2,  # day agg + bounded single-partition sort
         "daily_activity_revenue_outer": 2,  # two day aggs; join broadcasts
         "first_touch_attribution": 2,  # struct-min user agg + type rollup
+        "doc_len_quartiles_by_lang": 1,  # one percentile-array agg
+        "dup_rate_by_source": 2,  # fingerprint agg + source rollup
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

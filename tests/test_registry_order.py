@@ -59,6 +59,8 @@ NEW_THIS_ROUND = {
     "first_touch_attribution",
     "rolling_7d_revenue",
     "daily_activity_revenue_outer",
+    "doc_len_quartiles_by_lang",
+    "dup_rate_by_source",
 }
 
 # (d) flagship continuity slot — in the window every round.
