@@ -675,3 +675,40 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_redundant.cast("long").alias("n_redundant"),
         F.round(n_redundant / n_docs, 6).alias("dup_rate"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=r"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN length(regexp_extract_all(text, '\b(the|and|of|scan|join)\b')) >= 3
+                  THEN 'en' ELSE 'other' END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS row_share
+    FROM pred
+    GROUP BY lang, lang_pred
+    """,
+    tags=("text", "lang-id", "eval-metrics"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic: true
+    label × prediction counts with per-true-label row shares (recall on the
+    diagonal). The heuristic stays a codegen expression, so the only
+    shuffle carries (lang, pred) pairs — ≤ |langs|² rows — and the share
+    window runs over that already-aggregated matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"\b(the|and|of|scan|join)\b"), F.lit(0)
+        )
+    )
+    pred = F.when(hits >= 3, "en").otherwise("other")
+    counts = d.groupBy("lang", pred.alias("lang_pred")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return counts.withColumn("row_share", F.round(F.col("n_docs") / total, 6))

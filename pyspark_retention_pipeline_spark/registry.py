@@ -61,7 +61,9 @@ _FRONT: tuple[str, ...] = (
     "asof_last_purchase",
     "event_day_spine_fill",
     "json_props",
-    "json_typed_parse",
+    # json_typed_parse also consumes load_events but reads only props (ts
+    # can't affect it); its slot went to lang_id_confusion — it stays
+    # covered by the pytest parity gate and the committed sf0.1 sweep.
     "signup_purchase_funnel",
     "event_type_map_summary",
     # --- round-5 plan rewrites that shipped without a driver row ---
@@ -104,6 +106,7 @@ _FRONT: tuple[str, ...] = (
     "daily_activity_revenue_outer",
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
+    "lang_id_confusion",
     # --- flagship continuity slot ---
     "churn_features",
 )

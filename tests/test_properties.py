@@ -107,3 +107,81 @@ def test_threshold_curve_invariants(spark, labels, data):
     for r in curve:
         assert r["tp"] + r["fn"] == n_pos
         assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+
+
+@given(
+    weeksets=st.lists(
+        st.sets(st.integers(min_value=2800, max_value=2812), min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_growth_accounting_matches_python_reference(spark, weeksets, monkeypatch):
+    """growth_accounting == a straightforward per-user Python fold over
+    arbitrary week-activity sets (each user active in an arbitrary subset
+    of a 13-week calendar)."""
+    import pyspark_retention_pipeline_spark.operators.engagement as eng
+
+    rows = []
+    eid = 0
+    for uid, weeks in enumerate(weeksets):
+        for w in weeks:
+            rows.append((eid, uid, w * eng.WEEK_US + 12345))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    monkeypatch.setattr(eng, "load_events", lambda *_: df)
+
+    expect: dict[int, list[int]] = {}
+    for weeks in weeksets:
+        ordered = sorted(weeks)
+        for i, w in enumerate(ordered):
+            e = expect.setdefault(w, [0, 0, 0])
+            if i == 0:
+                e[0] += 1
+            elif ordered[i - 1] == w - 1:
+                e[1] += 1
+            else:
+                e[2] += 1
+
+    got = {
+        r["week"]: [r["n_new"], r["n_retained"], r["n_resurrected"]]
+        for r in eng.growth_accounting(spark, "ignored").collect()
+    }
+    assert got == expect
+
+
+@given(
+    daysets=st.lists(
+        st.sets(st.integers(min_value=19000, max_value=19040), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_stickiness_matches_python_reference(spark, daysets, monkeypatch):
+    """stickiness_ratio's MAU28 == brute-force trailing-window distinct
+    count for every day with activity."""
+    import pyspark_retention_pipeline_spark.operators.engagement as eng
+
+    rows = []
+    eid = 0
+    for uid, days in enumerate(daysets):
+        for d in days:
+            rows.append((eid, uid, d * eng.DAY_US + 999))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    monkeypatch.setattr(eng, "load_events", lambda *_: df)
+
+    active_days = sorted({d for days in daysets for d in days})
+    expect = {}
+    for d in active_days:
+        dau = sum(1 for days in daysets if d in days)
+        mau = sum(1 for days in daysets if any(d - 27 <= x <= d for x in days))
+        expect[d] = (dau, mau)
+
+    got = {
+        r["day"]: (r["dau"], r["mau28"])
+        for r in eng.stickiness_ratio(spark, "ignored").collect()
+    }
+    assert got == expect

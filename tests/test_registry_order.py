@@ -34,7 +34,6 @@ EVENT_REPAIRED = {
     "asof_last_purchase",
     "event_day_spine_fill",
     "json_props",
-    "json_typed_parse",
     "signup_purchase_funnel",
     "event_type_map_summary",
     "dau_hll_rollup",
@@ -61,6 +60,7 @@ NEW_THIS_ROUND = {
     "daily_activity_revenue_outer",
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
+    "lang_id_confusion",
 }
 
 # (d) flagship continuity slot — in the window every round.
