@@ -261,3 +261,54 @@ def knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
     )
 
+
+
+@query(
+    "centroid_inertia",
+    oracle="""
+    WITH expanded AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, dim,
+             ROUND(AVG(val), 6) AS m,
+             ROUND(AVG(val * val), 6) AS msq,
+             COUNT(*) AS n_vectors
+      FROM expanded GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(MAX(n_vectors) AS BIGINT) AS n_vectors,
+           ROUND(SUM(CAST(ROUND((msq - m * m) * 1000000) AS BIGINT))
+                 / 1000000.0, 6) AS inertia
+    FROM per_dim GROUP BY label
+    """,
+    tags=("similarity", "centroid", "cluster-quality"),
+)
+def centroid_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster inertia (mean squared L2 distance of members to their label
+    centroid) — the quality number that decides when an IVF codebook needs
+    retraining. The join-free trick: because the centroid IS the mean,
+    E||x − c||² = Σ_dim var(x_d), so one posexplode pass computes per-dim
+    mean and mean-square together and never revisits the vectors — the
+    naive centroid-join plan scans and shuffles the embedding corpus twice.
+    Per-dim moments are rounded at 1e-6 on both engines, and the cross-dim
+    sum runs over scaled integers (exprs.scaled_sum), so partial-agg order
+    can't move the result."""
+    from ..exprs import scaled_sum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    expanded = e.select(
+        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "val")
+    )
+    per_dim = expanded.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        F.round(F.avg("val"), 6).alias("m"),
+        F.round(F.avg(F.col("val") * F.col("val")), 6).alias("msq"),
+        F.count("*").alias("n_vectors"),
+    )
+    var_dim = F.col("msq") - F.col("m") * F.col("m")
+    return per_dim.groupBy("label").agg(
+        F.max("n_vectors").cast("long").alias("n_vectors"),
+        F.round(scaled_sum(var_dim, 6), 6).alias("inertia"),
+    )

@@ -65,7 +65,8 @@ _FRONT: tuple[str, ...] = (
     # can't affect it); its slot went to lang_id_confusion — it stays
     # covered by the pytest parity gate and the committed sf0.1 sweep.
     "signup_purchase_funnel",
-    "event_type_map_summary",
+    # event_type_map_summary: same ts-insensitive status as json_typed_parse
+    # (per-type counts, no ts_us consumer); its slot went to centroid_inertia.
     # --- round-5 plan rewrites that shipped without a driver row ---
     "customer_rank_family",  # two-phase distributed rank
     "top_revenue_suppliers",  # broadcast scalar-max
@@ -107,6 +108,7 @@ _FRONT: tuple[str, ...] = (
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
     "lang_id_confusion",
+    "centroid_inertia",
     # --- flagship continuity slot ---
     "churn_features",
 )

@@ -210,6 +210,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "doc_len_quartiles_by_lang": 1,  # one percentile-array agg
         "dup_rate_by_source": 2,  # fingerprint agg + source rollup
         "lang_id_confusion": 2,  # pair counts + tiny matrix window
+        "centroid_inertia": 2,  # (label, dim) moments + label rollup
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -35,7 +35,6 @@ EVENT_REPAIRED = {
     "event_day_spine_fill",
     "json_props",
     "signup_purchase_funnel",
-    "event_type_map_summary",
     "dau_hll_rollup",
 }
 
@@ -61,6 +60,7 @@ NEW_THIS_ROUND = {
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
     "lang_id_confusion",
+    "centroid_inertia",
 }
 
 # (d) flagship continuity slot — in the window every round.
