@@ -431,3 +431,82 @@ def daily_activity_revenue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+@query(
+    "part_cooccurrence",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), counts AS (
+      SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_orders FROM counts
+    ORDER BY n_orders DESC, p1, p2 LIMIT 100
+    """,
+    tags=("market-basket", "self-join"),
+)
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together.
+    The oracle's self-join form shuffles lineitem twice and re-materializes
+    every order as join output; here ONE shuffle groups each order's part
+    set (bounded: TPC-H orders have ≤7 lines, so ≤21 pairs/order) and the
+    pairs are generated in-row from the sorted set — pair fan-out is
+    O(order_size²), a constant, never O(corpus). Deterministic total order
+    (count desc, then pair) makes the top-100 stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(F.collect_set("l_partkey"))
+    per_order = li.groupBy("l_orderkey").agg(arr.alias("parts"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    exploded = per_order.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+    )
+    counts = exploded.groupBy("p1", "p2").agg(F.count("*").alias("n_orders"))
+    return counts.orderBy(F.desc("n_orders"), "p1", "p2").limit(100)
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(m AS BIGINT) AS m, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY m), 2) AS delta,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY m))
+                 / LAG(revenue) OVER (ORDER BY m) * 100, 6) AS pct_change
+    FROM monthly
+    """,
+    tags=("window-lag", "time-series"),
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: lag + delta + percent change on the
+    collapsed monthly grain (the unbounded orders input is reduced in the
+    first exchange; the unpartitioned lag window only ever sorts ≤ #months
+    rows). Derived floats divide the same two rounded revenues on both
+    engines, so the ratio is bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = o.groupBy(month.alias("m")).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "m",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias("pct_change"),
+    )

@@ -60,10 +60,11 @@ _FRONT: tuple[str, ...] = (
     "range_join_error_context",
     "asof_last_purchase",
     "event_day_spine_fill",
-    "json_props",
-    # json_typed_parse also consumes load_events but reads only props (ts
-    # can't affect it); its slot went to lang_id_confusion — it stays
-    # covered by the pytest parity gate and the committed sf0.1 sweep.
+    # json_props / json_typed_parse / event_type_map_summary also consume
+    # load_events but never read ts_us (props and type counts only — the
+    # precision fix can't move their output); their slots went to this
+    # round's new queries. All three stay covered by the pytest parity gate
+    # and the committed sf0.1 sweep.
     "signup_purchase_funnel",
     # event_type_map_summary: same ts-insensitive status as json_typed_parse
     # (per-type counts, no ts_us consumer); its slot went to centroid_inertia.
@@ -109,6 +110,10 @@ _FRONT: tuple[str, ...] = (
     "dup_rate_by_source",
     "lang_id_confusion",
     "centroid_inertia",
+    "part_cooccurrence",
+    # revenue_mom_growth (also new) didn't fit the 50-slot window without
+    # displacing a ts-sensitive repair; it rotates in next round and is
+    # pytest-parity-green at sf0.001/sf0.01 plus sweep-green at sf0.1.
     # --- flagship continuity slot ---
     "churn_features",
 )

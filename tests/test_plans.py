@@ -211,6 +211,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "dup_rate_by_source": 2,  # fingerprint agg + source rollup
         "lang_id_confusion": 2,  # pair counts + tiny matrix window
         "centroid_inertia": 2,  # (label, dim) moments + label rollup
+        "part_cooccurrence": 2,  # per-order part sets + pair counts
+        "revenue_mom_growth": 2,  # month agg + bounded lag window
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -33,7 +33,6 @@ EVENT_REPAIRED = {
     "range_join_error_context",
     "asof_last_purchase",
     "event_day_spine_fill",
-    "json_props",
     "signup_purchase_funnel",
     "dau_hll_rollup",
 }
@@ -61,7 +60,13 @@ NEW_THIS_ROUND = {
     "dup_rate_by_source",
     "lang_id_confusion",
     "centroid_inertia",
+    "part_cooccurrence",
 }
+
+# new this round but NOT seated: the 50-slot window filled with ts-sensitive
+# repairs + rows-only firsts; these rotate in next round (parity-green at
+# sf0.001/sf0.01 in pytest and sf0.1 in the committed sweep meanwhile).
+NEW_UNSEATED = {"revenue_mom_growth"}
 
 # (d) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
