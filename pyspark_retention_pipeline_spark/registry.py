@@ -66,8 +66,6 @@ _FRONT: tuple[str, ...] = (
     # round's new queries. All three stay covered by the pytest parity gate
     # and the committed sf0.1 sweep.
     "signup_purchase_funnel",
-    # event_type_map_summary: same ts-insensitive status as json_typed_parse
-    # (per-type counts, no ts_us consumer); its slot went to centroid_inertia.
     # --- round-5 plan rewrites that shipped without a driver row ---
     "customer_rank_family",  # two-phase distributed rank
     "top_revenue_suppliers",  # broadcast scalar-max
@@ -111,9 +109,9 @@ _FRONT: tuple[str, ...] = (
     "lang_id_confusion",
     "centroid_inertia",
     "part_cooccurrence",
-    # revenue_mom_growth (also new) didn't fit the 50-slot window without
-    # displacing a ts-sensitive repair; it rotates in next round and is
-    # pytest-parity-green at sf0.001/sf0.01 plus sweep-green at sf0.1.
+    # revenue_mom_growth / variant_props_histogram (also new) didn't fit
+    # the 50-slot window without displacing a ts-sensitive repair; they
+    # rotate in next round and are pytest-parity-green at sf0.001/sf0.01.
     # --- flagship continuity slot ---
     "churn_features",
 )

@@ -213,6 +213,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "centroid_inertia": 2,  # (label, dim) moments + label rollup
         "part_cooccurrence": 2,  # per-order part sets + pair counts
         "revenue_mom_growth": 2,  # month agg + bounded lag window
+        "variant_props_histogram": 1,  # variant decode is map-side; one agg
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -66,7 +66,7 @@ NEW_THIS_ROUND = {
 # new this round but NOT seated: the 50-slot window filled with ts-sensitive
 # repairs + rows-only firsts; these rotate in next round (parity-green at
 # sf0.001/sf0.01 in pytest and sf0.1 in the committed sweep meanwhile).
-NEW_UNSEATED = {"revenue_mom_growth"}
+NEW_UNSEATED = {"revenue_mom_growth", "variant_props_histogram"}
 
 # (d) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
