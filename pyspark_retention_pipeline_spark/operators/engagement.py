@@ -113,19 +113,30 @@ def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     day+27)`), and a second distinct collapses multi-active users within a
     window — MAU28(D) is then a plain COUNT per day. Cost is bounded by
     28 × |user×day|, independent of raw event volume, and every step is a
-    hash shuffle — no sort, no window over an unbounded frame. Days with
-    zero active users produce no DAU row and are dropped by the inner join
-    (both engines agree by construction)."""
+    hash shuffle — no sort, no window over an unbounded frame.
+
+    DAU rides along for free: instead of re-scanning for a separate DAU
+    aggregate and joining (two scans, five exchanges), the window-offset
+    dedup keeps ``min(k)`` — zero iff the user was active ON the window-end
+    day itself — so one scan and three shuffles produce both counts, and
+    days with no on-day actives (dau = 0) are filtered exactly where the
+    join form would have dropped them."""
     e = load_events(spark, sf_dir)
     day = F.expr(f"ts_us DIV {DAY_US}")
     ud = e.select("user_id", day.alias("day")).distinct()
     cover = ud.select(
         "user_id",
+        F.col("day").alias("src_day"),
         F.explode(F.sequence(F.col("day"), F.col("day") + 27)).alias("day"),
-    ).distinct()
-    mau = cover.groupBy("day").agg(F.count("*").alias("mau28"))
-    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
-    return dau.join(mau, "day").select(
+    ).select(
+        "user_id", "day", (F.col("day") - F.col("src_day")).alias("k")
+    )
+    per_user_day = cover.groupBy("user_id", "day").agg(F.min("k").alias("min_k"))
+    out = per_user_day.groupBy("day").agg(
+        F.sum(F.when(F.col("min_k") == 0, 1).otherwise(0)).cast("long").alias("dau"),
+        F.count("*").alias("mau28"),
+    )
+    return out.filter(F.col("dau") > 0).select(
         "day",
         "dau",
         "mau28",

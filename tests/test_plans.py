@@ -203,7 +203,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "power_user_curve": 3,  # two-phase per-user distinct + histogram
         "session_duration_histogram": 2,  # sessionize shuffle + bucket rollup
         "time_to_conversion": 2,  # conditional user agg + hour rollup
-        "stickiness_ratio": 5,  # 2 distincts + dau/mau aggs + day join
+        "stickiness_ratio": 3,  # distinct, offset-dedup, day rollup — no join
         "rolling_7d_revenue": 2,  # day agg + bounded single-partition sort
         "daily_activity_revenue_outer": 2,  # two day aggs; join broadcasts
         "first_touch_attribution": 2,  # struct-min user agg + type rollup
