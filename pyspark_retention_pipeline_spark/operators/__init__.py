@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     events,
     engagement,
     tpch_extra,
+    tpch_partsupp,
     text,
     text_quality,
     chunking,

@@ -214,6 +214,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "part_cooccurrence": 2,  # per-order part sets + pair counts
         "revenue_mom_growth": 2,  # month agg + bounded lag window
         "variant_props_histogram": 1,  # variant decode is map-side; one agg
+        "q2_min_cost_supplier": 2,  # partitioned window + join residue
+        "q11_important_stock": 5,  # part agg, broadcast threshold, dims
+        "q16_supplier_part_counts": 3,  # anti-join + two-phase distinct
+        "q20_excess_stock": 3,  # lineitem collapse + ps join + rollup
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -66,7 +66,14 @@ NEW_THIS_ROUND = {
 # new this round but NOT seated: the 50-slot window filled with ts-sensitive
 # repairs + rows-only firsts; these rotate in next round (parity-green at
 # sf0.001/sf0.01 in pytest and sf0.1 in the committed sweep meanwhile).
-NEW_UNSEATED = {"revenue_mom_growth", "variant_props_histogram"}
+NEW_UNSEATED = {
+    "revenue_mom_growth",
+    "variant_props_histogram",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock",
+}
 
 # (d) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
