@@ -60,6 +60,7 @@ HEADLINE = [
     "source_cap_select",
     "growth_accounting",
     "stickiness_ratio",
+    "q20_excess_stock",
 ]
 
 
