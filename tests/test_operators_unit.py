@@ -254,3 +254,28 @@ def test_media_frame_sample_uniform_bounded_and_resized(spark):
             assert max(f["out_width"], f["out_height"]) == RESIZE_MAX
     again = {(r["doc_id"], r["frame_idx"]): r["frame_md5"] for r in sample_frames(decoded).collect()}
     assert all(again[(r["doc_id"], r["frame_idx"])] == r["frame_md5"] for r in rows)
+
+
+def test_synthetic_partsupp_striping(spark, sf_dir):
+    """The synthetic partsupp's contract: exactly 4 suppliers per part,
+    (part, supplier) pairs unique (striped assignment doesn't collide at the
+    testdata supplier counts), supplier keys in range, and the derivation is
+    deterministic across invocations."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.tpch_partsupp import (
+        synthetic_partsupp,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    ps = synthetic_partsupp(spark, sf_dir)
+    n_parts = load_table(spark, sf_dir, "part").count()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert ps.count() == n_parts * 4
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == n_parts * 4
+    rng = ps.agg(
+        F.min("ps_suppkey").alias("lo"), F.max("ps_suppkey").alias("hi")
+    ).collect()[0]
+    assert 1 <= rng.lo and rng.hi <= n_supp
+    again = synthetic_partsupp(spark, sf_dir)
+    assert ps.exceptAll(again).count() == 0 and again.exceptAll(ps).count() == 0
