@@ -510,3 +510,35 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 6).alias("pct_change"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query(
+    "lateral_recent_orders",
+    oracle=_LATERAL_SQL,
+    tags=("J-lateral", "correlated-limit"),
+)
+def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT: each BUILDING
+    customer's 2 most recent orders, written as the SQL a warehouse user
+    would type — the IDENTICAL string runs on both engines. Catalyst
+    decorrelates it into the partitioned row_number plan you'd hand-write
+    (`latest_order_per_customer` is the explicit twin) — verified
+    deterministic and hash-identical to DuckDB across shuffle-partition
+    settings; the full (date, key) tie-break makes the top-2 set unique,
+    so decorrelation can't change the answer."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -218,6 +218,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q11_important_stock": 5,  # part agg, broadcast threshold, dims
         "q16_supplier_part_counts": 3,  # anti-join + two-phase distinct
         "q20_excess_stock": 3,  # lineitem collapse + ps join + rollup
+        "lateral_recent_orders": 2,  # decorrelated rownum + broadcast probe
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -73,6 +73,7 @@ NEW_UNSEATED = {
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_excess_stock",
+    "lateral_recent_orders",
 }
 
 # (d) flagship continuity slot — in the window every round.
