@@ -185,3 +185,40 @@ def test_stickiness_matches_python_reference(spark, daysets, monkeypatch):
         for r in eng.stickiness_ratio(spark, "ignored").collect()
     }
     assert got == expect
+
+
+@given(
+    orders=st.lists(
+        st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=7),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_part_cooccurrence_matches_python_reference(spark, orders, monkeypatch):
+    """part_cooccurrence == brute-force pair counting over arbitrary order
+    compositions (duplicate parts within an order collapse to set
+    semantics, pairs are unordered with p1 < p2)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyspark_retention_pipeline_spark.operators.analytics_extra as ax
+
+    rows = []
+    for okey, parts in enumerate(orders):
+        for p in parts:
+            rows.append((okey, p))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(ax, "load_table", lambda *_: df)
+
+    expect = Counter()
+    for parts in orders:
+        for a, b in combinations(sorted(set(parts)), 2):
+            expect[(a, b)] += 1
+
+    got = {
+        (r.p1, r.p2): r.n_orders
+        for r in ax.part_cooccurrence(spark, "ignored").collect()
+    }
+    # the operator returns top-100; with <=12x21 pairs nothing is cut
+    assert got == dict(expect)
