@@ -98,13 +98,16 @@ def train_churn_model(
     cv_reg_params: list[float] | None = None,
     cv_elastic_params: list[float] | None = None,
     cv_num_folds: int | None = None,
+    cv_metric: str = "aucpr",
 ) -> PipelineModel:
     """Fit the churn pipeline; with ``cross_validate`` runs the reference's
     3-fold CV over the 3×3 regParam × elasticNetParam grid selected on
     areaUnderPR (``pipeline/train.py:160-172``). The grid/folds are
     overridable so a cheap configuration (e.g. 2×2 grid, 2 folds at sf0.001)
     can exercise the CV path in every default test run while the full
-    reference configuration remains the default."""
+    reference configuration remains the default. ``cv_metric`` mirrors the
+    reference CLI's ``--metric aucroc|aucpr`` choice (``train.py:141,167``),
+    default aucpr as there."""
     cols = list(feature_cols or FEATURE_COLS)
     prepared = _prepare(features, cols).cache()
     pipeline = build_churn_pipeline(cols)
@@ -117,8 +120,9 @@ def train_churn_model(
         .addGrid(lr.elasticNetParam, list(cv_elastic_params or CV_ELASTIC_PARAMS))
         .build()
     )
+    metric_name = "areaUnderROC" if cv_metric == "aucroc" else "areaUnderPR"
     evaluator = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderPR"
+        labelCol="label", rawPredictionCol="rawPrediction", metricName=metric_name
     )
     cv = CrossValidator(
         estimator=pipeline,

@@ -71,9 +71,15 @@ def run_feature_etl(
     return counts
 
 
-def _sweep_best_threshold(scored: DataFrame) -> dict[str, float]:
-    """Single-pass 101-threshold sweep over real scores; reference tie-break
-    (lowest t at max F1)."""
+def _sweep_best_threshold(
+    scored: DataFrame, thr_metric: str = "f1"
+) -> dict[str, float]:
+    """Single-pass 101-threshold sweep over real scores; ``thr_metric``
+    mirrors the reference CLI's ``--thr_metric f1|recall|precision``
+    (``train.py:58-102``) with its tie-break: strict ``>`` while iterating
+    ascending thresholds keeps the LOWEST t at the max metric value."""
+    if thr_metric not in ("f1", "recall", "precision"):
+        raise ValueError(f"unknown thr_metric {thr_metric!r}")
     expanded = scored.select(
         "label", F.col("p_churn").alias("score"), F.explode(F.sequence(F.lit(0), F.lit(100))).alias("i")
     ).withColumn("t", F.col("i").cast("double") / F.lit(100.0))
@@ -87,7 +93,7 @@ def _sweep_best_threshold(scored: DataFrame) -> dict[str, float]:
     )
     best = (
         _with_metrics(sweep)
-        .orderBy(F.col("f1").desc(), F.col("t").asc())
+        .orderBy(F.col(thr_metric).desc(), F.col("t").asc())
         .limit(1)
         .collect()[0]
     )
@@ -100,19 +106,27 @@ def _sweep_best_threshold(scored: DataFrame) -> dict[str, float]:
 
 
 def run_training(
-    spark: SparkSession, out_dir: str, cross_validate: bool = False
+    spark: SparkSession,
+    out_dir: str,
+    cross_validate: bool = False,
+    cv_metric: str = "aucpr",
+    thr_metric: str = "f1",
 ) -> dict[str, float]:
     """Train on the persisted train split, select threshold on val, persist
-    model + metrics.json + coefficients.csv (reference ``train.py:137-192``)."""
+    model + metrics.json + coefficients.csv (reference ``train.py:137-192``).
+    ``cv_metric``/``thr_metric`` mirror the reference CLI knobs
+    (``--metric``, ``--thr_metric``) with the same defaults."""
     train = spark.read.parquet(os.path.join(out_dir, "train")).cache()
     val = spark.read.parquet(os.path.join(out_dir, "val")).cache()
 
-    model = train_churn_model(train, cross_validate=cross_validate, seed=SEED)
+    model = train_churn_model(
+        train, cross_validate=cross_validate, seed=SEED, cv_metric=cv_metric
+    )
     model.write().overwrite().save(os.path.join(out_dir, "model"))
 
     metrics = evaluate_model(model, val)
     scored_val = score_frame(model, val).cache()
-    metrics.update(_sweep_best_threshold(scored_val))
+    metrics.update(_sweep_best_threshold(scored_val, thr_metric=thr_metric))
 
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, sort_keys=True)

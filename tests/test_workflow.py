@@ -48,3 +48,28 @@ def test_split_determinism(spark, sf_dir, tmp_path):
     train = spark.read.parquet(os.path.join(out1, "train")).select("custkey")
     val = spark.read.parquet(os.path.join(out1, "val")).select("custkey")
     assert train.intersect(val).count() == 0
+
+
+def test_thr_metric_knob_matches_reference_semantics(spark, sf_dir, tmp_path):
+    """--thr_metric recall|precision parity (reference train.py:58-102):
+    maximizing recall favors LOW thresholds, precision HIGH ones, and both
+    use the lowest-t tie-break."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.ml.workflow import _sweep_best_threshold
+
+    rows = [(1.0, 0.9), (1.0, 0.7), (0.0, 0.4), (0.0, 0.2), (1.0, 0.3)]
+    scored = spark.createDataFrame(rows, "label double, p_churn double")
+    by_recall = _sweep_best_threshold(scored, thr_metric="recall")
+    by_precision = _sweep_best_threshold(scored, thr_metric="precision")
+    by_f1 = _sweep_best_threshold(scored, thr_metric="f1")
+    # recall is maximal (=1) at t=0 and the tie-break keeps the lowest t
+    assert by_recall["best_threshold"] == 0.0
+    # precision hits 1.0 once the lone negative above 0.4 is excluded;
+    # lowest such t is 0.41
+    assert by_precision["best_threshold"] == 0.41
+    assert by_f1["best_threshold"] <= by_precision["best_threshold"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _sweep_best_threshold(scored, thr_metric="accuracy")
