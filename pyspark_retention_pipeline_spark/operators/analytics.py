@@ -74,6 +74,39 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_global_row_number(df: DataFrame, order_by: list) -> DataFrame:
+    """Distributed global ROW_NUMBER — the reusable two-phase primitive
+    behind :func:`customer_rank_family` (see its docstring for the full
+    rationale): range-repartition on the sort key, per-partition
+    row_number, broadcast cumulative offsets. Appends ``_rn`` (1-based
+    global row number under ``order_by``; pass a deterministic tiebreak)
+    and ``_n`` (total rows). The lazy ``localCheckpoint`` pins the sampled
+    range exchange so the offsets and probe branches read one
+    materialization regardless of exchange-reuse/AQE settings."""
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(nparts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    # Tiny frame: one row per range partition. The unpartitioned windows
+    # here run over an Aggregate-bounded input (<= nparts rows).
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).cast("long").alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).cast("long").alias("_n"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 @query(
     "customer_rank_family",
     oracle="""
@@ -128,26 +161,9 @@ def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         money_sum("o_totalprice").alias("total_spend")
     )
-    nparts = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = spend.repartitionByRange(
-        nparts, F.col("total_spend").desc(), F.col("custkey")
-    ).withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid").orderBy(
-        F.col("total_spend").desc(), F.col("custkey")
+    ranked = with_global_row_number(
+        spend, [F.col("total_spend").desc(), F.col("custkey")]
     )
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(w_local).cast("long")
-    ).localCheckpoint(eager=False)
-    # Tiny frame: one row per range partition. The unpartitioned windows here
-    # run over an Aggregate-bounded input (≤ nparts rows) — the safe kind.
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).cast("long").alias("_off"),
-        F.sum("_cnt").over(Window.partitionBy()).cast("long").alias("_n"),
-    )
-    rn = (F.col("_off") + F.col("_lrn")).alias("_rn")
     k = F.lit(4).cast("long")
     q = (F.col("_n") / k).cast("long")  # floor-div: base bucket size
     rem = F.col("_n") % k  # first `rem` buckets get q+1 rows
@@ -160,17 +176,13 @@ def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n") > 1,
         (F.col("_rn") - F.lit(1)).cast("double") / (F.col("_n") - F.lit(1)),
     ).otherwise(F.lit(0.0))
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .select("custkey", "total_spend", "_n", rn)
-        .select(
-            "custkey",
-            "total_spend",
-            F.col("_rn").alias("rnk"),
-            F.col("_rn").alias("drnk"),
-            ntile.cast("long").alias("quartile"),
-            F.round(pct, 6).alias("pct_rank"),
-        )
+    return ranked.select(
+        "custkey",
+        "total_spend",
+        F.col("_rn").alias("rnk"),
+        F.col("_rn").alias("drnk"),
+        ntile.cast("long").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
     )
 
 
@@ -402,4 +414,52 @@ def order_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
         F.round(F.last("o_totalprice").over(w), 2).alias("latest_price"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@query(
+    "revenue_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT CAST(ROUND(revenue * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY revenue, custkey) AS i
+      FROM spend
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * cents) / (COUNT(*) * SUM(cents))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+    tags=("inequality", "two-phase-rank"),
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (the classic whale-dependence
+    number) via the rank identity G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over
+    ascending-sorted revenues. The global sort reuses
+    :func:`with_global_row_number` — the two-phase distributed rank — so no
+    unpartitioned window touches the customer grain; revenue ties are
+    rank-permutation-invariant (equal x contribute the same Σ i·x over any
+    tie ordering), making the result deterministic without caring how ties
+    break. Moments accumulate in exact integer cents (valid to ~10⁶
+    customers × 10⁵ revenue before Σ i·x approaches 2⁵³ — switch the
+    product to double accumulation beyond that)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    ranked = with_global_row_number(
+        spend, [F.col("revenue").asc(), F.col("custkey").asc()]
+    )
+    cents = F.round(F.col("revenue") * 100).cast("long")
+    n = F.count("*")
+    sum_x = F.sum(cents)
+    sum_ix = F.sum(F.col("_rn") * cents)
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            2.0 * sum_ix / (n * sum_x) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
     )

@@ -74,6 +74,7 @@ NEW_UNSEATED = {
     "q16_supplier_part_counts",
     "q20_excess_stock",
     "lateral_recent_orders",
+    "revenue_gini",
 }
 
 # (d) flagship continuity slot — in the window every round.
