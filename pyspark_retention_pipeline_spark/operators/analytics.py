@@ -463,3 +463,63 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * sum_ix / (n * sum_x) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     )
+
+
+@query(
+    "lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT CAST(ROUND(revenue * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY revenue, custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM spend
+    ), d AS (
+      SELECT CAST((i - 1) * 10 // n + 1 AS BIGINT) AS decile,
+             SUM(cents) AS dc, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM r GROUP BY 1
+    )
+    SELECT decile, n_customers,
+           ROUND(SUM(dc) OVER (ORDER BY decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(SUM(dc) OVER () AS DOUBLE), 6) AS cum_revenue_share
+    FROM d
+    """,
+    tags=("inequality", "two-phase-rank"),
+)
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile grain — the chart behind :func:`revenue_gini`:
+    cumulative revenue share of the bottom 10%, 20%, … of customers. Third
+    consumer of :func:`with_global_row_number`; the decile is closed-form
+    from (row number, N) as in the rank family's NTILE, so after the
+    two-phase rank everything runs on a 10-row frame (the unpartitioned
+    cumsum window is Aggregate-bounded). Shares divide exact integer-cents
+    sums, so both engines produce bit-identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    ranked = with_global_row_number(
+        spend, [F.col("revenue").asc(), F.col("custkey").asc()]
+    )
+    cents = F.round(F.col("revenue") * 100).cast("long")
+    # integer DIV, not double division: at n ~ 1e9 a double quotient landing
+    # an ulp below an exact boundary would truncate a row into the wrong
+    # decile; long arithmetic can't.
+    decile = F.expr("(_rn - 1) * 10 DIV _n") + 1
+    d = ranked.groupBy(decile.alias("decile")).agg(
+        F.sum(cents).alias("dc"), F.count("*").alias("n_customers")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("dc").over(Window.partitionBy())
+    return d.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.sum("dc").over(w_cum) / total.cast("double"), 6
+        ).alias("cum_revenue_share"),
+    )

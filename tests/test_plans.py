@@ -220,6 +220,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "q20_excess_stock": 3,  # lineitem collapse + ps join + rollup
         "lateral_recent_orders": 2,  # decorrelated rownum + broadcast probe
         "revenue_gini": 3,  # spend agg + two-phase rank + 1-row moments
+        "lorenz_deciles": 4,  # + decile rollup; cumsum over a 10-row frame
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

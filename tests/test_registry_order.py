@@ -75,6 +75,7 @@ NEW_UNSEATED = {
     "q20_excess_stock",
     "lateral_recent_orders",
     "revenue_gini",
+    "lorenz_deciles",
 }
 
 # (d) flagship continuity slot — in the window every round.
