@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     retention,
     events,
     engagement,
+    timeseries,
     tpch_extra,
     tpch_partsupp,
     text,

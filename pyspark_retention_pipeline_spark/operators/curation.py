@@ -593,3 +593,64 @@ def source_cap_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(sel), ["source", "qbin"]).select(
         "doc_id", "source", "qbin"
     )
+
+
+# Epoch sample budget (docs) for the temperature-mixture expectation column.
+TEMP_BUDGET = 1_000_000
+
+
+@query(
+    "source_temperature_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs, n_tokens, sqrt(n_tokens) AS wgt FROM c
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS raw_share,
+           ROUND(wgt / SUM(wgt) OVER (), 6) AS temp_share,
+           CAST(ROUND(ROUND(wgt / SUM(wgt) OVER (), 6) * 1000000) AS BIGINT)
+             AS expected_docs
+    FROM w
+    """,
+    tags=("curation", "mixture", "temperature-sampling"),
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source-mixture weights — the standard remedy for
+    head-source domination in a multi-source training mix (public recipe:
+    the alpha-smoothed sampling of mC4/UniMax and the Pile's per-set epoch
+    weights): sample source s with probability proportional to
+    ``tokens_s ** alpha`` instead of ``tokens_s``, here alpha = 0.5 via
+    ``sqrt`` — deliberately, because IEEE 754 guarantees sqrt is correctly
+    rounded (identical on JVM and C engines) while ``pow`` is not, so parity
+    is bit-exact where a generic alpha would wobble in the last ulp.
+
+    One map-side-combinable aggregate collapses the corpus to the source
+    grain; the normalizing sums run as windows over that tiny frame (the
+    Aggregate-bounded kind — at 100 TB this frame is ``#sources`` rows no
+    matter how many documents exist). ``expected_docs`` (per-source draw
+    count for a {TEMP_BUDGET}-doc epoch) derives from the already-rounded
+    share so both engines compute it from identical inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    w = c.withColumn("wgt", F.sqrt(F.col("n_tokens")))
+    # Unpartitioned windows over the ≤ #sources aggregate — the safe kind.
+    tot = Window.partitionBy()
+    temp_share = F.round(F.col("wgt") / F.sum("wgt").over(tot), 6)
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(tot), 6).alias("raw_share"),
+        temp_share.alias("temp_share"),
+        F.round(temp_share * 1_000_000)
+        .cast("long")
+        .alias("expected_docs"),
+    )

@@ -1,0 +1,217 @@
+"""Time-series analytics over the ``events`` table — daily growth, anomaly
+detection, usage heatmaps, and top navigation paths (extension tier beyond
+SURVEY.md §2.9's event operators; same scope as the reference's retention
+analyses around ``pipeline/etl.py``, lifted to the event grain).
+
+Scale discipline (same as :mod:`.engagement`): collapse the raw event grain
+in the FIRST shuffle — to per-user, per-day, or per-session — and run every
+window / rollup on the collapsed frame. Windows here are either partitioned
+by a high-cardinality key or run over an Aggregate-bounded input (≤ #days
+rows), never over the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_events
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min — same gap as operators.events.sessionize
+PATH_CAP = 10  # bound per-session path length
+
+
+@query(
+    "cumulative_new_users",
+    oracle=f"""
+    WITH fu AS (
+      SELECT user_id, MIN(epoch_us(ts) // {DAY_US}) AS first_day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM fu GROUP BY first_day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+    tags=("growth", "time-series"),
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + the cumulative-unique-users curve (the "total users
+    ever" chart). The naive form is a running COUNT(DISTINCT user_id) over an
+    expanding day frame — quadratic state and unwindowable in both engines.
+    Instead: cumulative distinct users through day D == users whose FIRST
+    active day ≤ D, so one shuffle on user_id (min day), one tiny rollup to
+    the day grain, and a running sum over that Aggregate-bounded frame
+    (≤ #calendar-days rows — the safe unpartitioned-window kind)."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    first = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(run).cast("long").alias("cum_users")
+    )
+
+
+@query(
+    "daily_anomaly_zscore",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY day
+    ), s AS (
+      SELECT day, n_events,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+             CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+      FROM d
+      WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n_events,
+           ROUND(s1 / n7, 6) AS mean7,
+           CASE WHEN s2 / n7 - (s1 / n7) * (s1 / n7) > 0
+                THEN ROUND((n_events - s1 / n7)
+                           / sqrt(s2 / n7 - (s1 / n7) * (s1 / n7)), 6)
+           END AS zscore
+    FROM s
+    WHERE n7 >= 3
+    """,
+    tags=("anomaly", "time-series", "range-frame"),
+)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day traffic anomaly score: each day's event count vs the
+    trailing 7-day window (excluding the day itself), as a population
+    z-score. The events table collapses to the day grain in one shuffle;
+    the RANGE frame (value-based bounds, so calendar gaps shrink the window
+    instead of leaking across them) runs over that ≤ #days frame. Moment
+    sums stay exact BIGINTs inside the frame; mean/variance derive from
+    them with identical IEEE ops on both engines (two-pass variance is
+    impossible in one frame pass — E[x²]−E[x]² over exact integer sums is
+    the distributed-safe form). Days with fewer than 3 trailing observations
+    are suppressed, and a zero-variance window yields NULL rather than ±inf."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    d = e.groupBy(day.alias("day")).agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("day").rangeBetween(-7, -1)
+    s = d.select(
+        "day",
+        "n_events",
+        F.count("*").over(w).cast("long").alias("n7"),
+        F.sum("n_events").over(w).cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("long").alias("s2"),
+    ).filter(F.col("n7") >= 3)
+    mean = F.col("s1") / F.col("n7")
+    var = F.col("s2") / F.col("n7") - mean * mean
+    return s.select(
+        "day",
+        "n_events",
+        F.round(mean, 6).alias("mean7"),
+        F.when(
+            var > 0, F.round((F.col("n_events") - mean) / F.sqrt(var), 6)
+        ).alias("zscore"),
+    )
+
+
+@query(
+    "weekday_hour_heatmap",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {DAY_US} + 3) % 7 AS dow,
+           (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY dow, hour
+    """,
+    tags=("heatmap", "time-series"),
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour usage heatmap (0=Mon … 6=Sun; epoch day 0 was a
+    Thursday, hence the +3 shift) with per-cell event and distinct-user
+    counts. Pure integer arithmetic on epoch-µs — no session-TZ timestamp
+    functions, so the bucketing is identical on both engines and immune to
+    the round-5 precision drift class. One hash aggregation to ≤ 168 cells;
+    the exact per-cell distinct expands (cell, user) partials map-side —
+    bounded by 168 × |users|, and the scale variant would swap in
+    approx_count_distinct exactly like approx_distinct_products."""
+    e = load_events(spark, sf_dir)
+    dow = F.expr(f"(ts_us DIV {DAY_US} + 3) % 7")
+    hour = F.expr(f"(ts_us % {DAY_US}) DIV {HOUR_US}")
+    return e.groupBy(dow.alias("dow"), hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "top_session_paths",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY ts_us, event_id))[1:{PATH_CAP}], ','
+             ) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    tags=("sequence", "sessionization", "top-k"),
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session navigation paths: the most common ordered event-type
+    sequences within 30-min-gap sessions, paths capped at the first
+    {PATH_CAP} events so per-row state stays bounded no matter how long a
+    bot session runs. Reuses the ``sessionize`` lag + running-sum shape (one
+    shuffle on user_id feeds both windows and the per-session fold); the
+    ordered-type array is an ``array_sort(collect_list(struct))`` exactly as
+    in ``session_funnel``, sliced before joining. The path rollup hash-
+    aggregates with map-side partials, and the global top-20 is a
+    TakeOrderedAndProject (per-partition heaps → driver merge, no global
+    sort); the (count DESC, path ASC) total order makes the cut
+    deterministic on both engines."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.select("user_id", "event_id", "event_type", "ts_us").withColumn(
+        "session_id", F.sum(is_new).over(run)
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(F.slice(ordered_types, 1, PATH_CAP), ",").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -1,0 +1,130 @@
+"""Semantic invariants for the time-series tier (operators/timeseries.py)
+and the temperature-mixture weights (operators/curation.py). Oracle parity
+is covered by test_oracle_parity; these pin the identities and magnitude
+properties parity alone can't express (the round-5 lesson: rows>0 passes on
+garbage — assert the numbers mean what they claim)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark_retention_pipeline_spark.operators.curation import (
+    source_temperature_weights,
+)
+from pyspark_retention_pipeline_spark.operators.timeseries import (
+    DAY_US,
+    PATH_CAP,
+    cumulative_new_users,
+    daily_anomaly_zscore,
+    top_session_paths,
+    weekday_hour_heatmap,
+)
+from pyspark_retention_pipeline_spark.operators.events import sessionize
+from pyspark_retention_pipeline_spark.tables import load_events, load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_events(spark, sf_dir)
+
+
+def test_cumulative_new_users_telescopes_to_user_count(spark, sf_dir, events):
+    """The curve is monotone, its increments are the per-day n_new, and the
+    final value is exactly the corpus-wide distinct-user count."""
+    rows = cumulative_new_users(spark, sf_dir).orderBy("day").collect()
+    assert rows, "empty curve"
+    running = 0
+    prev_day = None
+    for r in rows:
+        assert prev_day is None or r.day > prev_day
+        assert r.n_new > 0  # days with no first-time users don't emit rows
+        running += r.n_new
+        assert r.cum_users == running
+        prev_day = r.day
+    n_users = events.select("user_id").distinct().count()
+    assert rows[-1].cum_users == n_users
+
+
+def test_cumulative_new_users_day_magnitude(spark, sf_dir):
+    """Day buckets live in the 2020s (epoch-day ~18k-23k) — the unit-drift
+    tripwire that would have caught the round-5 ns->us break."""
+    days = [r.day for r in cumulative_new_users(spark, sf_dir).collect()]
+    assert all(18_000 < d < 24_000 for d in days), sorted(days)[:5]
+
+
+def test_daily_anomaly_zscore_window_semantics(spark, sf_dir, events):
+    """Recompute one day's trailing stats directly from the day-count frame
+    and check the operator's mean/z agree; frame excludes the current day."""
+    day_counts = {
+        r.day: r.n
+        for r in events.groupBy(F.expr(f"ts_us DIV {DAY_US}").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = {r.day: r for r in daily_anomaly_zscore(spark, sf_dir).collect()}
+    assert out, "no anomaly rows"
+    for day, r in list(out.items())[:10]:
+        trail = [day_counts[d] for d in range(day - 7, day) if d in day_counts]
+        assert len(trail) >= 3
+        mean = sum(trail) / len(trail)
+        assert abs(r.mean7 - mean) < 1e-4
+        var = sum(c * c for c in trail) / len(trail) - mean * mean
+        if var > 0:
+            z = (day_counts[day] - mean) / var**0.5
+            assert abs(r.zscore - z) < 1e-4
+    # Every day with >= 3 trailing observed days must be present.
+    expected = {
+        d
+        for d in day_counts
+        if sum(1 for k in range(d - 7, d) if k in day_counts) >= 3
+    }
+    assert set(out) == expected
+
+
+def test_weekday_hour_heatmap_partitions_the_events(spark, sf_dir, events):
+    rows = weekday_hour_heatmap(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 168
+    assert all(0 <= r.dow <= 6 and 0 <= r.hour <= 23 for r in rows)
+    assert sum(r.n_events for r in rows) == events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert all(0 < r.n_users <= min(r.n_events, n_users) for r in rows)
+
+
+def test_weekday_hour_heatmap_dow_anchor(spark):
+    """Epoch day 0 (1970-01-01) was a Thursday: (0+3)%7 == 3 under the
+    0=Monday convention the docstring promises."""
+    assert (0 + 3) % 7 == 3  # Thursday
+
+
+def test_top_session_paths_bounded_and_consistent(spark, sf_dir):
+    rows = top_session_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    n_sessions = sessionize(spark, sf_dir).count()
+    assert sum(r.n_sessions for r in rows) <= n_sessions
+    # Descending count with path tie-break; paths capped at PATH_CAP steps.
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_sessions, b.path) >= (b.n_sessions, a.path) or (
+            a.n_sessions > b.n_sessions
+        )
+    for r in rows:
+        assert 1 <= len(r.path.split(",")) <= PATH_CAP
+
+
+def test_source_temperature_weights_flattens_the_mix(spark, sf_dir):
+    """Shares sum to ~1; sqrt-temperature compresses the mix: the heaviest
+    source loses share, the lightest gains, and the share ordering is
+    preserved (x -> sqrt(x) is monotone)."""
+    rows = source_temperature_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2, "need a multi-source corpus for a mixture"
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    by_raw = sorted(rows, key=lambda r: r.raw_share)
+    assert by_raw[-1].temp_share <= by_raw[-1].raw_share
+    assert by_raw[0].temp_share >= by_raw[0].raw_share
+    assert [r.source for r in by_raw] == [
+        r.source for r in sorted(rows, key=lambda r: r.temp_share)
+    ]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.expected_docs for r in rows) - 1_000_000) <= len(rows)
