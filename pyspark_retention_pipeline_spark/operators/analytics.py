@@ -523,3 +523,101 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dc").over(w_cum) / total.cast("double"), 6
         ).alias("cum_revenue_share"),
     )
+
+
+def with_global_ntile(
+    df: DataFrame, order_by: list, k: int, out_col: str
+) -> DataFrame:
+    """Distributed NTILE(k) — :func:`with_global_row_number` plus the SQL
+    spec's closed form (the first ``N % k`` buckets take ``N DIV k + 1``
+    rows, the rest ``N DIV k``), so the global quantile assignment costs one
+    range shuffle and zero unpartitioned windows. ``order_by`` must include
+    a deterministic tiebreak for cross-engine parity (NTILE splits ties by
+    physical row order otherwise)."""
+    ranked = with_global_row_number(df, order_by)
+    kk = F.lit(k).cast("long")
+    q = (F.col("_n") / kk).cast("long")
+    rem = F.col("_n") % kk
+    big_span = rem * (q + F.lit(1))
+    ntile = F.when(
+        F.col("_rn") <= big_span,
+        (F.col("_rn") - F.lit(1)) / (q + F.lit(1)) + F.lit(1),
+    ).otherwise(rem + (F.col("_rn") - big_span - F.lit(1)) / q + F.lit(1))
+    return ranked.withColumn(out_col, ntile.cast("long")).drop("_rn", "_n")
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, n_orders, total_spend,
+             CAST(NTILE(4) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r_score,
+             CAST(NTILE(4) OVER (ORDER BY n_orders, custkey) AS BIGINT) AS f_score,
+             CAST(NTILE(4) OVER (ORDER BY total_spend, custkey) AS BIGINT) AS m_score
+      FROM rfm
+    )
+    SELECT custkey, n_orders, total_spend, r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_code,
+           CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score = 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score = 1 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    tags=("ranking", "rfm", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM (recency / frequency / monetary) quartile segmentation —
+    the marketing-side counterpart of the reference's churn features
+    (``pipeline/etl.py:66-75`` computes the same three facts; here each is
+    scored into population quartiles and mapped to the standard segment
+    names). Score 4 = best quartile on every axis (most recent, most
+    frequent, highest spend).
+
+    Each NTILE(4) is a :func:`with_global_ntile` pass — a range shuffle +
+    closed-form bucket arithmetic over the aggregated customer grain, so
+    the three global quantile assignments never funnel the frame through a
+    single-task sort (at 100 TB three range shuffles of the customer grain
+    beat one serialized WindowExec by the width of the cluster). The
+    ``custkey`` tiebreak makes every ordering unique, which is what lets the
+    closed form match the engines' physical-order NTILE exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("total_spend"),
+    )
+    d = with_global_ntile(rfm, [F.col("last_order"), F.col("custkey")], 4, "r_score")
+    d = with_global_ntile(d, [F.col("n_orders"), F.col("custkey")], 4, "f_score")
+    d = with_global_ntile(d, [F.col("total_spend"), F.col("custkey")], 4, "m_score")
+    seg = (
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") == 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") == 1) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return d.select(
+        "custkey",
+        "n_orders",
+        "total_spend",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_code"
+        ),
+        seg.alias("segment"),
+    )

@@ -1,0 +1,91 @@
+"""Semantic invariants for the ranking/segmentation analytics
+(operators/analytics.py). Oracle parity is covered by test_oracle_parity;
+these pin NTILE balance and the RFM segment-mapping rules."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark_retention_pipeline_spark.operators.analytics import (
+    rfm_segments,
+    with_global_ntile,
+)
+from pyspark_retention_pipeline_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def rfm(spark, sf_dir):
+    return rfm_segments(spark, sf_dir).collect()
+
+
+def test_rfm_covers_every_customer(spark, sf_dir, rfm):
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rfm) == n_cust
+    assert len({r.custkey for r in rfm}) == n_cust
+
+
+def test_rfm_quartiles_balanced(rfm):
+    """NTILE(4) bucket sizes differ by at most one on every axis."""
+    for axis in ("r_score", "f_score", "m_score"):
+        sizes = [0, 0, 0, 0]
+        for r in rfm:
+            s = getattr(r, axis)
+            assert 1 <= s <= 4, (axis, s)
+            sizes[s - 1] += 1
+        assert max(sizes) - min(sizes) <= 1, (axis, sizes)
+
+
+def test_rfm_scores_monotone_in_the_metric(rfm):
+    """Higher quartile ⇒ never a smaller metric value (sort-order sanity):
+    the minimum spend in m_score q+1 is ≥ the maximum spend in q."""
+    for axis, metric in (("f_score", "n_orders"), ("m_score", "total_spend")):
+        by_q = {}
+        for r in rfm:
+            by_q.setdefault(getattr(r, axis), []).append(getattr(r, metric))
+        for q in range(1, 4):
+            if q in by_q and q + 1 in by_q:
+                assert min(by_q[q + 1]) >= max(by_q[q]), (axis, q)
+
+
+def test_rfm_segment_mapping_consistent(rfm):
+    for r in rfm:
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+        if r.segment == "champion":
+            assert r.r_score == 4 and r.f_score >= 3 and r.m_score >= 3
+        elif r.segment == "loyal":
+            assert r.r_score >= 3 and r.f_score >= 3
+        elif r.segment == "new":
+            assert r.r_score == 4 and r.f_score <= 2
+        elif r.segment == "at_risk":
+            assert r.r_score <= 2 and r.f_score >= 3
+        elif r.segment == "hibernating":
+            assert r.r_score == 1 and r.f_score <= 2
+
+
+def test_with_global_ntile_matches_single_window(spark):
+    """The closed-form distributed NTILE agrees with Spark's own ntile()
+    on a frame small enough to run the naive way."""
+    from pyspark.sql import Window
+
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 37 % 103).alias("v")
+    )
+    got = {
+        r.id: r.q
+        for r in with_global_ntile(
+            df, [F.col("v"), F.col("id")], 7, "q"
+        ).collect()
+    }
+    want = {
+        r.id: r.q
+        for r in df.withColumn(
+            "q", F.ntile(7).over(Window.orderBy("v", "id")).cast("long")
+        ).collect()
+    }
+    assert got == want
