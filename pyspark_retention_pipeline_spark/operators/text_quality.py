@@ -205,3 +205,71 @@ def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         keep.alias("keep"),
     )
+
+
+# Fixed-point scale for per-token log-probabilities: summing doubles is
+# order-dependent across partitions, so each token's ln(p) is quantized to an
+# exact BIGINT once (identically on both engines — ln agrees to well below
+# 1e-6 per the tfidf_top_terms precedent) and documents aggregate integers.
+LP_SCALE = 1_000_000
+
+
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok
+    ), tl AS (
+      SELECT token, CAST(ROUND(ln(c / t) * {LP_SCALE}) AS BIGINT) AS lp
+      FROM cnt CROSS JOIN tot
+    ), doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lp) AS BIGINT) AS s
+      FROM tok JOIN tl USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(s / {LP_SCALE}.0 / n_tokens, 6) AS avg_logprob
+    FROM doc
+    """,
+    tags=("text-quality", "language-model", "perplexity"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — mean token
+    log-probability, the SQL-expressible degenerate of the KenLM perplexity
+    filter in public web-corpus pipelines (CCNet / Gopher quality stage):
+    documents of improbable tokens (boilerplate, code spew, lorem) score
+    low, fluent text scores high. Self-trained on the corpus in the same
+    plan, so there is no external model artifact.
+
+    Shape at 100 TB: the token stream is exploded once and reused for both
+    the LM counts and the per-doc fold; the vocabulary aggregate is
+    vocabulary-sized (Zipf-bounded, ≪ corpus), and the token-stream ⋈ vocab
+    join is declared unhinted — AQE broadcasts the vocab when it fits and
+    falls back to a shuffle join when a 100 TB vocabulary doesn't, exactly
+    the call a planner should make, not the query author. Per-token ln(p)
+    quantizes to an exact BIGINT *before* the per-document SUM so the fold
+    is order-independent; the mean divides two already-identical integers."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("t"))
+    tl = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.log(F.col("c") / F.col("t")) * LP_SCALE)
+        .cast("long")
+        .alias("lp"),
+    )
+    doc = (
+        tok.join(tl, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").cast("long").alias("s"))
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("s") / LP_SCALE / F.col("n_tokens"), 6).alias("avg_logprob"),
+    )

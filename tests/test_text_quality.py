@@ -266,3 +266,38 @@ def test_quality_zscore_plan_stays_jvm_side(spark, sf_dir):
     plan = explain_str(quality_zscore_frame(load_table(spark, sf_dir, "documents")))
     assert "FlatMapGroupsInPandas" not in plan
     assert "EvalPython" not in plan
+
+
+def test_unigram_logprob_score_semantics(spark, sf_dir):
+    """Every document scores; scores are strictly negative and bounded above
+    by the best possible mean (a doc made only of the modal token); n_tokens
+    matches the whitespace split."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.text_quality import (
+        unigram_logprob_score,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unigram_logprob_score(spark, sf_dir).collect()
+    assert len(rows) == docs.count()
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    total = tok.count()
+    top = tok.groupBy("t").count().agg(F.max("count")).first()[0]
+    import math
+
+    best = math.log(top / total)
+    for r in rows:
+        assert r.avg_logprob < 0
+        assert r.avg_logprob <= round(best, 5) + 1e-5
+
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    for r in rows[:50]:
+        assert r.n_tokens == n_by_doc[r.doc_id]
