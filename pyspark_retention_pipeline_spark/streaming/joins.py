@@ -57,3 +57,38 @@ def attribution_join(events: DataFrame) -> DataFrame:
             """
         ),
     )
+
+
+def first_seen_profile(spark, sf_dir: str) -> DataFrame:
+    """Static per-user first-seen-day profile, batch-computed from the same
+    events table (one user_id shuffle). In production this is the slowly-
+    refreshed dimension a stream enriches against."""
+    from ..tables import load_events
+
+    e = load_events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.expr("min(ts_us DIV 86400000000)").alias("first_day")
+    )
+
+
+def new_user_flagged_stream(spark, sf_dir: str) -> DataFrame:
+    """Stream-static join (the third streaming-join shape next to
+    stream-stream and batch): each micro-batch of the event stream joins
+    against the static first-seen profile — stateless, no watermark needed
+    on the static side, re-planned per micro-batch so a refreshed dim is
+    picked up on the next batch. Emits every event with an ``is_new_user``
+    flag (event falls on the user's first-ever active day). The static side
+    is user-grain; at scale the join is a plain shuffle/broadcast equi-join
+    chosen by the planner per batch, with no streaming state at all."""
+    stream = _event_stream(spark, sf_dir)
+    profile = first_seen_profile(spark, sf_dir)
+    day = (F.unix_micros(F.col("event_time")) / 86_400_000_000).cast("long")
+    return (
+        stream.withColumn("event_day", day)
+        .join(profile, "user_id")
+        .withColumn("is_new_user", F.col("event_day") == F.col("first_day"))
+        .select(
+            "event_id", "user_id", "event_type", "event_day", "first_day",
+            "is_new_user",
+        )
+    )

@@ -113,3 +113,48 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir):
     n_unique_src = load_events(spark, sf_dir).select("event_id").distinct().count()
     assert got.count() == n_unique_src
     assert got.distinct().count() == n_unique_src
+
+
+def test_stream_static_join_flags_new_users(spark, sf_dir):
+    """Stream-static enrichment agrees with the batch twin: same row count
+    as the raw events, and is_new_user is exactly 'event on the user's first
+    active day'."""
+    from pyspark_retention_pipeline_spark.streaming.joins import (
+        new_user_flagged_stream,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_events
+
+    out_df = new_user_flagged_stream(spark, sf_dir)
+    q = (
+        out_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_newuser")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_newuser")
+
+    e = load_events(spark, sf_dir)
+    assert got.count() == e.count()
+
+    batch = (
+        e.withColumn("event_day", F.expr("ts_us DIV 86400000000"))
+        .withColumn(
+            "first_day",
+            F.min("event_day").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                )
+            ),
+        )
+        .withColumn("is_new_user", F.col("event_day") == F.col("first_day"))
+    )
+    b = {r.event_id: r.is_new_user for r in batch.select("event_id", "is_new_user").collect()}
+    mismatches = [r for r in got.collect() if b[r.event_id] != r.is_new_user]
+    assert not mismatches, mismatches[:5]
+    # Sanity: some events are first-day and some are not.
+    flags = {r.is_new_user for r in got.collect()}
+    assert flags == {True, False}
