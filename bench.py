@@ -61,6 +61,12 @@ HEADLINE = [
     "growth_accounting",
     "stickiness_ratio",
     "q20_excess_stock",
+    # round-6 continuation: the three widest new plans — triple range-shuffle
+    # NTILE segmentation, corpus-self-trained LM (explode + vocab join), and
+    # session-path top-k (window + TakeOrdered)
+    "rfm_segments",
+    "unigram_logprob_score",
+    "top_session_paths",
 ]
 
 
