@@ -222,7 +222,7 @@ LP_SCALE = 1_000_000
     ), cnt AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
     ), tot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt
     ), tl AS (
       SELECT token, CAST(ROUND(ln(c / t) * {LP_SCALE}) AS BIGINT) AS lp
       FROM cnt CROSS JOIN tot
@@ -255,8 +255,16 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-independent; the mean divides two already-identical integers."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
-    tot = tok.agg(F.count("*").alias("t"))
+    # The vocab aggregate feeds BOTH the per-token weights and the total
+    # token mass; the lazy localCheckpoint pins one materialization (the
+    # with_global_row_number pattern) so the corpus is scanned exactly twice
+    # — LM side + probe side — instead of once per consumer.
+    cnt = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
     tl = cnt.crossJoin(F.broadcast(tot)).select(
         "token",
         F.round(F.log(F.col("c") / F.col("t")) * LP_SCALE)
