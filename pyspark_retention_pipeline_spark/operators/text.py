@@ -712,3 +712,103 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum("n_docs").over(Window.partitionBy("lang"))
     return counts.withColumn("row_share", F.round(F.col("n_docs") / total, 6))
+
+
+# Misra-Gries summary size and the reporting threshold divisor. The batch
+# reduction undercounts any token by at most n_p/(MG_K+1) per partition, so
+# the candidate union provably contains every token with global frequency
+# > N/MG_THRESHOLD_DIV as long as MG_THRESHOLD_DIV < MG_K. The testdata
+# vocabulary is near-flat (31 tokens, shares 0.1-3.5%), so the divisor sits
+# at 32 to make the threshold actually discriminate; the guarantee margin
+# vs MG_K stays >100x.
+MG_K = 4096
+MG_THRESHOLD_DIV = 32
+
+
+def heavy_hitters_frame(tok: DataFrame, k: int, div: int) -> DataFrame:
+    """Two-pass exact heavy hitters over a single-column ``token`` frame —
+    see :func:`heavy_hitter_tokens` for the algorithm and the 100 TB
+    rationale. Factored so tests can drive the sketch with a tiny ``k``
+    that actually exercises the batch-decrement reduction (the production
+    constants never overflow on the 31-token testdata vocabulary)."""
+    import pandas as pd
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            vc = pdf["token"].value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                # Batch decrement: subtract the (k+1)-th largest value.
+                s = pd.Series(counters)
+                cut = int(s.nlargest(k + 1).iloc[-1])
+                s = s - cut
+                counters = {t: int(c) for t, c in s.items() if c > 0}
+        yield pd.DataFrame(
+            {
+                "token": list(counters) + [None],
+                "part_rows": [0] * len(counters) + [n_rows],
+            }
+        )
+
+    sketch = tok.mapInPandas(mg_sketch, schema="token string, part_rows long")
+    # Bounded by #partitions x (k + 1) rows; both consumers are tiny.
+    sketch = sketch.localCheckpoint(eager=False)
+    total = sketch.agg(F.sum("part_rows").cast("long").alias("t"))
+    cands = sketch.filter(F.col("token").isNotNull()).select("token").distinct()
+    exact = (
+        tok.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * div > F.col("t"))
+        .select("token", "n")
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok CROSS JOIN tot
+    GROUP BY token, tot.t
+    HAVING COUNT(*) * {MG_THRESHOLD_DIV} > t
+    """,
+    tags=("text", "sketch", "heavy-hitters", "pandas-udf"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency > N/{MG_THRESHOLD_DIV})
+    without ever shuffling the full vocabulary — the two-pass Misra-Gries
+    pattern (public sketch literature; the batch-decrement variant is the
+    Space-Saving reduction):
+
+    1. **Sketch pass** (``mapInPandas``, Arrow-batched): each partition keeps
+       ≤ {MG_K} counters; when the dict overflows, the ({MG_K}+1)-th largest
+       count is subtracted from all and non-positives drop. Undercount per
+       partition ≤ n_p/({MG_K}+1), so summed over partitions any token with
+       global count > N/{MG_THRESHOLD_DIV} keeps a positive residual
+       somewhere — the candidate union is a PROVEN superset. Each partition
+       also emits its row count on a NULL-token row, so N needs no extra scan.
+    2. **Exact pass**: the corpus re-scans once, semi-joined against the
+       broadcast candidate list (≤ #partitions × {MG_K} entries), and counts
+       exactly; the threshold filter then makes the output independent of
+       every sketch artifact — which is what lets a sketch-based plan be
+       oracle-checkable at all.
+
+    At 100 TB the full-vocab ``groupBy token`` behind :func:`token_topk`
+    shuffles billions of distinct keys; this plan shuffles only the bounded
+    candidate grain and reads the corpus twice — linear scans being the
+    cheap resource, vocabulary-sized shuffles the expensive one."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return heavy_hitters_frame(tok, MG_K, MG_THRESHOLD_DIV)

@@ -301,3 +301,58 @@ def test_unigram_logprob_score_semantics(spark, sf_dir):
     }
     for r in rows[:50]:
         assert r.n_tokens == n_by_doc[r.doc_id]
+
+
+def test_heavy_hitter_tokens_exact_and_nonempty(spark, sf_dir):
+    """The sketch-pruned result equals the exact threshold query computed the
+    expensive way (full-vocab groupBy), and the threshold actually selects a
+    non-trivial, non-everything subset."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.text import (
+        MG_THRESHOLD_DIV,
+        heavy_hitter_tokens,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    got = {(r.token, r.n) for r in heavy_hitter_tokens(spark, sf_dir).collect()}
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    total = tok.count()
+    exact = {
+        (r.token, r.n)
+        for r in tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") * MG_THRESHOLD_DIV > total)
+        .collect()
+    }
+    assert got == exact
+    n_vocab = tok.distinct().count()
+    assert 0 < len(got) < n_vocab
+
+
+def test_heavy_hitters_sketch_survives_decrement(spark):
+    """Drive the factored frame with a summary size small enough to force
+    the batch-decrement reduction many times; the output must still be the
+    exact set above the threshold (the Misra-Gries superset guarantee)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.text import (
+        heavy_hitters_frame,
+    )
+
+    # Zipf-ish: token i appears 2000//(i+1) times, over 200 distinct tokens.
+    rows = []
+    for i in range(200):
+        rows.extend([(f"tok{i:03d}",)] * (2000 // (i + 1)))
+    tok = spark.createDataFrame(rows, "token string").repartition(8)
+    total = len(rows)
+    div = 16  # report tokens with freq > total/16
+    got = {(r.token, r.n) for r in heavy_hitters_frame(tok, 32, div).collect()}
+    from collections import Counter
+
+    c = Counter(t for (t,) in rows)
+    exact = {(t, n) for t, n in c.items() if n * div > total}
+    assert got == exact and got
