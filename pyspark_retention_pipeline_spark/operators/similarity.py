@@ -312,3 +312,73 @@ def centroid_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_vectors").cast("long").alias("n_vectors"),
         F.round(scaled_sum(var_dim, 6), 6).alias("inertia"),
     )
+
+
+PCA_TOP = 8  # reported principal components
+
+
+@query("embedding_pca_topk", tags=("similarity", "pca", "pandas-udf"))
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA spectrum of the embedding corpus: top-{PCA_TOP}
+    eigenvalues of the covariance matrix with explained-variance ratios —
+    the diagnostic behind "how many effective dimensions do these embeddings
+    use" (and the training step of a PCA-reduced ANN index).
+
+    The distributed part is moment accumulation, the textbook one-pass form:
+    each Arrow batch contributes a dim×dim Gram partial ``X.T @ X`` (one
+    BLAS call via ``mapInPandas``), a column-sum vector, and a row count,
+    emitted as (i, j, v) triples; a hash aggregation sums them into exactly
+    dim² + dim + 1 cells. Covariance = S/n − μμᵀ and its symmetric
+    eigendecomposition then run on the driver over a 64×64 matrix — bounded
+    by embedding width, independent of corpus size, the legitimate
+    collect(). Rows-only: BLAS summation order and LAPACK eigensolves are
+    not reproducible in ANSI SQL; agreement with numpy-on-collected-data is
+    pinned to 1e-6 in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            d = g.shape[0]
+            i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            out = pd.DataFrame(
+                {"i": i.ravel(), "j": j.ravel(), "v": g.ravel()}
+            )
+            sums = pd.DataFrame(
+                {"i": np.arange(d), "j": np.full(d, -1), "v": x.sum(axis=0)}
+            )
+            n = pd.DataFrame({"i": [-1], "j": [-1], "v": [float(len(x))]})
+            yield pd.concat([out, sums, n], ignore_index=True)
+
+    cells = (
+        e.select("embedding")
+        .mapInPandas(gram_partials, schema="i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()  # bounded: dim^2 + dim + 1 rows
+    )
+    import numpy as np  # noqa: F811 — local scope for the driver step
+
+    n = next(c.v for c in cells if c.i == -1)
+    dim = max(c.i for c in cells) + 1
+    mu = np.zeros(dim)
+    s = np.zeros((dim, dim))
+    for c in cells:
+        if c.i >= 0 and c.j >= 0:
+            s[c.i, c.j] = c.v
+        elif c.i >= 0:
+            mu[c.i] = c.v / n
+    cov = s / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    rows = [
+        (int(k + 1), float(evals[k]), float(evals[k] / total))
+        for k in range(min(PCA_TOP, dim))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )

@@ -108,10 +108,11 @@ _FRONT: tuple[str, ...] = (
     "dup_rate_by_source",
     "lang_id_confusion",
     "centroid_inertia",
-    "part_cooccurrence",
-    # revenue_mom_growth / variant_props_histogram (also new) didn't fit
-    # the 50-slot window without displacing a ts-sensitive repair; they
-    # rotate in next round and are pytest-parity-green at sf0.001/sf0.01.
+    "embedding_pca_topk",  # rows-only (continuation) — contract (c) seats it
+    # revenue_mom_growth / variant_props_histogram / part_cooccurrence (also
+    # new) didn't fit the 50-slot window without displacing a ts-sensitive
+    # repair or a rows-only first record; they rotate in next round and are
+    # pytest-parity-green at sf0.001/sf0.01 plus sweep-green at sf0.1.
     # --- flagship continuity slot ---
     "churn_features",
 )

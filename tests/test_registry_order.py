@@ -60,7 +60,9 @@ NEW_THIS_ROUND = {
     "dup_rate_by_source",
     "lang_id_confusion",
     "centroid_inertia",
-    "part_cooccurrence",
+    # part_cooccurrence was displaced by embedding_pca_topk: the rows-only
+    # contract (c) outranks a new oracle-backed query's first driver row —
+    # it rotates in round 7 (docs/ROUND7_ROTATION.md).
 }
 
 # new this round but NOT seated: the 50-slot window filled with ts-sensitive

@@ -113,3 +113,33 @@ def test_quantization_bounds_and_error(spark, sf_dir):
     ).collect()[0]
     assert stats["mx"] <= 127
     assert stats["err"] < 0.05
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """Distributed moment accumulation agrees with numpy PCA on the fully
+    collected corpus to 1e-6, and the spectrum is a valid one."""
+    import numpy as np
+
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        embedding_pca_topk,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    got = embedding_pca_topk(spark, sf_dir).collect()
+    x = np.stack(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1]
+    assert len(got) == 8
+    for r in got:
+        assert abs(r.eigenvalue - want[r.component - 1]) < 1e-6
+    assert all(r.eigenvalue >= -1e-9 for r in got)
+    ratios = [r.explained_ratio for r in got]
+    assert ratios == sorted(ratios, reverse=True)
+    assert 0 < sum(ratios) <= 1 + 1e-9
