@@ -542,3 +542,87 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "basket_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, n_pair,
+           ROUND(n_pair / i1.n, 6) AS confidence,
+           ROUND((n_pair * n.n_orders) / (i1.n * i2.n), 6) AS lift
+    FROM pairs
+    JOIN item i1 ON pairs.p1 = i1.l_partkey
+    JOIN item i2 ON pairs.p2 = i2.l_partkey
+    CROSS JOIN n
+    WHERE n_pair >= 2
+    ORDER BY lift DESC, p1, p2
+    LIMIT 100
+    """,
+    tags=("market-basket", "association-rules"),
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics on co-purchased part pairs — confidence
+    P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)), the step after
+    :func:`part_cooccurrence`'s raw counts that turns them into a
+    recommendation signal. The basket side reuses the one-shuffle in-row
+    pair generation (never the oracle's double lineitem self-join); item
+    supports come from the same per-order grain, are vocabulary-sized, and
+    broadcast onto the pair frame; the order total is a broadcast scalar.
+    Every metric derives from exact BIGINT counts with one float division
+    (products stay < 2^63 by construction: counts ≤ |orders|), rounded at
+    6 — so the (lift, p1, p2) top-100 order is identical on both engines.
+    Support floor n_pair ≥ 2 keeps singleton noise out of the lift ranking."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(F.collect_set("l_partkey"))
+    per_order = li.groupBy("l_orderkey").agg(arr.alias("parts"))
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pair_counts = (
+        per_order.select(F.explode(pairs_col).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    item = (
+        per_order.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+    )
+    n_orders = per_order.agg(F.count("*").cast("long").alias("n_orders"))
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
+    out = (
+        pair_counts.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n1"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders")) / (F.col("n1") * F.col("n2")), 6
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "p1", "p2").limit(100)

@@ -310,3 +310,53 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("long").alias("n_converted"),
         F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
     )
+
+
+@query(
+    "bounce_rate_daily",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts_us) AS start_us
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT start_us // {DAY_US} AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS bounce_rate
+    FROM per_session
+    GROUP BY day
+    """,
+    tags=("sessionization", "bounce-rate"),
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the share of single-event sessions per day (keyed
+    by session START day), the standard engagement-quality headline next to
+    stickiness. Reuses the sessionize grain (one user_id shuffle serves the
+    windows and the session rollup); the daily rollup then aggregates the
+    already-collapsed session frame to ≤ #days rows."""
+    from .events import sessionize
+
+    per_session = sessionize(spark, sf_dir)
+    return per_session.groupBy(
+        F.expr(f"start_us DIV {DAY_US}").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("bounce_rate"),
+    )

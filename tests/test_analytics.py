@@ -89,3 +89,34 @@ def test_with_global_ntile_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_basket_lift_metric_identities(spark, sf_dir):
+    """Recompute confidence/lift for a few pairs from first principles."""
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        basket_lift,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = basket_lift(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = {}
+    for r in op.collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    from collections import Counter
+
+    item = Counter(p for parts in baskets.values() for p in parts)
+    for r in rows[:10]:
+        assert r.p1 < r.p2 and r.n_pair >= 2
+        n_pair = sum(1 for parts in baskets.values() if r.p1 in parts and r.p2 in parts)
+        assert n_pair == r.n_pair
+        assert abs(r.confidence - round(n_pair / item[r.p1], 6)) < 1e-9
+        assert (
+            abs(r.lift - round(n_pair * n_orders / (item[r.p1] * item[r.p2]), 6))
+            < 1e-9
+        )
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)

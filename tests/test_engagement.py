@@ -156,3 +156,21 @@ def test_daily_outer_join_hits_both_null_sides(spark, sf_dir):
     # enough that both unmatched sides must appear.
     assert any(r.n_events == 0 and r.revenue > 0 for r in rows)
     assert any(r.n_events > 0 and r.revenue == 0.0 for r in rows)
+
+
+def test_bounce_rate_daily_identities(spark, sf_dir):
+    """Bounce counts partition the session grain: per-day sessions sum to
+    the total session count, bounces are the n_events==1 subset, and the
+    rate is their ratio."""
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        bounce_rate_daily,
+    )
+
+    rows = bounce_rate_daily(spark, sf_dir).collect()
+    assert rows
+    sess = sessionize(spark, sf_dir)
+    assert sum(r.n_sessions for r in rows) == sess.count()
+    assert sum(r.n_bounces for r in rows) == sess.filter("n_events = 1").count()
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert abs(r.bounce_rate - round(r.n_bounces / r.n_sessions, 6)) < 1e-9
