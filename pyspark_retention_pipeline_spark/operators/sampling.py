@@ -182,3 +182,64 @@ def split_assignment_frame(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+# Weighted-sample size and the 2^52 divisor that turns 13 md5 hex digits
+# (52 bits — exactly representable in a double) into a uniform in (0, 1].
+WSAMPLE_K = 200
+TWO_52 = 4_503_599_627_370_496
+
+
+@query(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) + 1) / {TWO_52}.0) / n_chars AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(priority * 1000000, 6) AS priority_ppm
+    FROM keyed
+    ORDER BY priority DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, public algorithm): each document draws u ∈ (0,1] and the
+    top-k by u^(1/w) — equivalently ln(u)/w — form the sample, so selection
+    probability tracks the weight (n_chars here: longer documents are
+    likelier, the "sample by token mass" knob a corpus mixer needs when
+    uniform doc sampling would under-represent long documents).
+
+    Replaces RNG with arithmetic: u comes from 13 md5 hex digits of the key
+    (52 bits — a double holds it EXACTLY, so both engines divide identical
+    dyadic rationals; the +1 keeps ln away from zero). One linear pass, no
+    shuffle before the TakeOrderedAndProject top-k (per-partition heaps of
+    k, driver merge) — the distributed weighted reservoir. Restart- and
+    partitioning-stable like :func:`hash_sample`, which is what a 100 TB
+    job needs from its sampler. ln agrees across engines far below the
+    1e-6 output rounding (the tfidf_top_terms precedent); the sort itself
+    runs on doubles whose cross-engine ulp gap (~1e-21 at these magnitudes)
+    cannot reorder distinct keys."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(float(TWO_52))
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("priority")
+    )
+    return (
+        keyed.orderBy(F.desc("priority"), "doc_id")
+        .limit(WSAMPLE_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("priority") * 1_000_000, 6).alias("priority_ppm"),
+        )
+    )

@@ -260,3 +260,29 @@ def test_source_cap_select_respects_cap(spark, sf_dir):
     for src, n in kept.items():
         assert n >= min(SOURCE_CAP_DOCS, totals[src]), (src, n)
         assert n <= SOURCE_CAP_DOCS + worst_bin[src] - 1, (src, n, worst_bin[src])
+
+
+def test_weighted_doc_sample_biases_toward_weight(spark, sf_dir):
+    """A-ES sampling: exactly K rows (or all docs), stable across
+    partitionings, and the char-weighted draw over-represents long docs
+    relative to the corpus mean."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.sampling import (
+        WSAMPLE_K,
+        weighted_doc_sample,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = weighted_doc_sample(spark, sf_dir).collect()
+    assert len(rows) == min(WSAMPLE_K, n_docs)
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+    again = weighted_doc_sample(spark, sf_dir).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in rows}
