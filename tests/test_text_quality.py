@@ -356,3 +356,26 @@ def test_heavy_hitters_sketch_survives_decrement(spark):
     c = Counter(t for (t,) in rows)
     exact = {(t, n) for t, n in c.items() if n * div > total}
     assert got == exact and got
+
+
+def test_udtf_matches_codegen_twin(spark, sf_dir):
+    """The Python UDTF and the posexplode expression twin produce identical
+    (doc_id, sent_idx, sentence) sets — the check that justifies shipping
+    the codegen form at scale."""
+    from pyspark_retention_pipeline_spark.operators.udtf_ops import (
+        sentence_split_expr,
+        udtf_sentence_split,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    got = {
+        (r.doc_id, r.sent_idx, r.sentence)
+        for r in udtf_sentence_split(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.sent_idx, r.sentence)
+        for r in sentence_split_expr(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert got == want and got
