@@ -39,6 +39,7 @@ from . import (  # noqa: F401
     sampling,
     components,
     sinks,
+    upsert,
     udtf_ops,
     mlops,
     multimodal,

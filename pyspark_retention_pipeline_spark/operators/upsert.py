@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """MERGE (matched → replace, unmatched → insert): keep target rows whose
@@ -43,7 +45,10 @@ def scd2_apply(
     )
 
     closed = (
-        current.join(F.broadcast(change_keys), key, "inner")
+        # Unhinted: the change batch is usually small (AQE will broadcast
+        # it) but derives from a scaling input, so a forced broadcast would
+        # be the round-1 OOM pattern.
+        current.join(change_keys, key, "inner")
         .filter(F.col(valid_to).isNull())
         .withColumn(valid_to, F.col("_change_ts"))
         .drop("_change_ts")
@@ -60,3 +65,101 @@ def scd2_apply(
         .drop(change_ts_col)
     )
     return unchanged.unionByName(closed).unionByName(new_versions)
+
+
+# Deterministic change batch: every 97th order key "arrives" as an update.
+UPD_MOD = 97
+SCD2_CHANGE_TS = "1998-08-01 00:00:00"
+
+
+def _orders_base(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _orders_updates(base: DataFrame) -> DataFrame:
+    return base.filter(F.col("o_orderkey") % UPD_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "merge_upsert_snapshot",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % {UPD_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           ROUND(ROUND(o_totalprice + 100.0, 2), 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % {UPD_MOD} = 0
+    """,
+    tags=("cdc", "merge-upsert"),
+)
+def merge_upsert_snapshot(spark, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics under the hash gate: a deterministic change
+    batch (every {UPD_MOD}-th order re-arrives with a new status and
+    price) applied through :func:`upsert` — matched rows replaced
+    wholesale, unmatched kept via a key-only anti-join shuffle. The oracle
+    states the post-merge invariant directly (untouched ∪ updates), so the
+    gate verifies the MERGE outcome, not the mechanism. At scale this is
+    the table-format-free CDC form; a Delta/Iceberg MERGE replaces only
+    the sink, not this logic."""
+    base = _orders_base(spark, sf_dir)
+    merged = upsert(base, _orders_updates(base), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "scd2_order_versions",
+    oracle=f"""
+    WITH cur AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, valid_from, valid_to FROM cur
+    WHERE o_orderkey % {UPD_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, valid_from,
+           TIMESTAMP '{SCD2_CHANGE_TS}' AS valid_to
+    FROM cur WHERE o_orderkey % {UPD_MOD} = 0
+    UNION ALL
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           TIMESTAMP '{SCD2_CHANGE_TS}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM cur WHERE o_orderkey % {UPD_MOD} = 0
+    """,
+    tags=("cdc", "scd2"),
+)
+def scd2_order_versions(spark, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension application under the hash gate:
+    the same deterministic change batch closes each changed key's open
+    version (valid_to = change ts) and appends the change as the new open
+    version — :func:`scd2_apply`'s anti-join/semi-join/union plan. The
+    oracle is the declarative post-state (open unchanged ∪ closed old ∪
+    new open), verifying version bookkeeping row-for-row."""
+    from ..exprs import ts_lit
+    from ..tables import load_table
+
+    current = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    changes = current.filter(F.col("o_orderkey") % UPD_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        ts_lit(SCD2_CHANGE_TS).alias("change_ts"),
+    )
+    out = scd2_apply(current, changes, "o_orderkey", "change_ts")
+    return out.select("o_orderkey", "o_orderstatus", "valid_from", "valid_to")
