@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_events
+from ..tables import load_events, load_table
 
 HOUR_US = 3_600_000_000
 DAY_US = 86_400_000_000
@@ -214,4 +214,130 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
+    )
+
+
+# OLS base day (epoch-day offset) — centers the regressor so the exact
+# integer moment sums stay far from BIGINT range at any realistic scale.
+OLS_BASE_DAY = 8000
+FORECAST_DAYS = 7
+
+
+@query(
+    "revenue_trend_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               - {OLS_BASE_DAY} AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(x * cents) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(MAX(x) AS BIGINT) AS max_x
+      FROM daily
+    )
+    SELECT n AS n_days,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100, 6)
+             AS slope_per_day,
+           ROUND(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                  + (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    * (max_x + {FORECAST_DAYS})) / 100, 2) AS forecast_revenue,
+           CAST(max_x + {OLS_BASE_DAY} + {FORECAST_DAYS} AS BIGINT) AS forecast_day
+    FROM s
+    """,
+    tags=("time-series", "regression", "forecast"),
+)
+def revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear revenue-trend forecast: closed-form OLS over the daily revenue
+    series, extrapolated {FORECAST_DAYS} days past the last observed day —
+    regression as a pure aggregation, the only form that distributes: the
+    five moment sums (n, Σx, Σy, Σxy, Σx²) reduce map-side to ONE row, and
+    slope/intercept/forecast are arithmetic on that row. No window, no
+    iteration, no driver loop; y is exact integer cents and x a centered
+    epoch day, so every sum is exact and the derived doubles divide
+    identical integers on both engines. (At truly extreme scale the moment
+    sums escalate BIGINT → DECIMAL(38) / HUGEINT — same plan shape.)"""
+    o = load_table(spark, sf_dir, "orders")
+    x = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+        - OLS_BASE_DAY
+    )
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    daily = o.groupBy(x.alias("x")).agg(cents)
+    s = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.max("x").cast("long").alias("max_x"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(slope / 100, 6).alias("slope_per_day"),
+        F.round(
+            (intercept + slope * (F.col("max_x") + FORECAST_DAYS)) / 100, 2
+        ).alias("forecast_revenue"),
+        (F.col("max_x") + OLS_BASE_DAY + FORECAST_DAYS)
+        .cast("long")
+        .alias("forecast_day"),
+    )
+
+
+# Fixed-point scale for per-(user, type) entropy terms (same rationale as
+# text_quality.LP_SCALE: quantize before the order-dependent float sum).
+ENT_SCALE = 1_000_000_000
+
+
+@query(
+    "user_type_entropy",
+    oracle=f"""
+    WITH ct AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), wn AS (
+      SELECT user_id, c,
+             CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM ct
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(SUM(CAST(ROUND(-(c / n) * ln(c / n) * {ENT_SCALE})
+                               AS BIGINT)) AS BIGINT)
+                 / {ENT_SCALE}.0, 6) AS entropy
+    FROM wn GROUP BY user_id
+    """,
+    tags=("engagement", "entropy"),
+)
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy — Shannon entropy of the user's
+    event-type distribution (0 = single-behavior user, ln(#types) = uniform
+    explorer), the diversity feature churn models take alongside RFM. One
+    shuffle to the (user, type) grain (≤ #types rows per user), per-user
+    totals via a window partitioned on the SAME key (no second exchange),
+    and each −p·ln p term quantizes to an exact BIGINT before the per-user
+    sum, so the few-term float reduction can't reorder across engines."""
+    e = load_events(spark, sf_dir)
+    ct = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    wn = ct.select(
+        "user_id", "c", F.sum("c").over(w).cast("long").alias("n")
+    )
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log(p) * ENT_SCALE).cast("long")
+    return wn.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.round(F.sum(term).cast("long") / F.lit(float(ENT_SCALE)), 6).alias(
+            "entropy"
+        ),
     )

@@ -128,3 +128,60 @@ def test_source_temperature_weights_flattens_the_mix(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
     assert abs(sum(r.expected_docs for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_revenue_trend_forecast_matches_numpy_ols(spark, sf_dir):
+    """Closed-form moment-sum OLS agrees with numpy polyfit on the collected
+    daily series; the forecast evaluates the fitted line 7 days out."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        FORECAST_DAYS,
+        OLS_BASE_DAY,
+        revenue_trend_forecast,
+    )
+
+    row = revenue_trend_forecast(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    x = np.array([r.day for r in daily], dtype=np.float64)
+    y = np.array([r.cents for r in daily], dtype=np.float64) / 100.0
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_days == len(daily)
+    assert abs(row.slope_per_day - slope) < max(1e-6, abs(slope) * 1e-6)
+    want = intercept + slope * (max(x) + FORECAST_DAYS)
+    assert abs(row.forecast_revenue - want) < max(0.05, abs(want) * 1e-6)
+    assert row.forecast_day == int(max(x)) + FORECAST_DAYS
+
+
+def test_user_type_entropy_bounds_and_examples(spark, sf_dir, events):
+    """Entropy ∈ [0, ln(n_types)]; single-type users score 0; a hand
+    recomputation agrees for a sample of users."""
+    import math
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        user_type_entropy,
+    )
+
+    rows = user_type_entropy(spark, sf_dir).collect()
+    n_users = events.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    counts = {}
+    for r in events.groupBy("user_id", "event_type").count().collect():
+        counts.setdefault(r.user_id, {})[r.event_type] = r["count"]
+    for r in rows[:40]:
+        assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-9
+        if r.n_types == 1:
+            assert r.entropy == 0.0
+        c = counts[r.user_id]
+        n = sum(c.values())
+        want = sum(-(v / n) * math.log(v / n) for v in c.values())
+        assert abs(r.entropy - want) < 1e-5
+        assert r.n_events == n and r.n_types == len(c)
