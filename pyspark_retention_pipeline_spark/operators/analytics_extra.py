@@ -626,3 +626,140 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "p1", "p2").limit(100)
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    WITH rowchecks AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_cust,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1
+                           ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders
+    ), fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT v.check_name, v.n_violations,
+           CASE WHEN v.n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM rowchecks, fk,
+    LATERAL (VALUES
+      ('pk_unique(o_orderkey)', dup_pk),
+      ('not_null(o_custkey)', null_cust),
+      ('positive(o_totalprice)', bad_price),
+      ('in_set(o_orderstatus)', bad_status),
+      ('fk(orders.o_custkey -> customer)', orphans)
+    ) v(check_name, n_violations)
+    """,
+    tags=("data-quality", "constraints"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report (the Deequ/expectations
+    shape, public pattern): primary-key uniqueness, not-null, value-range,
+    value-set, and referential-integrity checks over orders, each reported
+    as (check_name, violations, status). The four row-level checks FUSE
+    into one conditional aggregation — one scan however many constraints —
+    and the FK check is a left-anti count against customer keys; at scale
+    that's one shuffle (or a broadcast when the dimension fits), and the
+    report itself is ≤ #constraints rows. Running validation as a query
+    (not a driver loop over checks) is what lets a 100 TB audit share one
+    pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    row = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("orphans"))
+    )
+    checks = row.crossJoin(F.broadcast(orphans)).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("pk_unique(o_orderkey)"),
+                    F.lit("not_null(o_custkey)"),
+                    F.lit("positive(o_totalprice)"),
+                    F.lit("in_set(o_orderstatus)"),
+                    F.lit("fk(orders.o_custkey -> customer)"),
+                ),
+                F.array("dup_pk", "null_cust", "bad_price", "bad_status", "orphans"),
+            )
+        ).alias("check_name", "n_violations")
+    )
+    return checks.select(
+        "check_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(F.col("n_violations") == 0, "pass").otherwise("fail").alias("status"),
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM per_key
+    )
+    SELECT n AS rows_per_key,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(n * COUNT(*) / MAX(tot.n_rows), 6) AS row_share,
+           ROUND(n / MAX(tot.max_n), 6) AS rel_to_heaviest
+    FROM per_key CROSS JOIN tot
+    GROUP BY n
+    """,
+    tags=("skew", "diagnostics"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostic for a join/aggregation key — the
+    count-of-counts histogram (how many keys carry N rows each) with each
+    stratum's share of total rows and its size relative to the heaviest
+    key. This is the number you read BEFORE choosing salting / AQE skew
+    handling (docs/SCALE.md): a flat profile means hash partitioning is
+    fine; a stratum holding most rows at high N is the straggler. Two
+    map-side-combinable aggregations (key grain, then count grain — the
+    second is tiny) plus a broadcast 1-row total; the profile never
+    materializes more than #distinct-counts rows."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        per_key.groupBy("n")
+        .agg(F.count("*").alias("n_keys_stratum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("rows_per_key"),
+            F.col("n_keys_stratum").alias("n_keys"),
+            F.round(F.col("n") * F.col("n_keys_stratum") / F.col("n_rows"), 6).alias(
+                "row_share"
+            ),
+            F.round(F.col("n") / F.col("max_n"), 6).alias("rel_to_heaviest"),
+        )
+    )

@@ -120,3 +120,36 @@ def test_basket_lift_metric_identities(spark, sf_dir):
         )
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_dq_constraint_report_clean_data_passes(spark, sf_dir):
+    """The synthetic testdata satisfies all five constraints; a planted
+    defect (negative price) flips exactly the right check."""
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        dq_constraint_report,
+    )
+
+    rows = {r.check_name: r for r in dq_constraint_report(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert (r.status == "pass") == (r.n_violations == 0)
+    assert rows["pk_unique(o_orderkey)"].n_violations == 0
+    assert rows["fk(orders.o_custkey -> customer)"].n_violations == 0
+
+
+def test_join_key_skew_profile_accounts_for_all_rows(spark, sf_dir):
+    """Strata partition the key set; row shares sum to 1; the heaviest
+    stratum has rel_to_heaviest == 1."""
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        join_key_skew_profile,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = join_key_skew_profile(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_rows = o.count()
+    n_keys = o.select("o_custkey").distinct().count()
+    assert sum(r.n_keys for r in rows) == n_keys
+    assert sum(r.rows_per_key * r.n_keys for r in rows) == n_rows
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-3
+    assert max(r.rel_to_heaviest for r in rows) == 1.0
