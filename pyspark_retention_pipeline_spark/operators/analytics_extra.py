@@ -763,3 +763,49 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("max_n"), 6).alias("rel_to_heaviest"),
         )
     )
+
+
+# Shared ANSI text for the recursive spine — the IDENTICAL string runs on
+# both engines (Spark 4 and DuckDB both implement WITH RECURSIVE).
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
+         MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
+  FROM orders
+), spine(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + 1 FROM spine WHERE m < (SELECT hi FROM bounds)
+), monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mm,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(spine.m AS BIGINT) AS m,
+       CAST(COALESCE(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(monthly.revenue, 0), 2) AS revenue
+FROM spine LEFT JOIN monthly ON spine.m = monthly.mm
+"""
+
+
+@query(
+    "recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL,
+    tags=("recursive-cte", "spark4", "spine"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free monthly revenue series built from a RECURSIVE CTE — Spark
+    4's WITH RECURSIVE surface (the last major ANSI construct the registry
+    didn't exercise; `event_day_spine_fill` does the same job with
+    `sequence()`, which remains the preferred non-iterative form). The
+    IDENTICAL SQL text runs on both engines. Recursion depth is the month
+    span (~84 for this data — under Spark's default 100-level limit); each
+    step is a 1-row frame, so the iterative part is driver-trivial while
+    the monthly aggregate underneath stays a normal distributed hash agg.
+    At 100 TB the spine is still #months rows — recursion depth scales
+    with calendar span, never data volume."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)

@@ -153,3 +153,33 @@ def test_join_key_skew_profile_accounts_for_all_rows(spark, sf_dir):
     assert sum(r.rows_per_key * r.n_keys for r in rows) == n_rows
     assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-3
     assert max(r.rel_to_heaviest for r in rows) == 1.0
+
+
+def test_recursive_month_spine_is_gap_free(spark, sf_dir):
+    """The spine is a contiguous month range covering every observed month;
+    month totals reconcile with the orders table."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        recursive_month_spine,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = sorted(recursive_month_spine(spark, sf_dir).collect(), key=lambda r: r.m)
+    ms = [r.m for r in rows]
+    assert ms == list(range(ms[0], ms[-1] + 1))
+    o = load_table(spark, sf_dir, "orders")
+    months = {
+        r.m: r.n
+        for r in o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert ms[0] == min(months) and ms[-1] == max(months)
+    for r in rows:
+        assert r.n_orders == months.get(r.m, 0)
+    assert sum(r.n_orders for r in rows) == o.count()
