@@ -341,3 +341,88 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy"
         ),
     )
+
+
+# Month-index center for the grouped OLS regressor (1992-01 ≈ 23904).
+OLS_BASE_MONTH = 23900
+
+
+@query(
+    "nation_revenue_trend",
+    oracle=f"""
+    WITH nm AS (
+      SELECT n.n_name AS nation,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1)
+               - {OLS_BASE_MONTH} AS x,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // 100
+               AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM nm GROUP BY nation
+    )
+    SELECT nation, n AS n_months,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_per_month,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    tags=("time-series", "regression", "grouped"),
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend — :func:`revenue_trend_forecast`'s
+    closed-form OLS GROUPED: because regression-as-aggregation needs only
+    five moment sums per group, fitting 25 nations (or 25 million user
+    segments) costs exactly one grouped aggregation after the dim joins —
+    the shape that replaces a per-group `applyInPandas` model loop for
+    anything linear. Slope is whole-dollars/month; r² derives from the
+    same exact integer sums cast to double only for the final two
+    divisions. Degenerate groups (constant x or y, < 3 months) are
+    filtered rather than emitting NaN."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    x = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1 - OLS_BASE_MONTH
+    ).cast("long")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    nm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)").alias("y"))
+    )
+    s = nm.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.filter((F.col("n") >= 3) & (denx > 0) & (deny > 0)).select(
+        "nation",
+        F.col("n").alias("n_months"),
+        F.round(num / denx, 6).alias("slope_per_month"),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / (denx.cast("double") * deny.cast("double")),
+            6,
+        ).alias("r2"),
+    )

@@ -185,3 +185,50 @@ def test_user_type_entropy_bounds_and_examples(spark, sf_dir, events):
         want = sum(-(v / n) * math.log(v / n) for v in c.values())
         assert abs(r.entropy - want) < 1e-5
         assert r.n_events == n and r.n_types == len(c)
+
+
+def test_nation_revenue_trend_matches_numpy_grouped(spark, sf_dir):
+    """Grouped closed-form OLS agrees with per-group numpy polyfit, and r²
+    sits in [0, 1]."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        OLS_BASE_MONTH,
+        nation_revenue_trend,
+    )
+
+    rows = {r.nation: r for r in nation_revenue_trend(spark, sf_dir).collect()}
+    assert rows
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    nm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1 - OLS_BASE_MONTH)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .collect()
+    )
+    series = {}
+    for r in nm:
+        series.setdefault(r.nation, []).append((r.x, r.y))
+    for nation, r in list(rows.items())[:8]:
+        pts = sorted(series[nation])
+        x = np.array([p[0] for p in pts], dtype=np.float64)
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        slope = np.polyfit(x, y, 1)[0]
+        assert r.n_months == len(pts)
+        assert abs(r.slope_per_month - slope) < max(1e-4, abs(slope) * 1e-6)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(r.r2 - r2) < 1e-6
+        assert -1e-9 <= r.r2 <= 1 + 1e-9
