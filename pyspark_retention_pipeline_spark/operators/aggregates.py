@@ -483,3 +483,62 @@ def order_key_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(keys_sorted, lambda k: k.cast("string"))
         ).alias("order_keys")
     )
+
+
+@query(
+    "winsorized_spend_stats",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT ROUND(quantile_cont(total_spend, 0.01), 4) AS lo,
+             ROUND(quantile_cont(total_spend, 0.99), 4) AS hi
+      FROM spend
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN total_spend < lo OR total_spend > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           MAX(cuts.lo) AS p01,
+           MAX(cuts.hi) AS p99,
+           ROUND(SUM(CAST(ROUND(LEAST(GREATEST(total_spend, lo), hi) * 10000)
+                          AS BIGINT)) / 10000.0 / COUNT(*), 6) AS winsorized_mean
+    FROM spend CROSS JOIN cuts
+    """,
+    tags=("A10", "robust-stats"),
+)
+def winsorized_spend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of per-customer spend — outlier-robust central
+    tendency by clipping at the exact p01/p99 (the notebook's axis-trim
+    quantiles applied to the statistic itself). The percentile pass runs
+    over the aggregated customer grain and broadcasts a 1-row cutoff frame
+    back; clipping and the mean then fuse into one conditional aggregation.
+    Clipped values quantize to exact 1e-4 integers before the sum (both
+    inputs are already rounded), so the order-dependent double reduction
+    disappears. Exact percentiles here because the grain is
+    customer-bounded; at raw-corpus grain you'd swap in approx_percentile
+    exactly like p99_quantile_approx."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("total_spend"))
+    cuts = spend.agg(
+        F.round(F.percentile("total_spend", F.lit(0.01)), 4).alias("lo"),
+        F.round(F.percentile("total_spend", F.lit(0.99)), 4).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("total_spend"), F.col("lo")), F.col("hi"))
+    return spend.crossJoin(F.broadcast(cuts)).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(
+            F.when(
+                (F.col("total_spend") < F.col("lo"))
+                | (F.col("total_spend") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clipped"),
+        F.max("lo").alias("p01"),
+        F.max("hi").alias("p99"),
+        F.round(
+            F.sum(F.round(clipped * 10000).cast("long")) / 10000.0 / F.count("*"), 6
+        ).alias("winsorized_mean"),
+    )

@@ -279,3 +279,30 @@ def test_synthetic_partsupp_striping(spark, sf_dir):
     assert 1 <= rng.lo and rng.hi <= n_supp
     again = synthetic_partsupp(spark, sf_dir)
     assert ps.exceptAll(again).count() == 0 and again.exceptAll(ps).count() == 0
+
+
+def test_winsorized_spend_stats_semantics(spark, sf_dir):
+    """Winsorized mean sits between p01 and p99; clipping count matches a
+    hand recount; the mean equals the clipped-mean computed locally."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.aggregates import (
+        winsorized_spend_stats,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    row = winsorized_spend_stats(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    spend = [
+        r.s
+        for r in o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()
+    ]
+    assert row.n_customers == len(spend)
+    assert row.p01 <= row.winsorized_mean <= row.p99
+    n_clipped = sum(1 for s in spend if s < row.p01 or s > row.p99)
+    assert row.n_clipped == n_clipped
+    assert 0 < n_clipped < len(spend)
+    clipped_mean = sum(min(max(s, row.p01), row.p99) for s in spend) / len(spend)
+    assert abs(row.winsorized_mean - clipped_mean) < 1e-3
