@@ -107,3 +107,69 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assignments, centroids = build_ivf_index(emb)
     return ivf_search(emb, emb.filter(F.col("vec_id") < N_QUERIES), assignments, centroids)
+
+
+LLOYD_K = 8
+LLOYD_ITERS = 4
+
+
+@query("kmeans_lloyd_curve", tags=("similarity", "kmeans", "iterative"))
+def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means expressed in pure DataFrame operators — the
+    iterative-algorithm pattern (bounded driver loop, all per-row work
+    declarative) that :mod:`.components`' label propagation uses for
+    graphs, applied to clustering: per iteration, assignment is an argmin
+    over a broadcast centroid frame (struct-MIN, no window) and the update
+    is a posexplode-avg per cluster; the convergence curve (per-iteration
+    mean squared distance) is the output. Deterministic: seeds are the
+    first {LLOYD_K} vec_ids, and every reduction is an exact avg over a
+    fixed grouping — no RNG anywhere. Rows-only: {LLOYD_ITERS} chained
+    shuffles have no single-query SQL twin (DuckDB would need the same
+    loop); the per-step math is pinned against numpy in
+    tests/test_similarity.py. MLlib's KMeans (build_ivf_index) remains the
+    production trainer; this is the engine-level form that scales each
+    step as ordinary joins/aggs — corpus × K distance rows per iteration,
+    centroid frame always K rows."""
+    from ..exprs import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    cent = (
+        emb.filter(F.col("vec_id") < LLOYD_K)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    curve = []
+    for it in range(1, LLOYD_ITERS + 1):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", F.struct(dist2.alias("d2"), F.col("cell")).alias("dc")
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.min("dc").alias("best"), F.first("v").alias("v")
+        )
+        stats = assigned.agg(
+            F.round(F.avg("best.d2"), 6).alias("inertia"),
+            F.count_distinct("best.cell").alias("n_cells"),
+        ).collect()[0]
+        curve.append((it, float(stats.inertia), int(stats.n_cells)))
+        cent = (
+            assigned.select(
+                F.col("best.cell").alias("cell"), F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        curve, "iteration int, inertia double, n_cells long"
+    )

@@ -107,12 +107,13 @@ _FRONT: tuple[str, ...] = (
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
     "lang_id_confusion",
-    "centroid_inertia",
     "embedding_pca_topk",  # rows-only (continuation) — contract (c) seats it
-    # revenue_mom_growth / variant_props_histogram / part_cooccurrence (also
-    # new) didn't fit the 50-slot window without displacing a ts-sensitive
-    # repair or a rows-only first record; they rotate in next round and are
-    # pytest-parity-green at sf0.001/sf0.01 plus sweep-green at sf0.1.
+    "kmeans_lloyd_curve",  # rows-only (continuation) — contract (c) seats it
+    # revenue_mom_growth / variant_props_histogram / part_cooccurrence /
+    # centroid_inertia (all new, oracle-backed) didn't fit the 50-slot
+    # window without displacing a ts-sensitive repair or a rows-only first
+    # record (contract (c) outranks them); they rotate in next round and
+    # are pytest-parity-green at sf0.001/sf0.01 plus sweep-green at sf0.1.
     # --- flagship continuity slot ---
     "churn_features",
 )

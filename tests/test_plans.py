@@ -66,6 +66,7 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
         "ml_churn_metrics",
         "ml_threshold_from_scores",
         "ivf_knn",
+        "kmeans_lloyd_curve",  # bounded driver loop; builds run jobs
         # knn_bruteforce broadcasts its query side — a literal-bounded
         # <=10-row slice of embeddings (the broadcast-the-queries ANN
         # pattern). Bounded by a Filter, which the inspector can't prove.
@@ -109,6 +110,7 @@ def test_no_unpartitioned_corpus_windows(spark, sf_dir):
         "ml_churn_metrics",
         "ml_threshold_from_scores",
         "ivf_knn",
+        "kmeans_lloyd_curve",
         "dedup_clusters",
         "curate_corpus_neardup",
     }

@@ -59,7 +59,8 @@ NEW_THIS_ROUND = {
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
     "lang_id_confusion",
-    "centroid_inertia",
+    # centroid_inertia was displaced by kmeans_lloyd_curve (rows-only
+    # contract (c)); it rotates in round 7 (docs/ROUND7_ROTATION.md).
     # part_cooccurrence was displaced by embedding_pca_topk: the rows-only
     # contract (c) outranks a new oracle-backed query's first driver row —
     # it rotates in round 7 (docs/ROUND7_ROTATION.md).

@@ -143,3 +143,33 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
     ratios = [r.explained_ratio for r in got]
     assert ratios == sorted(ratios, reverse=True)
     assert 0 < sum(ratios) <= 1 + 1e-9
+
+
+def test_kmeans_lloyd_curve_converges_and_matches_numpy(spark, sf_dir):
+    """Inertia is non-increasing across iterations; the first iteration's
+    inertia matches a numpy recomputation from the deterministic seeds."""
+    import numpy as np
+
+    from pyspark_retention_pipeline_spark.operators.ivf import (
+        LLOYD_ITERS,
+        LLOYD_K,
+        kmeans_lloyd_curve,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = sorted(
+        kmeans_lloyd_curve(spark, sf_dir).collect(), key=lambda r: r.iteration
+    )
+    assert [r.iteration for r in rows] == list(range(1, LLOYD_ITERS + 1))
+    inertias = [r.inertia for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:]))
+    assert all(1 <= r.n_cells <= LLOYD_K for r in rows)
+
+    data = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    x = np.stack([r.embedding for r in data]).astype(np.float64)
+    seeds = np.stack(
+        [r.embedding for r in sorted(data, key=lambda r: r.vec_id)[:LLOYD_K]]
+    ).astype(np.float64)
+    d2 = ((x[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    want = d2.min(axis=1).mean()
+    assert abs(rows[0].inertia - want) < 1e-4
