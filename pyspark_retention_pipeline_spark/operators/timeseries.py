@@ -229,23 +229,24 @@ FORECAST_DAYS = 7
     WITH daily AS (
       SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                - {OLS_BASE_DAY} AS x,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100
+               AS BIGINT) AS dollars
       FROM orders GROUP BY 1
     ), s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(cents) AS BIGINT) AS sy,
-             CAST(SUM(x * cents) AS BIGINT) AS sxy,
+             CAST(SUM(dollars) AS BIGINT) AS sy,
+             CAST(SUM(x * dollars) AS BIGINT) AS sxy,
              CAST(SUM(x * x) AS BIGINT) AS sxx,
              CAST(MAX(x) AS BIGINT) AS max_x
       FROM daily
     )
     SELECT n AS n_days,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100, 6)
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
              AS slope_per_day,
-           ROUND(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
                   + (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                    * (max_x + {FORECAST_DAYS})) / 100, 2) AS forecast_revenue,
+                    * (max_x + {FORECAST_DAYS}), 2) AS forecast_revenue,
            CAST(max_x + {OLS_BASE_DAY} + {FORECAST_DAYS} AS BIGINT) AS forecast_day
     FROM s
     """,
@@ -257,22 +258,26 @@ def revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression as a pure aggregation, the only form that distributes: the
     five moment sums (n, Σx, Σy, Σxy, Σx²) reduce map-side to ONE row, and
     slope/intercept/forecast are arithmetic on that row. No window, no
-    iteration, no driver loop; y is exact integer cents and x a centered
-    epoch day, so every sum is exact and the derived doubles divide
-    identical integers on both engines. (At truly extreme scale the moment
-    sums escalate BIGINT → DECIMAL(38) / HUGEINT — same plan shape.)"""
+    iteration, no driver loop; y is exact whole-dollar daily revenue and x
+    a centered epoch day, so every sum is exact and the derived doubles
+    divide identical integers on both engines. (Dollars, not cents: the
+    n·Σxy cross-term must clear BIGINT at bench scale — caught by the
+    sf0.1 sweep; at truly extreme scale the moment sums escalate BIGINT →
+    DECIMAL(38) / HUGEINT, same plan shape.)"""
     o = load_table(spark, sf_dir, "orders")
     x = (
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
         - OLS_BASE_DAY
     )
-    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-    daily = o.groupBy(x.alias("x")).agg(cents)
+    dollars = F.expr(
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)"
+    ).alias("dollars")
+    daily = o.groupBy(x.alias("x")).agg(dollars)
     s = daily.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum("cents").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("cents")).cast("long").alias("sxy"),
+        F.sum("dollars").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("dollars")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.max("x").cast("long").alias("max_x"),
     )
@@ -282,9 +287,9 @@ def revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return s.select(
         F.col("n").alias("n_days"),
-        F.round(slope / 100, 6).alias("slope_per_day"),
+        F.round(slope, 6).alias("slope_per_day"),
         F.round(
-            (intercept + slope * (F.col("max_x") + FORECAST_DAYS)) / 100, 2
+            intercept + slope * (F.col("max_x") + FORECAST_DAYS), 2
         ).alias("forecast_revenue"),
         (F.col("max_x") + OLS_BASE_DAY + FORECAST_DAYS)
         .cast("long")

@@ -148,11 +148,15 @@ def test_revenue_trend_forecast_matches_numpy_ols(spark, sf_dir):
         o.groupBy(
             F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("day")
         )
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("dollars")
+        )
         .collect()
     )
     x = np.array([r.day for r in daily], dtype=np.float64)
-    y = np.array([r.cents for r in daily], dtype=np.float64) / 100.0
+    y = np.array([r.dollars for r in daily], dtype=np.float64)
     slope, intercept = np.polyfit(x, y, 1)
     assert row.n_days == len(daily)
     assert abs(row.slope_per_day - slope) < max(1e-6, abs(slope) * 1e-6)
