@@ -812,3 +812,47 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     return heavy_hitters_frame(tok, MG_K, MG_THRESHOLD_DIV)
+
+
+EDIT_PREFIX = 48  # chars compared by the edit-distance verifier
+EDIT_MAX = 12  # report pairs at or under this distance
+
+
+@query(
+    "prefix_edit_distance_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, substring(text, 1, {EDIT_PREFIX}) AS pfx
+      FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_MAX}
+    """,
+    tags=("dedup-neardup", "edit-distance"),
+)
+def prefix_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match verification — the character-level check a
+    dedup pipeline runs AFTER candidate generation (MinHash/SimHash find
+    token-level suspects; Levenshtein on a fixed prefix confirms
+    near-identical wording). Bounded here to the oracle-checkable all-pairs
+    window (doc_id < {_PAIR_LIMIT}); the production form feeds
+    ``minhash_candidates`` pairs into the same expression, so cost is
+    O(candidates), never O(n²) — and the {EDIT_PREFIX}-char prefix cap
+    bounds the DP cost per pair regardless of document length.
+    ``levenshtein`` is classic DP with identical semantics in both engines
+    (and Spark exposes a threshold arg for early exit at scale)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PAIR_LIMIT)
+        .select("doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pfx"))
+    )
+    a = d.select(F.col("doc_id").alias("d1"), F.col("pfx").alias("p1"))
+    b = d.select(F.col("doc_id").alias("d2"), F.col("pfx").alias("p2"))
+    dist = F.levenshtein("p1", "p2")
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", dist.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= EDIT_MAX)
+    )

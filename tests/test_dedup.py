@@ -181,3 +181,41 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     for canon, members in by_comp.items():
         assert canon == min(m["doc_id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_prefix_edit_distance_pairs_nonempty_and_correct(spark, sf_dir):
+    """The threshold keeps a non-trivial pair set and the distances match a
+    local DP recomputation."""
+    from pyspark_retention_pipeline_spark.operators.text import (
+        EDIT_MAX,
+        EDIT_PREFIX,
+        _PAIR_LIMIT,
+        prefix_edit_distance_pairs,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = prefix_edit_distance_pairs(spark, sf_dir).collect()
+    assert rows, "no near-match pairs at this threshold"
+    pfx = {
+        r.doc_id: r.text[:EDIT_PREFIX]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_PAIR_LIMIT}")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:25]:
+        assert r.d1 < r.d2
+        assert r.edit_dist == lev(pfx[r.d1], pfx[r.d2])
+        assert r.edit_dist <= EDIT_MAX
