@@ -654,3 +654,59 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_docs"),
     )
+
+
+@query(
+    "ngram_dup_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT array_to_string(list_slice(t, s.i + 1, s.i + {NGRAM}), ' ') AS gram
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {NGRAM}, 0) + 1)) AS s(i)
+    ), c AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY gram
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS total_grams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS dup_occurrences,
+           ROUND(SUM(CASE WHEN n > 1 THEN n ELSE 0 END)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS dup_rate
+    FROM c
+    """,
+    tags=("curation", "dedup-neardup", "memorization"),
+)
+def ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-duplication rate at the {NGRAM}-gram grain — the share of
+    gram OCCURRENCES whose gram appears more than once corpus-wide, the
+    memorization-risk number dedup papers report before/after cleaning
+    (public recipe: the duplicated-substring statistics in deduplication
+    writeups). Reuses the staged token-hash gram derivation (grams travel
+    as 8-byte longs, never strings — the oracle's string grams group into
+    the same equivalence classes modulo the accepted 2⁻⁶⁴ collision); one
+    explode, one vocabulary-of-grams aggregation, one single-row rollup.
+    Unlike :func:`ngram_contamination` the gram stream here is
+    NON-distinct: occurrences are the unit."""
+    toks = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - NGRAM, F.lit(0)))
+    gram_h = F.transform(
+        starts, lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(NGRAM)])
+    )
+    c = (
+        staged.select(F.explode(gram_h).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+    )
+    dup = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+    return c.agg(
+        F.sum("n").cast("long").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        dup.cast("long").alias("dup_occurrences"),
+        F.round(dup / F.sum("n").cast("double"), 6).alias("dup_rate"),
+    )

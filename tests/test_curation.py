@@ -286,3 +286,18 @@ def test_weighted_doc_sample_biases_toward_weight(spark, sf_dir):
 
     again = weighted_doc_sample(spark, sf_dir).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in rows}
+
+
+def test_ngram_dup_rate_identities(spark, sf_dir):
+    """total = dup + unique occurrences; rate consistent; duplication is
+    present in the synthetic corpus (31-token vocab guarantees repeats)."""
+    from pyspark_retention_pipeline_spark.operators.curation import ngram_dup_rate
+
+    row = ngram_dup_rate(spark, sf_dir).collect()[0]
+    assert row.distinct_grams <= row.total_grams
+    assert 0 <= row.dup_occurrences <= row.total_grams
+    unique_occ = row.total_grams - row.dup_occurrences
+    # unique occurrences = # grams with count 1 <= distinct grams
+    assert unique_occ <= row.distinct_grams
+    assert abs(row.dup_rate - round(row.dup_occurrences / row.total_grams, 6)) < 1e-9
+    assert row.dup_rate > 0
