@@ -107,6 +107,24 @@ def with_global_row_number(df: DataFrame, order_by: list) -> DataFrame:
     )
 
 
+def ntile_from_row_number(k: int) -> F.Column:
+    """SQL-spec NTILE(k) as EXACT integer arithmetic over the ``_rn``/``_n``
+    columns :func:`with_global_row_number` emits (the first ``N % k``
+    buckets take ``N DIV k + 1`` rows, the rest ``N DIV k``). Integer DIV
+    throughout — the earlier double-division + truncating-cast form was
+    exact only while 1/(q+1) cleared half an ulp, a silent misbucketing
+    hazard at extreme N. Shared by every NTILE consumer so the closed form
+    exists in exactly one place. When ``_n < k`` every row falls in the
+    big-bucket branch, so the ELSE's ``DIV (_n DIV k)`` never divides by
+    zero (CASE evaluates lazily per row)."""
+    return F.expr(
+        f"CASE WHEN _rn <= (_n % {k}) * (_n DIV {k} + 1) "
+        f"THEN (_rn - 1) DIV (_n DIV {k} + 1) + 1 "
+        f"ELSE (_n % {k}) + (_rn - (_n % {k}) * (_n DIV {k} + 1) - 1) "
+        f"DIV (_n DIV {k}) + 1 END"
+    ).cast("long")
+
+
 @query(
     "customer_rank_family",
     oracle="""
@@ -164,14 +182,7 @@ def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_row_number(
         spend, [F.col("total_spend").desc(), F.col("custkey")]
     )
-    k = F.lit(4).cast("long")
-    q = (F.col("_n") / k).cast("long")  # floor-div: base bucket size
-    rem = F.col("_n") % k  # first `rem` buckets get q+1 rows
-    big_span = rem * (q + F.lit(1))  # rows covered by the larger buckets
-    ntile = F.when(
-        F.col("_rn") <= big_span,
-        (F.col("_rn") - F.lit(1)) / (q + F.lit(1)) + F.lit(1),
-    ).otherwise(rem + (F.col("_rn") - big_span - F.lit(1)) / q + F.lit(1))
+    ntile = ntile_from_row_number(4)
     pct = F.when(
         F.col("_n") > 1,
         (F.col("_rn") - F.lit(1)).cast("double") / (F.col("_n") - F.lit(1)),
@@ -181,7 +192,7 @@ def customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spend",
         F.col("_rn").alias("rnk"),
         F.col("_rn").alias("drnk"),
-        ntile.cast("long").alias("quartile"),
+        ntile.alias("quartile"),
         F.round(pct, 6).alias("pct_rank"),
     )
 
@@ -535,15 +546,7 @@ def with_global_ntile(
     a deterministic tiebreak for cross-engine parity (NTILE splits ties by
     physical row order otherwise)."""
     ranked = with_global_row_number(df, order_by)
-    kk = F.lit(k).cast("long")
-    q = (F.col("_n") / kk).cast("long")
-    rem = F.col("_n") % kk
-    big_span = rem * (q + F.lit(1))
-    ntile = F.when(
-        F.col("_rn") <= big_span,
-        (F.col("_rn") - F.lit(1)) / (q + F.lit(1)) + F.lit(1),
-    ).otherwise(rem + (F.col("_rn") - big_span - F.lit(1)) / q + F.lit(1))
-    return ranked.withColumn(out_col, ntile.cast("long")).drop("_rn", "_n")
+    return ranked.withColumn(out_col, ntile_from_row_number(k)).drop("_rn", "_n")
 
 
 @query(

@@ -561,7 +561,7 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p1, p2, n_pair,
            ROUND(n_pair / i1.n, 6) AS confidence,
-           ROUND((n_pair * n.n_orders) / (i1.n * i2.n), 6) AS lift
+           ROUND((n_pair / i1.n) * (n.n_orders / i2.n), 6) AS lift
     FROM pairs
     JOIN item i1 ON pairs.p1 = i1.l_partkey
     JOIN item i2 ON pairs.p2 = i2.l_partkey
@@ -580,9 +580,11 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation (never the oracle's double lineitem self-join); item
     supports come from the same per-order grain, are vocabulary-sized, and
     broadcast onto the pair frame; the order total is a broadcast scalar.
-    Every metric derives from exact BIGINT counts with one float division
-    (products stay < 2^63 by construction: counts ≤ |orders|), rounded at
-    6 — so the (lift, p1, p2) top-100 order is identical on both engines.
+    Every metric derives from exact BIGINT counts via float DIVISIONS
+    formed before any product — (n_pair/n1)·(n_orders/n2), each factor
+    bounded by n — so no integer product can overflow at any corpus size,
+    and the identical IEEE operation order keeps the rounded (lift, p1,
+    p2) top-100 identical on both engines.
     Support floor n_pair ≥ 2 keeps singleton noise out of the lift ranking."""
     li = load_table(spark, sf_dir, "lineitem")
     arr = F.array_sort(F.collect_set("l_partkey"))
@@ -621,7 +623,8 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pair",
             F.round(F.col("n_pair") / F.col("n1"), 6).alias("confidence"),
             F.round(
-                (F.col("n_pair") * F.col("n_orders")) / (F.col("n1") * F.col("n2")), 6
+                (F.col("n_pair") / F.col("n1")) * (F.col("n_orders") / F.col("n2")),
+                6,
             ).alias("lift"),
         )
     )

@@ -601,7 +601,7 @@ TEMP_BUDGET = 1_000_000
 
 @query(
     "source_temperature_weights",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -613,7 +613,7 @@ TEMP_BUDGET = 1_000_000
     SELECT source, n_docs, n_tokens,
            ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS raw_share,
            ROUND(wgt / SUM(wgt) OVER (), 6) AS temp_share,
-           CAST(ROUND(ROUND(wgt / SUM(wgt) OVER (), 6) * 1000000) AS BIGINT)
+           CAST(ROUND(ROUND(wgt / SUM(wgt) OVER (), 6) * {TEMP_BUDGET}) AS BIGINT)
              AS expected_docs
     FROM w
     """,
@@ -650,7 +650,7 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(tot), 6).alias("raw_share"),
         temp_share.alias("temp_share"),
-        F.round(temp_share * 1_000_000)
+        F.round(temp_share * TEMP_BUDGET)
         .cast("long")
         .alias("expected_docs"),
     )

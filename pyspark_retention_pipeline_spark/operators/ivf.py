@@ -151,7 +151,7 @@ def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assigned = scored.groupBy("vec_id").agg(
             F.min("dc").alias("best"), F.first("v").alias("v")
-        )
+        ).localCheckpoint(eager=False)  # one materialization for stats + update
         stats = assigned.agg(
             F.round(F.avg("best.d2"), 6).alias("inertia"),
             F.count_distinct("best.cell").alias("n_cells"),

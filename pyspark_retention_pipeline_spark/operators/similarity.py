@@ -361,8 +361,6 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").alias("v"))
         .collect()  # bounded: dim^2 + dim + 1 rows
     )
-    import numpy as np  # noqa: F811 — local scope for the driver step
-
     n = next(c.v for c in cells if c.i == -1)
     dim = max(c.i for c in cells) + 1
     mu = np.zeros(dim)

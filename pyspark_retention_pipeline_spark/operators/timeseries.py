@@ -359,7 +359,7 @@ OLS_BASE_MONTH = 23900
       SELECT n.n_name AS nation,
              (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1)
                - {OLS_BASE_MONTH} AS x,
-             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // 100
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // 10000
                AS BIGINT) AS y
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -376,7 +376,7 @@ OLS_BASE_MONTH = 23900
       FROM nm GROUP BY nation
     )
     SELECT nation, n AS n_months,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 100, 6)
              AS slope_per_month,
            ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
                   * CAST(n * sxy - sx * sy AS DOUBLE))
@@ -403,12 +403,16 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (
         F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1 - OLS_BASE_MONTH
     ).cast("long")
-    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     nm = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
-        .agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)").alias("y"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000"
+                " AS BIGINT)"
+            ).alias("y")
+        )
     )
     s = nm.groupBy("nation").agg(
         F.count("*").alias("n"),
@@ -424,7 +428,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter((F.col("n") >= 3) & (denx > 0) & (deny > 0)).select(
         "nation",
         F.col("n").alias("n_months"),
-        F.round(num / denx, 6).alias("slope_per_month"),
+        F.round(num / denx * 100, 6).alias("slope_per_month"),
         F.round(
             (num.cast("double") * num.cast("double"))
             / (denx.cast("double") * deny.cast("double")),

@@ -54,6 +54,8 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="sent_idx bigint, sentence string")
     class SplitSentences:
         def eval(self, text: str):
+            if text is None:  # match the codegen twin: NULL emits nothing
+                return
             for i, s in enumerate(text.split(". ")):
                 yield i + 1, s
 
