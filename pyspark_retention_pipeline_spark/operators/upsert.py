@@ -163,3 +163,64 @@ def scd2_order_versions(spark, sf_dir: str) -> DataFrame:
     )
     out = scd2_apply(current, changes, "o_orderkey", "change_ts")
     return out.select("o_orderkey", "o_orderstatus", "valid_from", "valid_to")
+
+
+def apply_changes(
+    target: DataFrame, changes: DataFrame, keys: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Multi-action MERGE (Delta-CDF-style apply): ``changes`` carries an
+    ``op`` column — 'D' rows delete their key, anything else upserts the
+    row wholesale. One key-only anti-join removes every touched key from
+    the target (deletes and updates alike), then the non-delete change
+    rows union back in. Same single-shuffle shape as :func:`upsert`;
+    deletes cost nothing extra."""
+    touched = changes.select(*keys).distinct()
+    untouched = target.join(touched, keys, "left_anti")
+    survivors = changes.filter(F.col(op_col) != "D").drop(op_col)
+    return untouched.unionByName(survivors)
+
+
+@query(
+    "cdc_multi_action_apply",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % {UPD_MOD} <> 0 AND o_orderkey % {UPD_MOD * 2} <> 0
+    UNION ALL
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           ROUND(ROUND(o_totalprice + 100.0, 2), 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % {UPD_MOD} = 0 AND o_orderkey % {UPD_MOD * 2} <> 0
+    """,
+    tags=("cdc", "merge-multi-action"),
+)
+def cdc_multi_action_apply(spark, sf_dir: str) -> DataFrame:
+    """MERGE with mixed actions under the hash gate: the deterministic
+    change batch updates every {UPD_MOD}-th order and DELETES every
+    {UPD_MOD * 2}-th (delete keys are a subset of update keys here, which
+    exercises precedence: a key appearing only as 'D' must vanish, not
+    survive as a stale update). The oracle is the declarative post-state.
+    Deletes are the piece :func:`merge_upsert_snapshot` couldn't express —
+    together they cover the three MERGE actions without a table format."""
+    base = _orders_base(spark, sf_dir)
+    upd = base.filter(
+        (F.col("o_orderkey") % UPD_MOD == 0)
+        & (F.col("o_orderkey") % (UPD_MOD * 2) != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    dels = base.filter(F.col("o_orderkey") % (UPD_MOD * 2) == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+    )
+    merged = apply_changes(base, upd.unionByName(dels), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )

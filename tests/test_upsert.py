@@ -47,3 +47,34 @@ def test_scd2_closes_and_appends(spark):
     # exactly one open version per key
     open_counts = out.filter("valid_to IS NULL").groupBy("id").count().collect()
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_cdc_multi_action_apply_deletes_and_updates(spark, sf_dir):
+    """Deleted keys vanish, updated keys carry the new values, everything
+    else is untouched — checked against a Python reconstruction."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.upsert import (
+        UPD_MOD,
+        cdc_multi_action_apply,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    got = {r.o_orderkey: r for r in cdc_multi_action_apply(spark, sf_dir).collect()}
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("p")
+    )
+    n_del = n_upd = 0
+    for r in base.collect():
+        k = r.o_orderkey
+        if k % (UPD_MOD * 2) == 0:
+            assert k not in got
+            n_del += 1
+        elif k % UPD_MOD == 0:
+            assert got[k].o_orderstatus == "U"
+            assert abs(got[k].o_totalprice - round(r.p + 100.0, 2)) < 1e-9
+            n_upd += 1
+        else:
+            assert got[k].o_orderstatus == r.o_orderstatus
+    assert n_del > 0 and n_upd > 0
+    assert len(got) == base.count() - n_del
