@@ -360,3 +360,70 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) / F.count("*"), 6
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    )
+    SELECT t1, t2, n_both,
+           ROUND(n_both / (ta.n + tb.n - n_both), 6) AS jaccard
+    FROM pairs JOIN totals ta ON pairs.t1 = ta.event_type
+               JOIN totals tb ON pairs.t2 = tb.event_type
+    """,
+    tags=("engagement", "audience", "jaccard"),
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the user sets behind
+    each pair of event types (do clickers also purchase?) — the audience
+    math behind segment targeting. Same in-row pair trick as
+    part_cooccurrence: ONE shuffle to the per-user sorted type set
+    (bounded by #types), pairs generate inside the row, and the ≤|types|²
+    pair frame meets broadcast per-type totals — the oracle's user-keyed
+    self-join re-shuffles the (user, type) grain twice and never appears
+    in the Spark plan."""
+    e = load_events(spark, sf_dir)
+    ut = e.select("user_id", "event_type").distinct()
+    per_user = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    pairs = (
+        per_user.select(F.explode(pairs_col).alias("pr"))
+        .select(F.col("pr.t1").alias("t1"), F.col("pr.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_both"))
+    )
+    totals = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    ta = totals.select(F.col("event_type").alias("t1"), F.col("n").alias("na"))
+    tb = totals.select(F.col("event_type").alias("t2"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "t1")
+        .join(F.broadcast(tb), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("na") + F.col("nb") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -174,3 +174,34 @@ def test_bounce_rate_daily_identities(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_bounces <= r.n_sessions
         assert abs(r.bounce_rate - round(r.n_bounces / r.n_sessions, 6)) < 1e-9
+
+
+def test_audience_overlap_identities(spark, sf_dir, events):
+    """Jaccard recomputed from raw user sets matches; bounds hold; the
+    pair grid covers every co-occurring type pair exactly once."""
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        audience_overlap,
+    )
+
+    rows = audience_overlap(spark, sf_dir).collect()
+    assert rows
+    users = {}
+    for r in events.select("user_id", "event_type").distinct().collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    seen = set()
+    for r in rows:
+        assert r.t1 < r.t2
+        assert (r.t1, r.t2) not in seen
+        seen.add((r.t1, r.t2))
+        inter = len(users[r.t1] & users[r.t2])
+        union = len(users[r.t1] | users[r.t2])
+        assert r.n_both == inter
+        assert abs(r.jaccard - round(inter / union, 6)) < 1e-9
+        assert 0 < r.jaccard <= 1
+    expected_pairs = {
+        (a, b)
+        for a in users
+        for b in users
+        if a < b and users[a] & users[b]
+    }
+    assert seen == expected_pairs
