@@ -222,3 +222,36 @@ def test_part_cooccurrence_matches_python_reference(spark, orders, monkeypatch):
     }
     # the operator returns top-100; with <=12x21 pairs nothing is cut
     assert got == dict(expect)
+
+
+def test_order_sensitive_queries_partitioning_invariant(spark, sf_dir):
+    """The continuation tier's rank/top-k queries produce identical rows
+    under different shuffle-partition counts — the restart/reconfigure
+    stability the oracle hashes depend on. Exercises the queries whose
+    output order or selection could plausibly leak physical layout:
+    rounded-float top-k (basket_lift, weighted_doc_sample), sketch-pruned
+    exact counts (heavy_hitter_tokens), path top-k (top_session_paths),
+    and the two-phase NTILE (rfm_segments)."""
+    from pyspark_retention_pipeline_spark.registry import get
+
+    names = [
+        "basket_lift",
+        "weighted_doc_sample",
+        "heavy_hitter_tokens",
+        "top_session_paths",
+        "rfm_segments",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for n in names:
+                rows = frozenset(
+                    tuple(r) for r in get(n).fn(spark, sf_dir).collect()
+                )
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} differs across shuffle-partition settings"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
