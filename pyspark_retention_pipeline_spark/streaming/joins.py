@@ -30,6 +30,21 @@ def attribution_join(events: DataFrame) -> DataFrame:
     a controlled file source and assert the late-data contract: rows behind
     the watermark horizon are dropped and their join state is evicted, which
     is what bounds state for a forever-running join."""
+    return _attribution_join_how(events, "inner")
+
+
+def attribution_join_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER form of :func:`attribution_join`: signups with no purchase
+    inside the attribution window still emit — with NULL purchase columns —
+    once the watermark passes the window end (the engine can only then
+    prove no match will arrive). This is the join shape conversion
+    funnels actually need (unconverted signups are the interesting rows),
+    and the state story is identical to the inner form: the time-range
+    condition plus both watermarks bound the buffered rows."""
+    return _attribution_join_how(events, "leftOuter")
+
+
+def _attribution_join_how(events: DataFrame, how: str) -> DataFrame:
     signups = (
         events.filter(F.col("event_type") == "signup")
         .select(
@@ -56,6 +71,7 @@ def attribution_join(events: DataFrame) -> DataFrame:
             purchase_time <= signup_time + INTERVAL {ATTRIBUTION}
             """
         ),
+        how,
     )
 
 

@@ -144,3 +144,66 @@ def test_stream_stream_join_drops_late_rows(spark, tmp_path):
     got = spark.sql("SELECT s_user, p_user FROM t_ss_late").collect()
     users = sorted(r["s_user"] for r in got)
     assert users == [1, 77], f"expected exactly u1(batch1) + u77(late-ok): {got}"
+
+
+def test_outer_attribution_emits_unconverted_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: a signup with a purchase in
+    the window joins normally; a signup with none emits with NULL purchase
+    columns only after the watermark proves no match can arrive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_retention_pipeline_spark.streaming.joins import (
+        attribution_join_outer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = (BASE_US // H_US) * H_US
+
+    def write(path, rows):
+        """rows: (user_id, event_type, hour_offset)."""
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array(
+                        [base + int(r[2] * H_US) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    out = attribution_join_outer(event_stream_from_dir(spark, str(src)))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_outer_attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # user 1 converts inside the 30-min window; user 2 never purchases.
+        write(src / "p1.parquet", [(1, "signup", 0.0), (1, "purchase", 0.2),
+                                   (2, "signup", 0.0)])
+        q.processAllAvailable()
+        # Advance the watermark far past signup + window + delay. The
+        # global watermark is the MIN across both inputs, so the advancing
+        # batches must carry a purchase as well as a signup.
+        write(src / "p2.parquet", [(99, "signup", 6.0), (99, "purchase", 6.1)])
+        q.processAllAvailable()
+        write(src / "p3.parquet", [(98, "signup", 12.0), (98, "purchase", 12.1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.s_user: r for r in spark.sql(
+        "SELECT * FROM t_outer_attrib WHERE s_user IN (1, 2)"
+    ).collect()}
+    assert rows[1].purchase_time is not None
+    assert 2 in rows, "unconverted signup never emitted"
+    assert rows[2].purchase_time is None and rows[2].purchase_value is None
