@@ -427,3 +427,55 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "retention_by_first_touch",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN({{'t': epoch_us(ts), 'e': event_id, 'ty': event_type}}) AS first_row,
+             MIN(epoch_us(ts) // {DAY_US}) AS first_day,
+             list(DISTINCT epoch_us(ts) // {DAY_US}) AS days
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT (first_row).ty AS first_touch,
+             CASE WHEN list_contains(days, first_day + 7) THEN 1 ELSE 0 END AS d7
+      FROM per_user
+    )
+    SELECT first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(d7) AS BIGINT) AS d7_retained,
+           ROUND(SUM(d7) / COUNT(*), 6) AS d7_rate
+    FROM flags GROUP BY first_touch
+    """,
+    tags=("retention", "attribution", "cohort-quality"),
+)
+def retention_by_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort quality by acquisition channel: D7 retention segmented by the
+    user's first-ever event type — the composition of
+    ``first_touch_attribution`` (struct-MIN argmin) and ``dn_retention``
+    (calendar-bounded active-day set with ``array_contains``), answering
+    "which entry point brings users who stick". Still ONE shuffle on
+    user_id: first touch, first day, and the day set all come from the
+    same aggregation; the channel rollup then reduces ≤ |users| rows to
+    ≤ |event types|. The oracle's ROW() min is DuckDB's spelling of the
+    same lexicographic struct-MIN trick."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id", "event_type")).alias("first"),
+        F.min(day).alias("first_day"),
+        F.collect_set(day).alias("days"),
+    )
+    d7 = F.when(
+        F.array_contains("days", F.col("first_day") + 7), 1
+    ).otherwise(0)
+    flags = per_user.select(
+        F.col("first.event_type").alias("first_touch"), d7.alias("d7")
+    )
+    return flags.groupBy("first_touch").agg(
+        F.count("*").alias("n_users"),
+        F.sum("d7").cast("long").alias("d7_retained"),
+        F.round(F.sum("d7") / F.count("*"), 6).alias("d7_rate"),
+    )

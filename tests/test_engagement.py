@@ -205,3 +205,33 @@ def test_audience_overlap_identities(spark, sf_dir, events):
         if a < b and users[a] & users[b]
     }
     assert seen == expected_pairs
+
+
+def test_retention_by_first_touch_consistent_with_parts(spark, sf_dir, events):
+    """Channel totals partition the user base; D7 flags match a direct
+    recomputation from first-day + active-day sets."""
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        retention_by_first_touch,
+    )
+
+    rows = {r.first_touch: r for r in retention_by_first_touch(spark, sf_dir).collect()}
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows.values()) == n_users
+    per_user = {}
+    for r in events.select("user_id", "ts_us", "event_id", "event_type").collect():
+        day = r.ts_us // 86_400_000_000
+        u = per_user.setdefault(r.user_id, {"first": None, "days": set()})
+        key = (r.ts_us, r.event_id, r.event_type)
+        if u["first"] is None or key < u["first"]:
+            u["first"] = key
+        u["days"].add(day)
+    want = {}
+    for u in per_user.values():
+        ch = u["first"][2]
+        first_day = min(u["days"])
+        d7 = 1 if first_day + 7 in u["days"] else 0
+        w = want.setdefault(ch, [0, 0])
+        w[0] += 1
+        w[1] += d7
+    for ch, (n, d7) in want.items():
+        assert rows[ch].n_users == n and rows[ch].d7_retained == d7
