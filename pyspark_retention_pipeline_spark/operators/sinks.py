@@ -64,3 +64,57 @@ def parquet_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_custs"),
         money_sum("o_totalprice").alias("revenue"),
     )
+
+
+N_BUCKETS = 8
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("sink", "bucketing", "co-located-join"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write → bucketed read → exchange-free join, under the hash
+    gate: orders and customer are saved as tables bucketed {N_BUCKETS} ways
+    on the join key, re-read, joined, and rolled up per market segment.
+    The oracle joins the ORIGINAL tables, so a hash match certifies that
+    the bucketed layout round-trips values AND that the co-located join
+    computes the same result as the shuffled one; the plan property (both
+    post-bucket scans join with ZERO Exchange — the technique that removes
+    the per-query shuffle for a join two big tables repeat daily at
+    100 TB) is pinned separately by tests/test_bucketing.py. Table names
+    key on (application, SF) like the parquet round-trip, so concurrent
+    sessions cannot race."""
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    sf = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    t_orders = f"bt_orders_{app}_{sf}"
+    t_cust = f"bt_cust_{app}_{sf}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_cust)
+    )
+    ob, cb = spark.table(t_orders), spark.table(t_cust)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("revenue"))
+    )

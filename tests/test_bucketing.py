@@ -67,3 +67,22 @@ def test_bucketed_fingerprint_index_shuffles_batch_side_only(spark, sf_dir):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_bucketed_join_revenue_joins_without_exchange(spark, sf_dir):
+    """The registry query's join subtree is exchange-free once broadcast is
+    ruled out — the bucketed layout, not AQE, removes the shuffle."""
+    from pyspark_retention_pipeline_spark.operators.sinks import (
+        bucketed_join_revenue,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_revenue(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part[:400]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
