@@ -30,6 +30,15 @@ from ..tables import load_table
 _ROUNDTRIP_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "roundtrip"
 
 
+def snapshot_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(application, SF) path of the status-partitioned orders snapshot."""
+    return str(
+        _ROUNDTRIP_ROOT
+        / spark.sparkContext.applicationId
+        / f"orders_by_status_{Path(sf_dir.rstrip('/')).name}"
+    )
+
+
 @query(
     "parquet_roundtrip_revenue",
     oracle="""
@@ -52,11 +61,7 @@ def parquet_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    path = str(
-        _ROUNDTRIP_ROOT
-        / spark.sparkContext.applicationId
-        / f"orders_by_status_{Path(sf_dir.rstrip('/')).name}"
-    )
+    path = snapshot_path(spark, sf_dir)
     write_partitioned_parquet(o, path, ["o_orderstatus"])
     back = spark.read.parquet(path)
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
@@ -117,4 +122,38 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ob.join(cb, ob.o_custkey == cb.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "partition_pruned_revenue",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "partition-pruning"),
+)
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning exercised end to end: re-read the
+    status-partitioned snapshot :func:`parquet_roundtrip_revenue` wrote
+    with a filter ON the partition column — the scan must touch exactly
+    one of the three status directories (PartitionFilters in the plan,
+    pinned by tests/test_layout.py), and the hash gate certifies the
+    pruned read still produces the same numbers as the unpartitioned
+    oracle. At 100 TB this is THE first-order win of a partitioned
+    layout: a predicate on the partition key turns a full-table scan
+    into a directory listing."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = snapshot_path(spark, sf_dir)
+    write_partitioned_parquet(o, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
     )

@@ -72,3 +72,31 @@ def test_zorder_key_no_int32_sign_overflow(spark):
     for r in keys:
         assert r["k_int"] >= 0, r
         assert r["k_int"] == r["k_long"], r
+
+
+def test_partition_pruned_revenue_prunes_to_one_directory(spark, sf_dir):
+    """The partition-column predicate must appear as a PartitionFilter and
+    the scan must read exactly one status directory."""
+    from pyspark_retention_pipeline_spark.operators.sinks import (
+        partition_pruned_revenue,
+    )
+
+    df = partition_pruned_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.operators.sinks import snapshot_path
+
+    # input_file_name() on the pruned SCAN (the aggregate output has no
+    # file lineage): only the o_orderstatus=F directory may be touched.
+    scan = spark.read.parquet(snapshot_path(spark, sf_dir)).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    read_files = [
+        r.f for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert read_files and all("o_orderstatus=F" in f for f in read_files), (
+        read_files[:3]
+    )
