@@ -224,3 +224,70 @@ def cdc_multi_action_apply(spark, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@query(
+    "snapshot_diff_summary",
+    oracle=f"""
+    SELECT 'unchanged' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderkey % {UPD_MOD} <> 0
+    UNION ALL
+    SELECT 'updated', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % {UPD_MOD} = 0 AND o_orderkey % {UPD_MOD * 2} <> 0
+    UNION ALL
+    SELECT 'deleted', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % {UPD_MOD * 2} = 0
+    UNION ALL
+    SELECT 'inserted', CAST(0 AS BIGINT)
+    """,
+    tags=("cdc", "table-diff", "audit"),
+)
+def snapshot_diff_summary(spark, sf_dir: str) -> DataFrame:
+    """Table diff (the audit direction of CDC): FULL OUTER join the base
+    snapshot against the post-merge snapshot on the key and classify every
+    key as unchanged / updated / deleted / inserted by comparing the
+    non-key columns — the datafold-style reconciliation that certifies a
+    migration or a merge did what it claimed. One key-partitioned full
+    outer join (both sides already key-unique), classification in the join
+    projection, a ≤ 4-row rollup; the oracle states the expected class
+    counts from the change-batch derivation directly, so a hash match
+    proves the merge AND the diff agree. All four classes always present
+    (empty ones as 0) so the output schema is change-shape-independent."""
+    base = _orders_base(spark, sf_dir)
+    merged = cdc_multi_action_apply(spark, sf_dir)
+    b = base.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.round("o_totalprice", 2).alias("b_price"),
+    )
+    m = merged.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("m_status"),
+        F.col("o_totalprice").alias("m_price"),
+    )
+    j = b.join(m, "k", "full")
+    cls = (
+        F.when(F.col("b_status").isNull(), "inserted")
+        .when(F.col("m_status").isNull(), "deleted")
+        .when(
+            (F.col("b_status") == F.col("m_status"))
+            & (F.col("b_price") == F.col("m_price")),
+            "unchanged",
+        )
+        .otherwise("updated")
+    )
+    counts = j.select(cls.alias("change_type")).groupBy("change_type").agg(
+        F.count("*").alias("n_rows")
+    )
+    classes = spark.createDataFrame(
+        [("unchanged",), ("updated",), ("deleted",), ("inserted",)],
+        "change_type string",
+    )
+    return classes.join(counts, "change_type", "left").select(
+        "change_type",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+    )
