@@ -435,3 +435,69 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# Fixed-point scale for TWAP value terms (quantize before the weighted sum).
+TWAP_SCALE = 10_000
+
+
+@query(
+    "user_value_twap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_us
+      FROM events
+    ), terms AS (
+      SELECT user_id,
+             (next_us - ts_us) // 1000000 AS gap_s,
+             CAST(ROUND(value * {TWAP_SCALE}) AS BIGINT) AS v
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(gap_s) AS BIGINT) AS span_s,
+           ROUND(SUM(v * gap_s) / CAST(SUM(gap_s) AS DOUBLE) / {TWAP_SCALE}, 6)
+             AS twap
+    FROM terms
+    GROUP BY user_id
+    HAVING SUM(gap_s) > 0
+    """,
+    tags=("time-series", "twap", "window-lead"),
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user — each observation holds
+    until the next one, so its weight is the gap it covers (the TWAP/
+    monitoring-average semantics a plain AVG gets wrong whenever sampling
+    is irregular). LEAD over the user-partitioned event order produces the
+    holding gaps in the same single shuffle the sessionize family uses;
+    the weighted sum quantizes value to 1e-4 BIGINTs FIRST (value·gap
+    products stay ≤ ~1e15 per term), so the per-user reduction is exact
+    integer math and engine-order-proof. Users whose events all share one
+    timestamp (zero span) are excluded rather than dividing by zero."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id", "value", "ts_us", F.lead("ts_us").over(w).alias("next_us")
+    ).filter(F.col("next_us").isNotNull())
+    terms = seq.select(
+        "user_id",
+        F.expr("(next_us - ts_us) DIV 1000000").alias("gap_s"),
+        F.round(F.col("value") * TWAP_SCALE).cast("long").alias("v"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.sum("gap_s").cast("long").alias("span_s"),
+            F.sum(F.col("v") * F.col("gap_s")).cast("long").alias("vw"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "span_s",
+            F.round(
+                F.col("vw") / F.col("span_s").cast("double") / TWAP_SCALE, 6
+            ).alias("twap"),
+        )
+    )

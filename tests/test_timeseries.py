@@ -249,3 +249,32 @@ def test_nation_revenue_trend_matches_numpy_grouped(spark, sf_dir):
         r2 = np.corrcoef(x, y)[0, 1] ** 2
         assert abs(r.r2 - r2) < 1e-6
         assert -1e-9 <= r.r2 <= 1 + 1e-9
+
+
+def test_user_value_twap_matches_python(spark, sf_dir, events):
+    """TWAP recomputed per user in Python agrees; bounds: twap within
+    [min(value), max(value)] of the user's weighted observations."""
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        user_value_twap,
+    )
+
+    got = {r.user_id: r for r in user_value_twap(spark, sf_dir).collect()}
+    assert got
+    per_user = {}
+    for r in events.select("user_id", "ts_us", "event_id", "value").collect():
+        per_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, r.value))
+    for uid, rows in list(per_user.items())[:40]:
+        rows.sort()
+        terms = []
+        for (t, _, v), (t2, _, _) in zip(rows, rows[1:]):
+            gap_s = (t2 - t) // 1_000_000
+            terms.append((round(v * 10_000), gap_s))
+        span = sum(g for _, g in terms)
+        if span <= 0:
+            assert uid not in got
+            continue
+        want = sum(v * g for v, g in terms) / span / 10_000
+        assert abs(got[uid].twap - want) < 1e-5
+        assert got[uid].span_s == span
+        vals = [v / 10_000 for v, g in terms if g > 0]
+        assert min(vals) - 1e-6 <= got[uid].twap <= max(vals) + 1e-6
