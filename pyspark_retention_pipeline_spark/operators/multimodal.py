@@ -278,3 +278,34 @@ def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+@query(
+    "media_dedup_exact",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           md5(text) AS payload_md5,
+           MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "dedup-exact"),
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary media payloads — the text dedup_exact
+    discipline applied to the multimodal ingest shape: hash the opaque
+    bytes JVM-side BEFORE the shuffle (the exchange carries 16-byte digests
+    per (type, hash) group, never payloads — at 100 TB of video that is
+    the entire game), keep the lowest doc_id as canonical. Grouping
+    includes media_type so identical bytes tagged as different modalities
+    stay distinct — the conservative choice for mixed-ingest tables."""
+    m = media_frame(spark, sf_dir)
+    return m.groupBy(
+        "media_type", F.md5("payload").alias("payload_md5")
+    ).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
