@@ -293,3 +293,32 @@ def test_global_rank_and_ntile_properties(spark, n, k, seed):
     # Bucket boundaries respect the ordering.
     for a, b in zip(by_rank, by_rank[1:]):
         assert a.q <= b.q
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    k=st.integers(min_value=4, max_value=24),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_heavy_hitters_exact_for_any_distribution(spark, counts, k, seed):
+    """Misra-Gries two-pass output equals the exact threshold set for
+    arbitrary distributions, summary sizes, and partitionings — the
+    superset guarantee holds whenever div < k (here div = k - 1)."""
+    from pyspark_retention_pipeline_spark.operators.text import (
+        heavy_hitters_frame,
+    )
+
+    div = k - 1
+    rows = []
+    for i, c in enumerate(counts):
+        rows.extend([(f"t{seed}_{i:03d}",)] * c)
+    tok = spark.createDataFrame(rows, "token string").repartition(1 + seed % 7)
+    total = len(rows)
+    got = {(r.token, r.n) for r in heavy_hitters_frame(tok, k, div).collect()}
+    exact = {
+        (f"t{seed}_{i:03d}", c)
+        for i, c in enumerate(counts)
+        if c * div > total
+    }
+    assert got == exact
