@@ -812,3 +812,43 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@query(
+    "pipe_sql_revenue_flow",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY n.n_name
+    HAVING COUNT(*) >= 10
+    """,
+    tags=("sql-pipe", "spark4"),
+)
+def pipe_sql_revenue_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same scan→join→filter→aggregate
+    flow written as a linear pipeline instead of inside-out SQL — the
+    readability surface GoogleSQL popularized, now ANSI-adjacent in Spark.
+    Catalyst compiles it to the identical plan as the classic form (the
+    DuckDB oracle IS the classic form, so the hash gate certifies the two
+    syntaxes agree). Pipes change nothing at scale — same pushdown, same
+    join planning — which is precisely what this row proves."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders AS o
+        |> JOIN customer AS c ON o.o_custkey = c.c_custkey
+        |> JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+        |> WHERE o.o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o.o_totalprice), 2) AS revenue
+           GROUP BY n.n_name AS nation
+        |> WHERE n_orders >= 10
+        """
+    )
