@@ -536,6 +536,119 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_global_cumsum(df: DataFrame, order_by: list, value_col, out_col: str = "_cum") -> DataFrame:
+    """Distributed global running SUM over a total order — the cumulative
+    sibling of :func:`with_global_row_number` (same two-phase shape: range
+    shuffle → per-partition window → broadcast prefix offsets), for when a
+    consumer needs the per-row prefix sum itself rather than just ranks.
+    Appends ``out_col`` (inclusive prefix sum of ``value_col`` under
+    ``order_by``), ``_total`` (grand total), ``_rn`` and ``_n`` — a strict
+    superset of the row-number primitive, at the cost of carrying the value
+    column through the range exchange. ``value_col`` must be integral
+    (exact cents/counts): prefix sums of doubles would be
+    partitioning-dependent. The lazy ``localCheckpoint`` pins the sampled
+    range boundaries exactly as in :func:`with_global_row_number`."""
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(nparts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_order = Window.partitionBy("_pid").orderBy(*order_by)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        ranged.withColumn("_lrn", F.row_number().over(w_order).cast("long"))
+        .withColumn("_lcs", F.sum(value_col).over(w_run).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    per_pid = local.groupBy("_pid").agg(
+        F.count("*").cast("long").alias("_cnt"),
+        F.sum(value_col).cast("long").alias("_psum"),
+    )
+    w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    offsets = per_pid.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).cast("long").alias("_roff"),
+        F.sum("_cnt").over(w_all).cast("long").alias("_n"),
+        F.coalesce(F.sum("_psum").over(w_prior), F.lit(0)).cast("long").alias("_soff"),
+        F.sum("_psum").over(w_all).cast("long").alias("_total"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.col("_roff") + F.col("_lrn"))
+        .withColumn(out_col, F.col("_soff") + F.col("_lcs"))
+        .drop("_pid", "_lrn", "_lcs", "_roff", "_soff")
+    )
+
+
+@query(
+    "pareto_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT CAST(ROUND(revenue * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER w AS i,
+             COUNT(*) OVER () AS n,
+             SUM(CAST(ROUND(revenue * 100) AS BIGINT)) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(CAST(ROUND(revenue * 100) AS BIGINT)) OVER () AS total
+      FROM spend
+      WINDOW w AS (ORDER BY revenue DESC, custkey)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN (cum - cents) * 5 < total * 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top_80pct,
+           ROUND(SUM(CASE WHEN (cum - cents) * 5 < total * 4 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS share_customers_80pct,
+           ROUND(SUM(CASE WHEN i * 10 <= n THEN cents ELSE 0 END)
+                 / CAST(MIN(total) AS DOUBLE), 6) AS top_decile_revenue_share
+    FROM r
+    """,
+    tags=("inequality", "pareto", "two-phase-rank"),
+)
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 scorecard: how many whales cover 80% of revenue, and what
+    share the top decile of customers holds — the two numbers behind every
+    concentration-risk review (:func:`revenue_gini` gives the index, this
+    gives the actionable cuts).
+
+    Needs a per-row GLOBAL prefix sum over the revenue-desc order, which a
+    naive ``SUM() OVER (ORDER BY …)`` computes in one task over the whole
+    customer grain; :func:`with_global_cumsum` does it two-phase instead
+    (range shuffle → partition-local running sums → broadcast offsets). The
+    80% test is exact integer arithmetic — ``5·prefix_excl < 4·total`` over
+    cents avoids the float-threshold ulp hazard; headroom to Σcents ≈
+    1.8×10¹⁸/5 before the comparison could overflow (documented escalation:
+    switch to DECIMAL(38) sums around 10⁴× bench scale). Ties broken by
+    ``custkey`` keep the prefix sums — and both output counts —
+    permutation-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    cents = F.round(F.col("revenue") * 100).cast("long")
+    cum = with_global_cumsum(
+        spend.withColumn("cents", cents),
+        [F.col("revenue").desc(), F.col("custkey").asc()],
+        "cents",
+    )
+    in_80 = F.when((F.col("_cum") - F.col("cents")) * 5 < F.col("_total") * 4, 1).otherwise(0)
+    top_decile_cents = F.when(F.col("_rn") * 10 <= F.col("_n"), F.col("cents")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return cum.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(in_80).cast("long").alias("n_top_80pct"),
+        F.round(F.sum(in_80) / F.count("*").cast("double"), 6).alias(
+            "share_customers_80pct"
+        ),
+        F.round(
+            F.sum(top_decile_cents) / F.min("_total").cast("double"), 6
+        ).alias("top_decile_revenue_share"),
+    )
+
+
 def with_global_ntile(
     df: DataFrame, order_by: list, k: int, out_col: str
 ) -> DataFrame:

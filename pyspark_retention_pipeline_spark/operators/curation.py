@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 from .sampling import _MIX_CASE_SQL, split_assignment_frame
+from .text import SIMHASH_SIGS_CTE, simhash_candidate_frame
 
 NGRAM = 5
 # Every 97th doc plays the held-out benchmark: a deterministic stand-in for
@@ -709,4 +710,67 @@ def ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("distinct_grams"),
         dup.cast("long").alias("dup_occurrences"),
         F.round(dup / F.sum("n").cast("double"), 6).alias("dup_rate"),
+    )
+
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+    WITH {SIMHASH_SIGS_CTE}, sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.doc_id_a, p.doc_id_b, p.hamming,
+           sa.split AS split_a, sb.split AS split_b
+    FROM simhash_pairs p
+    JOIN sp sa ON p.doc_id_a = sa.doc_id
+    JOIN sp sb ON p.doc_id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+"""
+
+
+@query(
+    "split_leakage_check",
+    oracle=_SPLIT_LEAKAGE_ORACLE,
+    tags=("curation", "split", "leakage", "dedup-neardup"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: NEAR-duplicate document pairs whose
+    members straddle a split boundary — the memorization/eval-inflation
+    hazard a key-hashed split cannot see.
+
+    :func:`~.sampling.train_val_test_split` is leakage-safe only w.r.t. its
+    OWN key: near-identical *content* under different ``doc_id``\\ s still
+    lands on both sides. This audit composes the SimHash banded-LSH pair set
+    (:func:`~.text.simhash_candidate_frame`, hamming ≤ 3 — exact duplicates
+    are its hamming-0 subset) with the split assignment and reports every
+    cross-split pair. Non-empty output = dedup, or a group-aware split keyed
+    on the dedup-cluster canonical id
+    (:func:`~.sampling.split_assignment_frame`'s documented remedy), must run
+    BEFORE splitting. Scale shape: the pair set comes from the banded LSH
+    join (never all-pairs), the split column is a map-side expression, and
+    the two doc_id equi-joins attach 5-byte split labels to an
+    already-reduced pair frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    splits = split_assignment_frame(d, "doc_id").select("doc_id", "split")
+    pairs = simhash_candidate_frame(d)
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+            ),
+            "doc_id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_id_a", "doc_id_b", "hamming", "split_a", "split_b")
     )

@@ -426,6 +426,162 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", bits.alias("simhash_bits"))
 
 
+# Portable SimHash for the oracle-checked candidate query: 60 bits (fits
+# signed BIGINT arithmetic on both engines), 4 bands × 15 bits. Banding is
+# LOSSLESS for hamming ≤ 3: a pair differing in ≤ 3 bits cannot touch all 4
+# disjoint bands (pigeonhole), so at least one band matches exactly and the
+# band equi-join recalls every qualifying pair — the post-join hamming filter
+# then makes the result EXACTLY {pairs with hamming ≤ _SIMHASH_HAMMING_MAX},
+# independent of the banding, which is what the DuckDB oracle re-derives.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_SIMHASH_HAMMING_MAX = 3
+
+# Engine-portable 60-bit token hash (xxhash64 exists only in Spark): high 28
+# bits from md5 hex chars 1-7, low 32 from chars 9-16 — 2^28·2^32 = 2^60.
+# The sig derivation is a shared CTE body so the split-leakage audit
+# (curation.py) can compose the same signatures into its own oracle.
+SIMHASH_SIGS_CTE = f"""toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 7)) AS BIGINT) * 4294967296
+               + CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(_SIMHASH_BITS))}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             {" + ".join(f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})" for j in range(_SIMHASH_BITS))} AS sig
+      FROM votes
+    ), simhash_pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_HAMMING_MAX}
+    )"""
+
+_SIMHASH_ORACLE = f"""
+    WITH {SIMHASH_SIGS_CTE}
+    SELECT doc_id_a, doc_id_b, hamming FROM simhash_pairs
+"""
+
+
+def portable_simhash60(text_col: F.Column) -> F.Column:
+    """60-bit SimHash over the distinct whitespace tokens of ``text_col``,
+    from an md5-derived (engine-portable) per-token hash. Same staged-hash
+    plan shape as :func:`simhash64`: each token is md5'd ONCE, the 60 ±1-vote
+    lanes fold via ``aggregate``/``zip_with``, and the sign bits assemble into
+    one BIGINT — all codegen expressions, no UDF, no shuffle."""
+    toks = F.array_distinct(F.split(text_col, " "))
+    digests = F.transform(toks, F.md5)
+    hashes = F.transform(
+        digests,
+        lambda m: F.conv(F.substring(m, 1, 7), 16, 10).cast("long")
+        * F.lit(4294967296)
+        + F.conv(F.substring(m, 9, 8), 16, 10).cast("long"),
+    )
+
+    def hash_bits(h):
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(_SIMHASH_BITS)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(_SIMHASH_BITS)]),
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, v: a + v),
+    )
+    bit_terms = [
+        F.when(votes[j] > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(_SIMHASH_BITS)
+    ]
+    sig = bit_terms[0]
+    for term in bit_terms[1:]:
+        sig = sig + term
+    return sig
+
+
+def simhash_candidate_frame(docs: DataFrame) -> DataFrame:
+    """Banded-LSH SimHash pair generation over a ``(doc_id, text)`` frame —
+    the distributable core of :func:`simhash_candidates`, factored out so the
+    losslessness property is testable on synthetic corpora."""
+    sigs = docs.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.band_val")
+    left = bands.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_val",
+    )
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+
+
+@query(
+    "simhash_candidates",
+    oracle=_SIMHASH_ORACLE,
+    tags=("dedup-neardup", "simhash", "lsh-banding"),
+)
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs — banded-LSH candidate generation with an
+    exact hamming verdict, the candidate-pair stage :func:`simhash64` lacked.
+
+    Scale shape: each doc's 60-bit signature splits into 4 disjoint 15-bit
+    bands; docs sharing any band value meet in a per-band equi-JOIN (shuffle
+    on the band key — O(Σ bucket²) pairs, never the all-pairs cross), then
+    ``bit_count(sig_a ^ sig_b) ≤ 3`` verifies in codegen. For hamming ≤ 3 the
+    4-band split is LOSSLESS (pigeonhole: ≤ 3 flipped bits can't hit all 4
+    bands), so the output is exactly the hamming-≤3 pair set and the DuckDB
+    oracle can re-derive it without mirroring the banding
+    (``tests/test_dedup.py`` pins the equivalence on a planted corpus). Skew
+    note: at corpus scale a hot band value (near-identical boilerplate)
+    routes through :func:`~.buckets.bounded_bucket_pairs` like the MinHash
+    path; at testdata scale the max bucket is ~1.7k docs (measured sf0.1), so
+    the exact join IS the oracle-checkable semantics here.
+    """
+    return simhash_candidate_frame(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "tfidf_top_terms",
     oracle="""
@@ -855,4 +1011,47 @@ def prefix_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("d1") < F.col("d2"))
         .select("d1", "d2", dist.cast("long").alias("edit_dist"))
         .filter(F.col("edit_dist") <= EDIT_MAX)
+    )
+
+
+@query(
+    "hapax_rate_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_rate,
+           ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS type_token_ratio
+    FROM c GROUP BY source
+    """,
+    tags=("text", "vocab", "profiling"),
+)
+def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: hapax-legomenon rate (share of
+    the vocabulary occurring exactly once) and type-token ratio — the
+    lexical-diversity signals that flag template/boilerplate sources (low
+    TTR, low hapax) vs. organic text before mixture weighting.
+
+    Two shuffles, both benign at corpus scale: the (source, token) grain
+    combines map-side (partial counts) before the exchange, and the final
+    per-source rollup is |sources| rows. All ratios derive from exact BIGINT
+    counts, so the rounded doubles match any engine bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = tok.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+    return counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+        hapax.alias("hapax_count"),
+        F.round(hapax / F.count("*").cast("double"), 6).alias("hapax_rate"),
+        F.round(F.count("*") / F.sum("n").cast("double"), 6).alias("type_token_ratio"),
     )

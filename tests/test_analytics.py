@@ -91,6 +91,51 @@ def test_with_global_ntile_matches_single_window(spark):
     assert got == want
 
 
+def test_with_global_cumsum_matches_single_window(spark):
+    """The two-phase distributed prefix sum agrees with the naive
+    unpartitioned running-sum window on a frame small enough to run it."""
+    from pyspark.sql import Window
+
+    from pyspark_retention_pipeline_spark.operators.analytics import (
+        with_global_cumsum,
+    )
+
+    df = spark.range(211).select(
+        F.col("id"), ((F.col("id") * 53 % 211) + 1).alias("v")
+    )
+    got = {
+        (r.id): (r._rn, r._cum, r._n, r._total)
+        for r in with_global_cumsum(df, [F.col("v"), F.col("id")], "v").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: (r.rn, r.cum, 211, r.total)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long").alias("cum"),
+            F.sum("v").over(Window.partitionBy()).cast("long").alias("total"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pareto_concentration_invariants(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.operators.analytics import (
+        pareto_concentration,
+    )
+
+    row = pareto_concentration(spark, sf_dir).collect()[0]
+    assert row.n_customers > 0
+    assert 0 < row.n_top_80pct <= row.n_customers
+    assert 0.0 < row.share_customers_80pct <= 1.0
+    assert 0.0 < row.top_decile_revenue_share <= 1.0
+    # the top decile by construction holds at least its pro-rata share
+    assert row.top_decile_revenue_share >= 0.1 - 1e-9
+
+
 def test_basket_lift_metric_identities(spark, sf_dir):
     """Recompute confidence/lift for a few pairs from first principles."""
     from pyspark_retention_pipeline_spark.operators.analytics_extra import (

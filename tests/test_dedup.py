@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from pyspark_retention_pipeline_spark.operators.text import (
     minhash_candidate_pairs,
     minhash_signature_frame,
+    portable_simhash60,
+    simhash_candidate_frame,
 )
 
 
@@ -219,3 +221,49 @@ def test_prefix_edit_distance_pairs_nonempty_and_correct(spark, sf_dir):
         assert r.d1 < r.d2
         assert r.edit_dist == lev(pfx[r.d1], pfx[r.d2])
         assert r.edit_dist <= EDIT_MAX
+
+
+def test_simhash_identical_docs_pair_at_hamming_zero(spark):
+    text = "spark engine scan filter join aggregate window shuffle partition broadcast"
+    docs = _docs(
+        spark,
+        [(1, text), (2, text), (3, "unrelated corpus tokens that share nothing at all")],
+    )
+    rows = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_candidate_frame(docs).collect()
+    }
+    assert rows.get((1, 2)) == 0
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_simhash_banding_lossless_vs_bruteforce(spark):
+    # The 4-band split must recall EVERY hamming<=3 pair (pigeonhole): compare
+    # the banded candidate set against an all-pairs brute force on a corpus
+    # with planted near-dups (single-token edits) and unrelated filler.
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base.replace("sigma", "changed")), (3, base + " extra")]
+    rows += [(10 + i, f"filler{i} " + " ".join(f"w{i}x{j}" for j in range(20))) for i in range(30)]
+    docs = _docs(spark, rows)
+    banded = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in simhash_candidate_frame(docs).collect()
+    }
+    sigs = docs.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert any(h <= 3 for (_, _, h) in banded)  # the planted edits are found
