@@ -774,3 +774,57 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_id_a", "doc_id_b", "hamming", "split_a", "split_b")
     )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH {SIMHASH_SIGS_CTE}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_identical,
+           CAST(MIN(p.hamming) AS BIGINT) AS min_hamming
+    FROM simhash_pairs p
+    JOIN documents da ON p.doc_id_a = da.doc_id
+    JOIN documents db ON p.doc_id_b = db.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    tags=("curation", "dedup-neardup", "mirror-detection"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror detection: which source pairs share near-duplicate content —
+    the triage matrix that finds scraped mirrors / syndicated feeds before
+    mixture weighting double-counts them (off-diagonal mass = cross-source
+    duplication; the diagonal is within-source boilerplate).
+
+    Composes the SimHash banded-LSH pair set with each member's source label
+    (unordered pair normalized via least/greatest so every mirror pair lands
+    in one cell) and rolls up to ≤ |sources|² cells. Scale shape: the pair
+    frame is already LSH-reduced, the two label joins attach short dimension
+    strings, and the final aggregation is tiny — nothing here grows faster
+    than the candidate-pair volume."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", "source")
+    pairs = simhash_candidate_frame(d)
+    joined = pairs.join(
+        labels.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")),
+        "doc_id_a",
+    ).join(
+        labels.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")),
+        "doc_id_b",
+    )
+    return joined.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_identical"),
+        F.min("hamming").alias("min_hamming"),
+    )

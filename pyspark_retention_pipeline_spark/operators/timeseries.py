@@ -501,3 +501,109 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@query(
+    "interarrival_acf",
+    oracle="""
+    WITH g0 AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), g AS (
+      SELECT user_id, gap,
+             gap * LAG(gap) OVER w2 AS prod,
+             ROW_NUMBER() OVER w2 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM g0 WHERE gap IS NOT NULL
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(gap * gap) AS BIGINT) AS s2,
+             CAST(SUM(prod) AS BIGINT) AS sc,
+             CAST(MAX(CASE WHEN rn = 1 THEN gap END) AS BIGINT) AS g1,
+             CAST(MAX(CASE WHEN rn = cnt THEN gap END) AS BIGINT) AS gn
+      FROM g GROUP BY user_id
+    ), d AS (
+      SELECT user_id, n_gaps, s1, s2, sc, g1, gn,
+             s1 / CAST(n_gaps AS DOUBLE) AS mean_gap
+      FROM m WHERE n_gaps >= 3
+    ), nd AS (
+      SELECT user_id, n_gaps, mean_gap,
+             sc - mean_gap * (2 * s1 - g1 - gn)
+                + (n_gaps - 1) * mean_gap * mean_gap AS num,
+             s2 - 2 * mean_gap * s1 + n_gaps * mean_gap * mean_gap AS den
+      FROM d
+    )
+    SELECT user_id, n_gaps,
+           ROUND(mean_gap, 6) AS mean_gap_s,
+           ROUND(num / den, 6) AS acf1
+    FROM nd WHERE den <> 0
+    """,
+    tags=("time-series", "autocorrelation", "burstiness"),
+)
+def interarrival_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of inter-event gaps — the burstiness
+    signal (positive acf1 = sessions-and-silence clumping, ~0 = Poisson-like
+    arrivals) behind bot detection and engagement-pattern segmentation.
+
+    All statistics reduce to EXACT integer moment sums per user — Σg, Σg²,
+    Σgᵢgᵢ₊₁ over whole-second gaps, plus the first/last gap for the
+    truncated-mean correction — so the only floating-point work happens once
+    per user on identical integers with the identical expression text on
+    both engines (the ``selectExpr`` strings below are substrings of the
+    oracle), making the doubles bit-identical before rounding. Gaps are
+    non-negative (sorted within user), so DuckDB's floor ``//`` and Spark's
+    truncating ``DIV`` agree. Overflow headroom: Σg² per user stays < 2⁵³
+    up to ~10⁶ events × day-long gaps; beyond that switch the moment sums to
+    DECIMAL(38) (same escalation note as the trend-forecast family). Plan
+    shape: one shuffle on ``user_id``; the two stacked windows and the final
+    aggregation all share that partitioning, so Catalyst inserts a single
+    Exchange.
+    """
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g0 = e.withColumn("_prev", F.lag("ts_us").over(w)).where(
+        F.col("_prev").isNotNull()
+    ).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.expr("(ts_us - _prev) DIV 1000000").alias("gap"),
+    )
+    g = g0.select(
+        "user_id",
+        "gap",
+        (F.col("gap") * F.lag("gap").over(w)).alias("prod"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
+    )
+    m = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+        F.sum("prod").cast("long").alias("sc"),
+        F.max(F.when(F.col("rn") == 1, F.col("gap"))).cast("long").alias("g1"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("gap"))).cast("long").alias("gn"),
+    )
+    d = m.where("n_gaps >= 3").selectExpr(
+        "user_id", "n_gaps", "s1", "s2", "sc", "g1", "gn",
+        "s1 / CAST(n_gaps AS DOUBLE) AS mean_gap",
+    )
+    nd = d.selectExpr(
+        "user_id",
+        "n_gaps",
+        "mean_gap",
+        "sc - mean_gap * (2 * s1 - g1 - gn) "
+        "+ (n_gaps - 1) * mean_gap * mean_gap AS num",
+        "s2 - 2 * mean_gap * s1 + n_gaps * mean_gap * mean_gap AS den",
+    )
+    return nd.where("den <> 0").selectExpr(
+        "user_id",
+        "n_gaps",
+        "ROUND(mean_gap, 6) AS mean_gap_s",
+        "ROUND(num / den, 6) AS acf1",
+    )

@@ -301,3 +301,16 @@ def test_ngram_dup_rate_identities(spark, sf_dir):
     assert unique_occ <= row.distinct_grams
     assert abs(row.dup_rate - round(row.dup_occurrences / row.total_grams, 6)) < 1e-9
     assert row.dup_rate > 0
+
+
+def test_source_overlap_matrix_cell_invariants(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.operators.curation import (
+        source_overlap_matrix,
+    )
+
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert 0 <= r.n_identical <= r.n_pairs
+        assert 0 <= r.min_hamming <= 3

