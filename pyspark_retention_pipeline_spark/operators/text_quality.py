@@ -281,3 +281,65 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("s") / LP_SCALE / F.col("n_tokens"), 6).alias("avg_logprob"),
     )
+
+
+# A token is "rare" when the self-trained corpus vocabulary saw it fewer than
+# this many times — the tokenizer-health / misspelling-noise threshold.
+RARE_MIN_COUNT = 5
+
+
+@query(
+    "rare_token_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c < {RARE_MIN_COUNT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare
+      FROM tok JOIN cnt USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           ROUND(n_rare / CAST(n_tokens AS DOUBLE), 6) AS rare_rate
+    FROM doc
+    """,
+    tags=("text-quality", "vocab", "tokenizer"),
+)
+def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token rate — the share of a document's tokens whose
+    corpus frequency is below {RARE_MIN_COUNT} (the out-of-vocabulary proxy
+    when the vocabulary is self-trained). High rate flags OCR noise,
+    misspelling storms, and code/markup spew that a BPE tokenizer would
+    shatter into long byte sequences; it is the cheap pre-filter before
+    spending real tokenizer fertility measurements.
+
+    Same 100 TB shape as :func:`unigram_logprob_score`: one token explode
+    reused for the vocabulary aggregate and the per-doc probe, an unhinted
+    token ⋈ vocab join (AQE broadcasts a vocabulary that fits), and a rate
+    dividing two exact BIGINTs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cnt = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    doc = (
+        tok.join(cnt, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c") < RARE_MIN_COUNT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        F.round(F.col("n_rare") / F.col("n_tokens").cast("double"), 6).alias(
+            "rare_rate"
+        ),
+    )

@@ -329,3 +329,33 @@ def test_interarrival_acf_matches_numpy_and_filters_constant(spark, sf_dir):
         F.col("_prev").isNotNull()
     ).select("user_id", F.expr("(ts_us - _prev) DIV 1000000").alias("gap"))
     assert g0.count() == 5 and g0.select(F.countDistinct("gap")).first()[0] == 1
+
+
+def test_theilsen_matches_numpy(spark, sf_dir):
+    """Median-of-pairwise-slopes recomputed from first principles — guards
+    against a *shared* misconception in both engines' SQL (parity alone
+    can't see one)."""
+    import numpy as np
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        OLS_BASE_DAY,
+        theilsen_revenue_trend,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    row = theilsen_revenue_trend(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice").collect()
+    daily = {}
+    for r in o:
+        d = (r.o_orderdate.date() - __import__("datetime").date(1970, 1, 1)).days - OLS_BASE_DAY
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    xs = sorted(daily)
+    ys = [daily[x] // 100 for x in xs]
+    slopes = [
+        (ys[j] - ys[i]) / float(xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    assert row.n_days == len(xs)
+    assert row.n_pairs == len(slopes)
+    assert abs(row.ts_slope_per_day - np.median(slopes)) < 1e-6
