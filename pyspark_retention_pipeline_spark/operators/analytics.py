@@ -536,47 +536,70 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def with_global_cumsum(df: DataFrame, order_by: list, value_col, out_col: str = "_cum") -> DataFrame:
+def with_global_cumsum(df: DataFrame, order_by: list, value_col, out_col="_cum") -> DataFrame:
     """Distributed global running SUM over a total order — the cumulative
     sibling of :func:`with_global_row_number` (same two-phase shape: range
     shuffle → per-partition window → broadcast prefix offsets), for when a
     consumer needs the per-row prefix sum itself rather than just ranks.
-    Appends ``out_col`` (inclusive prefix sum of ``value_col`` under
-    ``order_by``), ``_total`` (grand total), ``_rn`` and ``_n`` — a strict
-    superset of the row-number primitive, at the cost of carrying the value
-    column through the range exchange. ``value_col`` must be integral
-    (exact cents/counts): prefix sums of doubles would be
-    partitioning-dependent. The lazy ``localCheckpoint`` pins the sampled
-    range boundaries exactly as in :func:`with_global_row_number`."""
+
+    ``value_col``/``out_col`` may each be a single name or a parallel list
+    (several counters cumulated under ONE range exchange — e.g. the two
+    sample counters of a KS statistic); every value column must be integral
+    (exact cents/counts: prefix sums of doubles would be
+    partitioning-dependent). Appends each ``out_col`` (inclusive prefix sum
+    under ``order_by``), ``_total`` per column (named ``{out_col}_total``;
+    plain ``_total`` for the single-column call), plus ``_rn`` and ``_n`` —
+    a strict superset of the row-number primitive. The lazy
+    ``localCheckpoint`` pins the sampled range boundaries exactly as in
+    :func:`with_global_row_number`."""
+    single = isinstance(value_col, str)
+    vcols = [value_col] if single else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col must pair up")
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     ranged = df.repartitionByRange(nparts, *order_by).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_order = Window.partitionBy("_pid").orderBy(*order_by)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = (
-        ranged.withColumn("_lrn", F.row_number().over(w_order).cast("long"))
-        .withColumn("_lcs", F.sum(value_col).over(w_run).cast("long"))
-        .localCheckpoint(eager=False)
-    )
+    local = ranged.withColumn("_lrn", F.row_number().over(w_order).cast("long"))
+    for i, v in enumerate(vcols):
+        local = local.withColumn(f"_lcs{i}", F.sum(v).over(w_run).cast("long"))
+    local = local.localCheckpoint(eager=False)
     per_pid = local.groupBy("_pid").agg(
         F.count("*").cast("long").alias("_cnt"),
-        F.sum(value_col).cast("long").alias("_psum"),
+        *[F.sum(v).cast("long").alias(f"_psum{i}") for i, v in enumerate(vcols)],
     )
     w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy()
+    totals = [
+        ("_total" if single else f"{ocols[i]}_total") for i in range(len(vcols))
+    ]
     offsets = per_pid.select(
         "_pid",
         F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).cast("long").alias("_roff"),
         F.sum("_cnt").over(w_all).cast("long").alias("_n"),
-        F.coalesce(F.sum("_psum").over(w_prior), F.lit(0)).cast("long").alias("_soff"),
-        F.sum("_psum").over(w_all).cast("long").alias("_total"),
+        *[
+            c
+            for i in range(len(vcols))
+            for c in (
+                F.coalesce(F.sum(f"_psum{i}").over(w_prior), F.lit(0))
+                .cast("long")
+                .alias(f"_soff{i}"),
+                F.sum(f"_psum{i}").over(w_all).cast("long").alias(totals[i]),
+            )
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("_rn", F.col("_roff") + F.col("_lrn"))
-        .withColumn(out_col, F.col("_soff") + F.col("_lcs"))
-        .drop("_pid", "_lrn", "_lcs", "_roff", "_soff")
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rn", F.col("_roff") + F.col("_lrn")
+    )
+    for i, oc in enumerate(ocols):
+        out = out.withColumn(oc, F.col(f"_soff{i}") + F.col(f"_lcs{i}"))
+    return out.drop(
+        "_pid", "_lrn", "_roff",
+        *[f"_lcs{i}" for i in range(len(vcols))],
+        *[f"_soff{i}" for i in range(len(vcols))],
     )
 
 

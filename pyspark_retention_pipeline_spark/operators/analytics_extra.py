@@ -852,3 +852,241 @@ def pipe_sql_revenue_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders >= 10
         """
     )
+
+
+# PSI binning for o_totalprice: fixed-width dollar bins with a clamped
+# overflow bin, Laplace-smoothed shares, fixed-point term quantization.
+PSI_BIN_W = 30_000.0
+PSI_BINS = 20
+PSI_SCALE = 1_000_000_000
+
+
+@query(
+    "psi_price_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT least(CAST(floor(o_totalprice / {PSI_BIN_W}) AS BIGINT),
+                   {PSI_BINS - 1}) AS bin,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), piv AS (
+      SELECT (MIN(day) + MAX(day) + 1) // 2 AS piv_day FROM d
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN day < piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN day >= piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM d CROSS JOIN piv GROUP BY bin
+    ), spine AS (
+      SELECT CAST(unnest(range(0, {PSI_BINS})) AS BIGINT) AS bin
+    ), fullb AS (
+      SELECT s.bin, COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+      FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+    ), tot AS (
+      SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM fullb
+    ), terms AS (
+      SELECT bin, c_ref, c_cur,
+             (c_ref + 1) / CAST(n_ref + {PSI_BINS} AS DOUBLE) AS p,
+             (c_cur + 1) / CAST(n_cur + {PSI_BINS} AS DOUBLE) AS q
+      FROM fullb CROSS JOIN tot
+    ), qt AS (
+      SELECT bin, c_ref, c_cur, p, q,
+             CAST(ROUND((p - q) * ln(p / q) * {PSI_SCALE}) AS BIGINT) AS t
+      FROM terms
+    )
+    SELECT bin, c_ref AS n_ref, c_cur AS n_cur,
+           ROUND(p, 6) AS ref_share, ROUND(q, 6) AS cur_share,
+           ROUND(t / {PSI_SCALE}.0, 6) AS psi_term,
+           ROUND(CAST(SUM(t) OVER () AS BIGINT) / {PSI_SCALE}.0, 6) AS psi_total
+    FROM qt
+    """,
+    tags=("mlops", "drift", "psi", "histogram"),
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution, first
+    calendar half vs second — the standard production drift monitor for a
+    model input (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 retrain). The
+    split pivot derives from the data (midpoint of the observed day range,
+    a broadcast 1-row aggregate), so the monitor needs no configuration.
+
+    Distribution discipline: prices histogram into {PSI_BINS} fixed-width
+    bins in ONE pass (conditional counts for both halves — no second scan,
+    no join of two filtered subqueries); a generated bin spine keeps
+    zero-count bins so Laplace smoothing ((c+1)/(N+B)) is well-defined on
+    both sides; each (p−q)·ln(p/q) term quantizes to an exact BIGINT before
+    summing (the ENT_SCALE/LP_SCALE rule: never float-reduce across rows),
+    and the total is a window over the {PSI_BINS}-row aggregate — bounded by
+    construction at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / PSI_BIN_W).cast("long"),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    piv = d.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").cast("long").alias("piv_day")
+    )
+    counts = (
+        d.crossJoin(F.broadcast(piv))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("piv_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.sum(F.when(F.col("day") >= F.col("piv_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+    fullb = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+        )
+    )
+    tot = fullb.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    terms = fullb.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        ((F.col("c_ref") + 1) / (F.col("n_ref") + PSI_BINS).cast("double")).alias("p"),
+        ((F.col("c_cur") + 1) / (F.col("n_cur") + PSI_BINS).cast("double")).alias("q"),
+    )
+    t = (
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * PSI_SCALE)
+        .cast("long")
+        .alias("t")
+    )
+    qt = terms.select("bin", "c_ref", "c_cur", "p", "q", t)
+    w_all = Window.partitionBy()
+    return qt.select(
+        "bin",
+        F.col("c_ref").alias("n_ref"),
+        F.col("c_cur").alias("n_cur"),
+        F.round("p", 6).alias("ref_share"),
+        F.round("q", 6).alias("cur_share"),
+        F.round(F.col("t") / F.lit(float(PSI_SCALE)), 6).alias("psi_term"),
+        F.round(
+            F.sum("t").over(w_all).cast("long") / F.lit(float(PSI_SCALE)), 6
+        ).alias("psi_total"),
+    )
+
+
+@query(
+    "ks_price_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), piv AS (
+      SELECT (MIN(day) + MAX(day) + 1) // 2 AS piv_day FROM d
+    ), counts AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN day < piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN day >= piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM d CROSS JOIN piv GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(c_ref) OVER w AS cum_ref,
+             SUM(c_cur) OVER w AS cum_cur,
+             SUM(c_ref) OVER () AS n_ref,
+             SUM(c_cur) OVER () AS n_cur
+      FROM counts
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), gaps AS (
+      SELECT v, n_ref, n_cur,
+             abs(cum_ref * n_cur - cum_cur * n_ref) AS gap_int
+      FROM cum
+    ), m AS (
+      SELECT CAST(MAX(gap_int) AS BIGINT) AS d_int,
+             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM gaps
+    )
+    SELECT m.n_ref, m.n_cur, m.n_values,
+           ROUND(m.d_int / (m.n_ref * CAST(m.n_cur AS DOUBLE)), 6) AS ks_stat,
+           CAST((SELECT MIN(v) FROM gaps WHERE gap_int = m.d_int) AS BIGINT)
+             AS ks_at_cents
+    FROM m
+    """,
+    tags=("mlops", "drift", "ks-test", "two-phase-rank"),
+)
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic for order-price drift
+    (first calendar half vs second) — the distribution-shift test that,
+    unlike :func:`psi_price_drift`'s binned PSI, needs NO binning choice:
+    D = max over values of |F_ref(v) − F_cur(v)|.
+
+    Exactness discipline: the sup-gap is maximized as the INTEGER
+    |cumR·n_cur − cumC·n_ref| (common-denominator form), so the argmax — and
+    the reported location, tie-broken to the smallest value — never touches
+    a float; the single division happens once on the winning integers.
+    Scale shape: one conditional-count pass collapses orders to the distinct
+    price grain, then BOTH running counters cumulate under ONE range
+    exchange via the two-phase :func:`~.analytics.with_global_cumsum`
+    (multi-column form) — the naive ``SUM() OVER (ORDER BY v)`` would drag
+    the whole value grain through a single task. Integer headroom: cum·n
+    products clear BIGINT to ~3×10⁹ rows per side (documented escalation to
+    DECIMAL(38) beyond)."""
+    from .analytics import with_global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    piv = d.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").cast("long").alias("piv_day")
+    )
+    counts = (
+        d.crossJoin(F.broadcast(piv))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("piv_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.sum(F.when(F.col("day") >= F.col("piv_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    cum = with_global_cumsum(
+        counts, [F.col("v").asc()], ["c_ref", "c_cur"], ["cum_ref", "cum_cur"]
+    )
+    gap = F.abs(
+        F.col("cum_ref") * F.col("cum_cur_total")
+        - F.col("cum_cur") * F.col("cum_ref_total")
+    )
+    gaps = cum.select(
+        "v",
+        F.col("cum_ref_total").alias("n_ref"),
+        F.col("cum_cur_total").alias("n_cur"),
+        gap.alias("gap_int"),
+    )
+    # single aggregation: lexicographic struct-max yields (max gap, min v)
+    best = F.max(F.struct(F.col("gap_int").alias("d"), (-F.col("v")).alias("nv")))
+    m = gaps.agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.count("*").cast("long").alias("n_values"),
+        best.alias("b"),
+    )
+    return m.select(
+        "n_ref",
+        "n_cur",
+        "n_values",
+        F.round(
+            F.col("b.d") / (F.col("n_ref") * F.col("n_cur").cast("double")), 6
+        ).alias("ks_stat"),
+        (-F.col("b.nv")).cast("long").alias("ks_at_cents"),
+    )

@@ -228,3 +228,55 @@ def test_recursive_month_spine_is_gap_free(spark, sf_dir):
     for r in rows:
         assert r.n_orders == months.get(r.m, 0)
     assert sum(r.n_orders for r in rows) == o.count()
+
+
+def test_drift_monitors_match_first_principles(spark, sf_dir):
+    """PSI and KS recomputed in plain python over the collected orders —
+    guards against a shared misconception in both engines' SQL."""
+    import datetime
+    import math
+
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        PSI_BIN_W,
+        PSI_BINS,
+        ks_price_drift,
+        psi_price_drift,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate"
+    ).collect()
+    days = [
+        (r.o_orderdate.date() - datetime.date(1970, 1, 1)).days for r in rows
+    ]
+    piv = (min(days) + max(days) + 1) // 2
+    ref = [r.o_totalprice for r, d in zip(rows, days) if d < piv]
+    cur = [r.o_totalprice for r, d in zip(rows, days) if d >= piv]
+
+    # PSI
+    def binshare(xs):
+        c = [0] * PSI_BINS
+        for x in xs:
+            c[min(int(x // PSI_BIN_W), PSI_BINS - 1)] += 1
+        return [(ci + 1) / (len(xs) + PSI_BINS) for ci in c]
+
+    p, q = binshare(ref), binshare(cur)
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    got_psi = psi_price_drift(spark, sf_dir).collect()
+    assert len(got_psi) == PSI_BINS
+    assert abs(got_psi[0].psi_total - psi) < 1e-5
+
+    # KS
+    rv = sorted(round(x * 100) for x in ref)
+    cv = sorted(round(x * 100) for x in cur)
+    values = sorted(set(rv) | set(cv))
+    import bisect
+    d = max(
+        abs(bisect.bisect_right(rv, v) / len(rv) - bisect.bisect_right(cv, v) / len(cv))
+        for v in values
+    )
+    got_ks = ks_price_drift(spark, sf_dir).collect()[0]
+    assert got_ks.n_ref == len(rv) and got_ks.n_cur == len(cv)
+    assert got_ks.n_values == len(values)
+    assert abs(got_ks.ks_stat - d) < 1e-6
