@@ -115,3 +115,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@query("group_aware_split", tags=("curation", "split", "leakage", "dedup-neardup"))
+def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remedy :func:`~.curation.split_leakage_check` prescribes, shipped
+    as an operator: assign train/val/test by the md5 bucket of each
+    document's near-dup CLUSTER canonical id, not its own doc_id, so every
+    member of a near-duplicate group lands on the same side of every split
+    boundary by construction.
+
+    Pipeline: SimHash banded-LSH pairs (hamming ≤ 3, the same edge set the
+    leakage audit flags) → connected components → canonical id = component
+    minimum; singleton docs are their own canonical (left join + coalesce,
+    no densification). The split hash then keys on the canonical id via the
+    same :func:`~.sampling.split_assignment_frame` the i.i.d. split uses.
+    Rows-only (iterative components, SURVEY §7 contract); the zero-leakage
+    guarantee — NO hamming-≤3 pair straddles a split — is pinned by
+    ``tests/test_curation.py::test_group_aware_split_eliminates_leakage``.
+    """
+    from .sampling import split_assignment_frame
+    from .text import simhash_candidate_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = simhash_candidate_frame(d).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    docs = d.select("doc_id").join(
+        comp.select(F.col("vertex").alias("doc_id"), "component"), "doc_id", "left"
+    )
+    canon = docs.select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("canonical_id"),
+    )
+    return split_assignment_frame(canon, "canonical_id").select(
+        "doc_id", "canonical_id", "split"
+    )

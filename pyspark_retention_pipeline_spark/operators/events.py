@@ -398,9 +398,9 @@ def dau_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEEK_US = 604_800_000_000
 
 
-@query(
-    "cohort_retention",
-    oracle=f"""
+# Shared with retention_decay_fit's oracle (which fits a curve per cohort
+# over exactly this matrix).
+COHORT_RETENTION_ORACLE = f"""
     WITH uw AS (
       SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
     ), f AS (
@@ -414,7 +414,12 @@ WEEK_US = 604_800_000_000
            ROUND(c.n_users / s.n_users, 6) AS retention_rate
     FROM c JOIN (SELECT cohort_week, n_users FROM c WHERE week_offset = 0) s
       USING (cohort_week)
-    """,
+"""
+
+
+@query(
+    "cohort_retention",
+    oracle=COHORT_RETENTION_ORACLE,
     tags=("retention", "cohort"),
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,4 +657,82 @@ def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("k", k)
         .groupBy("event_type", F.expr("k DIV 10").alias("k_bucket"))
         .agg(F.count("*").alias("n_events"))
+    )
+
+
+# Fixed-point scale for quantized ln(retention_rate) regressands (the
+# ENT_SCALE/LP_SCALE rule: never float-reduce across rows).
+DECAY_SCALE = 1_000_000_000
+
+
+@query(
+    "retention_decay_fit",
+    oracle=f"""
+    WITH m AS ({COHORT_RETENTION_ORACLE}
+    ), pts AS (
+      SELECT cohort_week, CAST(week_offset AS BIGINT) AS x,
+             CAST(ROUND(ln(retention_rate) * {DECAY_SCALE}) AS BIGINT) AS y
+      FROM m WHERE week_offset >= 1 AND retention_rate > 0
+    ), s AS (
+      SELECT cohort_week,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY cohort_week
+    ), d AS (
+      SELECT cohort_week, n AS n_points,
+             (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+               / {DECAY_SCALE} AS decay
+      FROM s WHERE n >= 3 AND n * sxx <> sx * sx
+    )
+    SELECT cohort_week, n_points,
+           ROUND(decay, 6) AS decay_per_week,
+           CASE WHEN decay < 0 THEN ROUND(ln(2) / -decay, 6) END
+             AS half_life_weeks
+    FROM d
+    """,
+    tags=("retention", "cohort", "regression", "half-life"),
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort retention half-life: fit ln(retention) ~ week_offset over
+    each cohort's curve (offsets ≥ 1) and report the exponential decay rate
+    and its half-life — the single number product teams quote from the
+    retention matrix, and the input to LTV projections.
+
+    Composes :func:`cohort_retention` (one event shuffle) and fits ENTIRELY
+    on the ≤ #cohorts × #weeks matrix: ln(rate) quantizes to an exact BIGINT
+    per cell (the rates are already engine-identical rounded doubles), the
+    per-cohort moment sums are exact integer aggregation, and slope /
+    half-life are arithmetic on one row per cohort. Cohorts need ≥ 3
+    curve points and non-degenerate x variance (exact integer test
+    ``n·Σx² ≠ (Σx)²``); a non-negative slope (a growing "retention" curve)
+    yields a NULL half-life rather than a negative one."""
+    m = cohort_retention(spark, sf_dir)
+    pts = m.where(
+        (F.col("week_offset") >= 1) & (F.col("retention_rate") > 0)
+    ).select(
+        "cohort_week",
+        F.col("week_offset").cast("long").alias("x"),
+        F.round(F.log("retention_rate") * DECAY_SCALE).cast("long").alias("y"),
+    )
+    s = pts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    d = s.where("n >= 3 AND n * sxx <> sx * sx").selectExpr(
+        "cohort_week",
+        "n AS n_points",
+        f"(n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)"
+        f" / {DECAY_SCALE} AS decay",
+    )
+    return d.selectExpr(
+        "cohort_week",
+        "n_points",
+        "ROUND(decay, 6) AS decay_per_week",
+        "CASE WHEN decay < 0 THEN ROUND(ln(2) / -decay, 6) END AS half_life_weeks",
     )

@@ -314,3 +314,38 @@ def test_source_overlap_matrix_cell_invariants(spark, sf_dir):
         assert r.source_a <= r.source_b
         assert 0 <= r.n_identical <= r.n_pairs
         assert 0 <= r.min_hamming <= 3
+
+
+def test_group_aware_split_eliminates_leakage(spark, sf_dir):
+    """The whole point of the cluster-keyed split: zero hamming<=3 pairs
+    straddle a split boundary (the doc_id-keyed split leaks hundreds)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.components import (
+        group_aware_split,
+    )
+    from pyspark_retention_pipeline_spark.operators.text import (
+        simhash_candidate_frame,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    splits = group_aware_split(spark, sf_dir)
+    pairs = simhash_candidate_frame(load_table(spark, sf_dir, "documents"))
+    leaked = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("doc_id_a"), F.col("split").alias("sa")),
+            "doc_id_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("doc_id_b"), F.col("split").alias("sb")),
+            "doc_id_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0
+    # and it is still a split: all three labels present, every doc labeled
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert splits.count() == n_docs
+    labels = {r.split for r in splits.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}
