@@ -512,8 +512,14 @@ def portable_simhash60(text_col: F.Column) -> F.Column:
 def simhash_candidate_frame(docs: DataFrame) -> DataFrame:
     """Banded-LSH SimHash pair generation over a ``(doc_id, text)`` frame —
     the distributable core of :func:`simhash_candidates`, factored out so the
-    losslessness property is testable on synthetic corpora."""
-    sigs = docs.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
+    losslessness property is testable on synthetic corpora. The lazy
+    ``localCheckpoint`` pins ONE materialization of the signature frame:
+    without it the self-join recomputes the 60-lane hash fold on BOTH join
+    branches (verified in the physical plan — two document scans), doubling
+    the dominant cost at corpus scale."""
+    sigs = docs.select(
+        "doc_id", portable_simhash60(F.col("text")).alias("sig")
+    ).localCheckpoint(eager=False)
     mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = sigs.select(
         "doc_id",

@@ -343,3 +343,87 @@ def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rare_rate"
         ),
     )
+
+
+@query(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[s.i + 1] AS w1, t[s.i + 2] AS w2
+      FROM tok, UNNEST(range(0, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+    ), lp AS (
+      SELECT w1, w2, CAST(ROUND(ln(c2 / c1) * {LP_SCALE}) AS BIGINT) AS lp
+      FROM c2 JOIN c1 USING (w1)
+    ), doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS s
+      FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(s / {LP_SCALE}.0 / n_bigrams, 6) AS avg_bigram_logprob
+    FROM doc
+    """,
+    tags=("text-quality", "language-model", "perplexity"),
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — mean
+    conditional log-probability ln(c(w₁w₂)/c(w₁·)) over the document's
+    bigrams, one Markov order up from :func:`unigram_logprob_score` and the
+    closest SQL-expressible shape to the KenLM perplexity filter: unigram
+    scoring can't see scrambled word salads built from common tokens, the
+    bigram model penalizes them hard.
+
+    Self-trained in the same plan (every document bigram exists in the
+    corpus counts, so no smoothing branch is needed); per-bigram ln(p)
+    quantizes to an exact BIGINT before the per-document sum (the LP_SCALE
+    rule). Shape at 100 TB: the bigram stream explodes once and is reused
+    for the LM counts and the per-doc probe; context totals c(w₁·) derive
+    from the already-aggregated bigram table (vocabulary², Zipf-bounded),
+    not a second corpus scan; both LM joins are unhinted for AQE. The join
+    keys here are token strings for oracle parity — the production form
+    hashes pairs to 8-byte longs exactly like ``_gram_hash_frame``.
+    Documents with fewer than two tokens have no bigrams and are excluded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    staged = d.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
+        ),
+    )
+    bg = staged.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    lp = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("c2") / F.col("c1")) * LP_SCALE)
+        .cast("long")
+        .alias("lp"),
+    )
+    doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("long").alias("s"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") / LP_SCALE / F.col("n_bigrams"), 6).alias(
+            "avg_bigram_logprob"
+        ),
+    )

@@ -379,3 +379,30 @@ def test_udtf_matches_codegen_twin(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_bigram_logprob_properties(spark, sf_dir):
+    """Conditional log-probs are <= 0, every scored doc has exactly
+    n_tokens-1 bigrams, and the self-trained model gives the corpus a
+    finite score (no smoothing branch ever fires)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.text_quality import (
+        bigram_logprob_score,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    got = bigram_logprob_score(spark, sf_dir)
+    rows = got.collect()
+    assert rows
+    assert all(r.avg_bigram_logprob <= 0.0 for r in rows)
+    ntok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for r in rows[:50]:
+        assert r.n_bigrams == ntok[r.doc_id] - 1
+    # every >=2-token doc is scored
+    assert len(rows) == sum(1 for n in ntok.values() if n >= 2)
