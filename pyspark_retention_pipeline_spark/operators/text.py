@@ -1061,3 +1061,68 @@ def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hapax / F.count("*").cast("double"), 6).alias("hapax_rate"),
         F.round(F.count("*") / F.sum("n").cast("double"), 6).alias("type_token_ratio"),
     )
+
+
+_SIMHASH_VERIFY_ORACLE = f"""
+    WITH {SIMHASH_SIGS_CTE}
+    SELECT p.doc_id_a, p.doc_id_b, p.hamming,
+           CAST(len(list_intersect(list_distinct(string_split(da.text, ' ')),
+                                   list_distinct(string_split(db.text, ' '))))
+                AS BIGINT) AS n_common,
+           ROUND(len(list_intersect(list_distinct(string_split(da.text, ' ')),
+                                    list_distinct(string_split(db.text, ' '))))
+                 / CAST(len(list_distinct(string_split(da.text, ' ')))
+                        + len(list_distinct(string_split(db.text, ' ')))
+                        - len(list_intersect(
+                              list_distinct(string_split(da.text, ' ')),
+                              list_distinct(string_split(db.text, ' '))))
+                        AS DOUBLE), 6) AS jaccard
+    FROM simhash_pairs p
+    JOIN documents da ON p.doc_id_a = da.doc_id
+    JOIN documents db ON p.doc_id_b = db.doc_id
+"""
+
+
+@query(
+    "simhash_jaccard_verify",
+    oracle=_SIMHASH_VERIFY_ORACLE,
+    tags=("dedup-neardup", "simhash", "verification", "jaccard"),
+)
+def simhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of the LSH dedup pipeline: every SimHash candidate
+    pair re-scored with its exact token-set Jaccard — the measure the final
+    keep/drop threshold actually applies (hamming is a proxy; Jaccard is the
+    contract). Completes candidate → verify for the SimHash path the way
+    :func:`prefix_edit_distance_pairs` does for character-level identity.
+
+    Scale shape: the expensive exact measure runs ONLY on the LSH-reduced
+    pair set, never all pairs — the whole point of candidate generation; the
+    two doc_id joins re-attach token arrays to that reduced frame, and
+    intersection/union sizes are exact integers so the rounded Jaccard is
+    engine-identical. The quadratic exact baseline for THIS measure is
+    :func:`word_jaccard_pairs` (doc_id-bounded); this operator is its
+    unbounded scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    )
+    pairs = simhash_candidate_frame(d)
+    j = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("doc_id_a"), F.col("ts").alias("ta")),
+            "doc_id_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_id_b"), F.col("ts").alias("tb")),
+            "doc_id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    union = F.size("ta").cast("long") + F.size("tb").cast("long") - inter
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        "hamming",
+        inter.alias("n_common"),
+        F.round(inter / union.cast("double"), 6).alias("jaccard"),
+    )

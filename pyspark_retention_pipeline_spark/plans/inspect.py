@@ -114,6 +114,25 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
 # construction), not a corpus funneled into one task.
 _BOUNDED_REDUCTIONS = frozenset({"Aggregate", "GlobalLimit", "Deduplicate"})
 
+# A leaf whose row count is a PLAN-TIME LITERAL is bounded too, when small:
+# ``spark.range(20)`` bin spines, literal frames, OneRowRelation. Unlike a
+# file relation, these can't grow with the data — the count is in the plan.
+_BOUNDED_LEAF_ROWS = 100_000
+
+
+def _literal_bounded_leaf(node) -> bool:
+    name = node.getClass().getSimpleName()
+    try:
+        if name == "Range":
+            return int(str(node.numElements())) <= _BOUNDED_LEAF_ROWS
+        if name == "OneRowRelation":
+            return True
+        if name == "LocalRelation":
+            return int(node.data().size()) <= _BOUNDED_LEAF_ROWS
+    except Exception:
+        return False
+    return False
+
 
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     """Unpartitioned ``Window`` nodes whose input is NOT aggregate-reduced.
@@ -141,7 +160,9 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
             return True
         kids = node.children()
         if kids.size() == 0:
-            return False  # bare relation: corpus-scale
+            # bare relation: corpus-scale, unless the leaf's row count is a
+            # small plan-time literal (range spine / literal frame).
+            return _literal_bounded_leaf(node)
         return all(reduced(kids.apply(i)) for i in range(kids.size()))
 
     out: list[str] = []

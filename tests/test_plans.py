@@ -341,3 +341,26 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_literal_bounded_leaves_in_window_detector(spark):
+    """A small literal Range spine under an unpartitioned window is bounded
+    (the count is in the plan); a large Range is still flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.plans import (
+        unpartitioned_corpus_windows,
+    )
+
+    w = Window.partitionBy().orderBy("id")
+    small = spark.range(20).withColumn("c", F.sum("id").over(w))
+    assert unpartitioned_corpus_windows(small) == []
+    big = spark.range(10_000_000).withColumn("c", F.sum("id").over(w))
+    assert unpartitioned_corpus_windows(big) != []
+    # joining the small spine to an aggregate stays bounded on both paths
+    agg = spark.range(100).groupBy((F.col("id") % 20).alias("id")).count()
+    joined = spark.range(20).join(agg, "id", "left").withColumn(
+        "t", F.sum("count").over(Window.partitionBy())
+    )
+    assert unpartitioned_corpus_windows(joined) == []
