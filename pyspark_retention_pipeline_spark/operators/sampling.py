@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..registry import query
 from ..tables import load_table
@@ -242,4 +243,43 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.round(F.col("priority") * 1_000_000, 6).alias("priority_ppm"),
         )
+    )
+
+
+# Fixed per-group sample size for the inspection sample.
+GROUP_SAMPLE_K = 3
+
+
+@query(
+    "per_source_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+    tags=("sampling", "per-group", "deterministic"),
+)
+def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per group ({GROUP_SAMPLE_K} docs per
+    source) — the "show me a few examples from every source" query behind
+    data-review UIs and eval-set seeding. The md5 of the key plays the
+    random order, so the sample is stable across runs, engines, and
+    incremental loads (``ORDER BY rand()`` is none of these), and the
+    ``doc_id`` tie-break makes it total. The window partitions on
+    ``source`` — per-group state, never a global sort — and row_number
+    short-circuits to a per-group top-k; at corpus scale this is the
+    rank-based sibling of :func:`lang_mix_sample`'s fraction-based
+    bucketing."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") <= GROUP_SAMPLE_K)
     )

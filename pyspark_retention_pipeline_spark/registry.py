@@ -106,7 +106,9 @@ _FRONT: tuple[str, ...] = (
     "daily_activity_revenue_outer",
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
-    "lang_id_confusion",
+    "group_aware_split",  # rows-only (late continuation) — contract (c)
+    # seats it, displacing lang_id_confusion (oracle-backed, parity-green
+    # at sf0.001/sf0.01 + sweep-green at sf0.1; rotates round 7).
     "embedding_pca_topk",  # rows-only (continuation) — contract (c) seats it
     "kmeans_lloyd_curve",  # rows-only (continuation) — contract (c) seats it
     # revenue_mom_growth / variant_props_histogram / part_cooccurrence /

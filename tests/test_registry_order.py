@@ -58,7 +58,9 @@ NEW_THIS_ROUND = {
     "daily_activity_revenue_outer",
     "doc_len_quartiles_by_lang",
     "dup_rate_by_source",
-    "lang_id_confusion",
+    "group_aware_split",
+    # lang_id_confusion was displaced by group_aware_split (rows-only
+    # contract (c), late-continuation addition); it rotates in round 7.
     # centroid_inertia was displaced by kmeans_lloyd_curve (rows-only
     # contract (c)); it rotates in round 7 (docs/ROUND7_ROTATION.md).
     # part_cooccurrence was displaced by embedding_pca_topk: the rows-only
@@ -70,6 +72,7 @@ NEW_THIS_ROUND = {
 # repairs + rows-only firsts; these rotate in next round (parity-green at
 # sf0.001/sf0.01 in pytest and sf0.1 in the committed sweep meanwhile).
 NEW_UNSEATED = {
+    "lang_id_confusion",
     "revenue_mom_growth",
     "variant_props_histogram",
     "q2_min_cost_supplier",
