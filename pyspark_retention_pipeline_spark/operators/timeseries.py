@@ -662,9 +662,14 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope")
         )
     )
-    n_days = daily.count()
-    return slopes.agg(
-        F.lit(n_days).cast("long").alias("n_days"),
-        F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.expr("median(slope)"), 6).alias("ts_slope_per_day"),
+    # n_days joins in-plan (1-row × 1-row) — a driver-side daily.count() at
+    # construction time would trigger a job during plan-only audits.
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        slopes.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.expr("median(slope)"), 6).alias("ts_slope_per_day"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "ts_slope_per_day")
     )

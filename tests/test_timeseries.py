@@ -359,3 +359,20 @@ def test_theilsen_matches_numpy(spark, sf_dir):
     assert row.n_days == len(xs)
     assert row.n_pairs == len(slopes)
     assert abs(row.ts_slope_per_day - np.median(slopes)) < 1e-6
+
+
+def test_theilsen_builds_without_a_job(spark, sf_dir, monkeypatch):
+    """Constructing the query must not trigger a Spark job (the
+    pack_documents rule: no driver-side count at plan-build time)."""
+    from pyspark.sql import DataFrame
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        theilsen_revenue_trend,
+    )
+
+    def boom(self):
+        raise AssertionError("count() during query construction")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = theilsen_revenue_trend(spark, sf_dir)
+    assert df.columns == ["n_days", "n_pairs", "ts_slope_per_day"]
