@@ -380,3 +380,124 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+# Fixed-point scales for the outlier statistics: per-dim component sums and
+# the corpus-wide distance moments must reduce as exact integers (the
+# LP_SCALE rule — float sums reorder across partitions).
+_OUT_COMP_SCALE = 1_000_000
+_OUT_DIST_SCALE = 10_000
+_OUT_Z_MIN = 2.0
+_EMB_DIMS = 64
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id, [CAST(ROUND(x * {_OUT_COMP_SCALE}) AS BIGINT)
+                      FOR x IN v] AS qv, v
+      FROM e
+    ), sums AS (
+      SELECT d.i AS pos, CAST(SUM(qv[d.i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q, UNNEST(range(0, {_EMB_DIMS})) d(i) GROUP BY d.i
+    ), cent AS (
+      SELECT list(s / (n * {_OUT_COMP_SCALE}.0) ORDER BY pos) AS c FROM sums
+    ), dist AS (
+      SELECT vec_id,
+             CAST(ROUND(list_dot_product(
+               [q.v[i + 1] - cent.c[i + 1] FOR i IN range(0, {_EMB_DIMS})],
+               [q.v[i + 1] - cent.c[i + 1] FOR i IN range(0, {_EMB_DIMS})])
+               * {_OUT_DIST_SCALE}) AS BIGINT) AS qd
+      FROM q CROSS JOIN cent
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qd) AS BIGINT) AS s1,
+             CAST(SUM(qd * qd) AS BIGINT) AS s2
+      FROM dist
+    ), z AS (
+      SELECT d.vec_id, d.qd,
+             (d.qd - m.s1 / CAST(m.n AS DOUBLE))
+               / sqrt(m.s2 / CAST(m.n AS DOUBLE)
+                      - (m.s1 / CAST(m.n AS DOUBLE)) * (m.s1 / CAST(m.n AS DOUBLE)))
+               AS zs
+      FROM dist d CROSS JOIN m
+    )
+    SELECT vec_id, ROUND(qd / {_OUT_DIST_SCALE}.0, 4) AS dist2,
+           ROUND(zs, 6) AS zscore
+    FROM z WHERE abs(zs) > {_OUT_Z_MIN}
+    """,
+    tags=("similarity", "outlier", "curation"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: vectors whose squared distance to
+    the corpus centroid z-scores beyond ±{_OUT_Z_MIN} — the curation filter
+    that drops mis-embedded / off-distribution samples before they skew
+    contrastive training or ANN index construction.
+
+    Exactness discipline end to end: per-dim components quantize to BIGINT
+    before the posexplode centroid sums (cross-partition float order), each
+    vector's distance is an IN-ROW strict fold against the broadcast
+    centroid (fixed evaluation order — engine-identical doubles), and the
+    corpus z-score moments reduce over re-quantized distances. Scale shape:
+    one posexplode aggregation to {_EMB_DIMS} rows, two broadcast 1-row /
+    {_EMB_DIMS}-row joins, one final scan — no shuffle ever carries more
+    than (vec_id, distance). Σqd² clears BIGINT to ~10⁸ vectors at this
+    quantization; escalate to DECIMAL(38) sums beyond."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    q = e.select("vec_id", v.alias("v"))
+    qcomp = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * _OUT_COMP_SCALE).cast("long"),
+            )
+        ).alias("pos", "qx"),
+    )
+    sums = qcomp.groupBy("pos").agg(
+        F.sum("qx").cast("long").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    cent = sums.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s") / (F.col("n") * float(_OUT_COMP_SCALE))).alias("cv"),
+                    )
+                )
+            ),
+            lambda st: st.cv,
+        ).alias("c")
+    )
+    diff = F.zip_with(F.col("v"), F.col("c"), lambda a, b: a - b)
+    dist = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.round(dot(diff, diff) * _OUT_DIST_SCALE).cast("long").alias("qd"),
+        )
+    )
+    m = dist.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qd").cast("long").alias("s1"),
+        F.sum(F.col("qd") * F.col("qd")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    z = dist.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        "qd",
+        (
+            (F.col("qd") - mean)
+            / F.sqrt(F.col("s2") / F.col("n").cast("double") - mean * mean)
+        ).alias("zs"),
+    )
+    return z.where(F.abs(F.col("zs")) > _OUT_Z_MIN).select(
+        "vec_id",
+        F.round(F.col("qd") / float(_OUT_DIST_SCALE), 4).alias("dist2"),
+        F.round("zs", 6).alias("zscore"),
+    )
