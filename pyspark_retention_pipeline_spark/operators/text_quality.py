@@ -427,3 +427,104 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_logprob"
         ),
     )
+
+
+# Collocation extraction: minimum pair frequency and report size.
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+@query(
+    "token_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT u.token, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS token FROM tok) u GROUP BY u.token
+    ), un AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM uni
+    ), bg AS (
+      SELECT t[s.i + 1] AS w1, t[s.i + 2] AS w2
+      FROM tok, UNNEST(range(0, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+    ), bn AS (
+      SELECT CAST(SUM(c2) AS BIGINT) AS n_big FROM c2
+    ), scored AS (
+      SELECT c2.w1, c2.w2, c2.c2,
+             ln((c2.c2 / CAST(bn.n_big AS DOUBLE))
+                / ((u1.c1 / CAST(un.n_tok AS DOUBLE))
+                   * (u2.c1 / CAST(un.n_tok AS DOUBLE)))) AS pmi
+      FROM c2
+      JOIN uni u1 ON c2.w1 = u1.token
+      JOIN uni u2 ON c2.w2 = u2.token
+      CROSS JOIN bn CROSS JOIN un
+      WHERE c2.c2 >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c2, ROUND(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """,
+    tags=("text", "collocations", "pmi"),
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} adjacent-token collocations by pointwise mutual
+    information — the classic multi-word-expression miner ("new york"
+    scores high, "of the" scores low), and the tokenizer-merge-candidate
+    signal a BPE practitioner inspects before vocabulary training.
+
+    PMI = ln(p(w₁w₂) / (p(w₁)·p(w₂))) with every probability derived
+    per-ROW from exact BIGINT counts (unigram and bigram totals are single
+    exact aggregates), so no float ever reduces across rows and the scores
+    are engine-identical; the deterministic (pmi DESC, w₁, w₂) order makes
+    the top-{PMI_TOP} unique. Shape: two explode→count aggregations (both
+    combine map-side), two vocabulary joins against the ALREADY-aggregated
+    bigram table, and a TakeOrdered top-k — the corpus is scanned twice and
+    nothing wider than (w₁, w₂, count) ever shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    uni = (
+        d.select(F.explode(t).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    un = uni.agg(F.sum("c1").cast("long").alias("n_tok"))
+    staged = d.select(t.alias("t")).where(F.size("t") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")),
+    )
+    c2 = (
+        staged.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    bn = c2.agg(F.sum("c2").cast("long").alias("n_big"))
+    scored = (
+        c2.where(F.col("c2") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("token").alias("w1"), F.col("c1").alias("cw1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("c1").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(bn))
+        .crossJoin(F.broadcast(un))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.log(
+                (F.col("c2") / F.col("n_big").cast("double"))
+                / (
+                    (F.col("cw1") / F.col("n_tok").cast("double"))
+                    * (F.col("cw2") / F.col("n_tok").cast("double"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+        .select("w1", "w2", "c2", F.round("pmi", 6).alias("pmi"))
+    )
