@@ -9,7 +9,7 @@ oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import CUTOFF, LOOKAHEAD_END
@@ -552,7 +552,7 @@ def with_global_cumsum(df: DataFrame, order_by: list, value_col, out_col="_cum")
     a strict superset of the row-number primitive. The lazy
     ``localCheckpoint`` pins the sampled range boundaries exactly as in
     :func:`with_global_row_number`."""
-    single = isinstance(value_col, str)
+    single = isinstance(value_col, (str, Column))
     vcols = [value_col] if single else list(value_col)
     ocols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vcols) != len(ocols):

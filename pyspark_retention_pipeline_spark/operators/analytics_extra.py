@@ -854,6 +854,50 @@ def pipe_sql_revenue_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _half_split_cte(key_sql: str, key_name: str) -> str:
+    """Shared oracle CTE text for the drift monitors: project orders to
+    (key, epoch day), derive the calendar-midpoint pivot, and produce
+    conditional first-half/second-half counts per key. One definition so
+    the two monitors' split windows can never silently disagree."""
+    return f"""d AS (
+      SELECT {key_sql} AS {key_name},
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), piv AS (
+      SELECT (MIN(day) + MAX(day) + 1) // 2 AS piv_day FROM d
+    ), counts AS (
+      SELECT {key_name},
+             CAST(SUM(CASE WHEN day < piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN day >= piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM d CROSS JOIN piv GROUP BY {key_name}
+    )"""
+
+
+def _calendar_half_counts(orders: DataFrame, key, key_name: str) -> DataFrame:
+    """Spark twin of :func:`_half_split_cte`: (key, c_ref, c_cur) conditional
+    counts for the first vs second half of the observed calendar (pivot =
+    midpoint of the day range, a broadcast 1-row aggregate)."""
+    d = orders.select(
+        key.alias(key_name),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    piv = d.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").cast("long").alias("piv_day")
+    )
+    return (
+        d.crossJoin(F.broadcast(piv))
+        .groupBy(key_name)
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("piv_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.sum(F.when(F.col("day") >= F.col("piv_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+
+
 # PSI binning for o_totalprice: fixed-width dollar bins with a clamped
 # overflow bin, Laplace-smoothed shares, fixed-point term quantization.
 PSI_BIN_W = 30_000.0
@@ -864,19 +908,10 @@ PSI_SCALE = 1_000_000_000
 @query(
     "psi_price_drift",
     oracle=f"""
-    WITH d AS (
-      SELECT least(CAST(floor(o_totalprice / {PSI_BIN_W}) AS BIGINT),
-                   {PSI_BINS - 1}) AS bin,
-             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
-      FROM orders
-    ), piv AS (
-      SELECT (MIN(day) + MAX(day) + 1) // 2 AS piv_day FROM d
-    ), counts AS (
-      SELECT bin,
-             CAST(SUM(CASE WHEN day < piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
-             CAST(SUM(CASE WHEN day >= piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
-      FROM d CROSS JOIN piv GROUP BY bin
-    ), spine AS (
+    WITH {_half_split_cte(
+        f"least(CAST(floor(o_totalprice / {PSI_BIN_W}) AS BIGINT), {PSI_BINS - 1})",
+        "bin",
+    )}, spine AS (
       SELECT CAST(unnest(range(0, {PSI_BINS})) AS BIGINT) AS bin
     ), fullb AS (
       SELECT s.bin, COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
@@ -918,27 +953,13 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the total is a window over the {PSI_BINS}-row aggregate — bounded by
     construction at any corpus size."""
     o = load_table(spark, sf_dir, "orders")
-    d = o.select(
+    counts = _calendar_half_counts(
+        o,
         F.least(
             F.floor(F.col("o_totalprice") / PSI_BIN_W).cast("long"),
             F.lit(PSI_BINS - 1).cast("long"),
-        ).alias("bin"),
-        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
-    )
-    piv = d.agg(
-        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").cast("long").alias("piv_day")
-    )
-    counts = (
-        d.crossJoin(F.broadcast(piv))
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("day") < F.col("piv_day"), 1).otherwise(0))
-            .cast("long")
-            .alias("c_ref"),
-            F.sum(F.when(F.col("day") >= F.col("piv_day"), 1).otherwise(0))
-            .cast("long")
-            .alias("c_cur"),
-        )
+        ),
+        "bin",
     )
     spine = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
     fullb = (
@@ -982,19 +1003,8 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ks_price_drift",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
-             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
-      FROM orders
-    ), piv AS (
-      SELECT (MIN(day) + MAX(day) + 1) // 2 AS piv_day FROM d
-    ), counts AS (
-      SELECT v,
-             CAST(SUM(CASE WHEN day < piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
-             CAST(SUM(CASE WHEN day >= piv_day THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
-      FROM d CROSS JOIN piv GROUP BY v
-    ), cum AS (
+    oracle=f"""
+    WITH {_half_split_cte("CAST(ROUND(o_totalprice * 100) AS BIGINT)", "v")}, cum AS (
       SELECT v,
              SUM(c_ref) OVER w AS cum_ref,
              SUM(c_cur) OVER w AS cum_cur,
@@ -1041,24 +1051,8 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import with_global_cumsum
 
     o = load_table(spark, sf_dir, "orders")
-    d = o.select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
-        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
-    )
-    piv = d.agg(
-        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").cast("long").alias("piv_day")
-    )
-    counts = (
-        d.crossJoin(F.broadcast(piv))
-        .groupBy("v")
-        .agg(
-            F.sum(F.when(F.col("day") < F.col("piv_day"), 1).otherwise(0))
-            .cast("long")
-            .alias("c_ref"),
-            F.sum(F.when(F.col("day") >= F.col("piv_day"), 1).otherwise(0))
-            .cast("long")
-            .alias("c_cur"),
-        )
+    counts = _calendar_half_counts(
+        o, F.round(F.col("o_totalprice") * 100).cast("long"), "v"
     )
     cum = with_global_cumsum(
         counts, [F.col("v").asc()], ["c_ref", "c_cur"], ["cum_ref", "cum_cur"]

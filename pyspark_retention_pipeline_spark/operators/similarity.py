@@ -424,6 +424,7 @@ _EMB_DIMS = 64
                       - (m.s1 / CAST(m.n AS DOUBLE)) * (m.s1 / CAST(m.n AS DOUBLE)))
                AS zs
       FROM dist d CROSS JOIN m
+      WHERE m.n * m.s2 <> m.s1 * m.s1
     )
     SELECT vec_id, ROUND(qd / {_OUT_DIST_SCALE}.0, 4) AS dist2,
            ROUND(zs, 6) AS zscore
@@ -475,12 +476,16 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     diff = F.zip_with(F.col("v"), F.col("c"), lambda a, b: a - b)
+    # dist feeds both the moment aggregate and the z projection — pin ONE
+    # materialization or each consumer re-runs the centroid aggregation and
+    # the 64-dim fold over the corpus (the simhash_candidate_frame lesson).
     dist = (
         q.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             F.round(dot(diff, diff) * _OUT_DIST_SCALE).cast("long").alias("qd"),
         )
+        .localCheckpoint(eager=False)
     )
     m = dist.agg(
         F.count("*").cast("long").alias("n"),
@@ -488,7 +493,10 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qd") * F.col("qd")).cast("long").alias("s2"),
     )
     mean = F.col("s1") / F.col("n").cast("double")
-    z = dist.crossJoin(F.broadcast(m)).select(
+    # integer-exact zero-variance guard: all-identical distances would make
+    # zs = 0/0 = NaN, and NaN > 2.0 is TRUE on both engines — the whole
+    # corpus would be flagged. n*s2 == s1*s1 iff population variance is 0.
+    z = dist.crossJoin(F.broadcast(m)).where("n * s2 <> s1 * s1").select(
         "vec_id",
         "qd",
         (

@@ -345,6 +345,23 @@ def rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_frame(docs) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs — shared by the bigram LM and
+    the PMI collocation miner so the pair-extraction expression exists in
+    exactly one place. Documents with < 2 tokens contribute nothing."""
+    t = F.split(F.col("text"), " ")
+    staged = docs.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
+        ),
+    )
+    return staged.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+
+
 @query(
     "bigram_logprob_score",
     oracle=f"""
@@ -392,18 +409,15 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than two tokens have no bigrams and are excluded.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    staged = d.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size("t") - 2),
-        lambda i: F.struct(
-            F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
-        ),
+    bg = _bigram_frame(d)
+    # c2 feeds both the context totals and the lp join — pin ONE
+    # materialization (the unigram vocab-count precedent) so the bigram
+    # explode+aggregate doesn't re-run per consumer.
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint(eager=False)
     )
-    bg = staged.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
-    )
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     lp = c2.join(c1, "w1").select(
         "w1",
@@ -485,23 +499,21 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram table, and a TakeOrdered top-k — the corpus is scanned twice and
     nothing wider than (w₁, w₂, count) ever shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    # uni feeds the token total + two join branches, c2 the bigram total +
+    # the scoring join — pin one materialization of each aggregate so the
+    # corpus really is scanned only twice (the unigram LM precedent).
     uni = (
-        d.select(F.explode(t).alias("token"))
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     un = uni.agg(F.sum("c1").cast("long").alias("n_tok"))
-    staged = d.select(t.alias("t")).where(F.size("t") >= 2)
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size("t") - 2),
-        lambda i: F.struct(F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")),
-    )
     c2 = (
-        staged.select(F.explode(pairs).alias("p"))
-        .select("p.w1", "p.w2")
+        _bigram_frame(d)
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint(eager=False)
     )
     bn = c2.agg(F.sum("c2").cast("long").alias("n_big"))
     scored = (

@@ -564,7 +564,13 @@ def interarrival_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation all share that partitioning, so Catalyst inserts a single
     Exchange.
     """
-    e = load_events(spark, sf_dir)
+    return interarrival_acf_frame(load_events(spark, sf_dir))
+
+
+def interarrival_acf_frame(e: DataFrame) -> DataFrame:
+    """The distributable core of :func:`interarrival_acf` over any events
+    frame with (user_id, ts_us, event_id) — factored so the zero-variance
+    exclusion and the moment pipeline are testable on synthetic users."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     g0 = e.withColumn("_prev", F.lag("ts_us").over(w)).where(
         F.col("_prev").isNotNull()

@@ -120,6 +120,12 @@ def test_with_global_cumsum_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+    # the single-column branch accepts a Column too (pre-generalization API)
+    via_col = {
+        (r.id): (r._rn, r._cum)
+        for r in with_global_cumsum(df, [F.col("v"), F.col("id")], F.col("v")).collect()
+    }
+    assert via_col == {k: (v[0], v[1]) for k, v in got.items()}
 
 
 def test_pareto_concentration_invariants(spark, sf_dir):

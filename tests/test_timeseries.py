@@ -313,22 +313,24 @@ def test_interarrival_acf_matches_numpy_and_filters_constant(spark, sf_dir):
         checked += 1
     assert checked == 5
 
-    # constant gaps -> zero variance -> excluded, not divided by zero
-    rows = [(99_999_991, 1_000_000 * 60 * k, 10_000 + k, "view", 0.0, "{}")
-            for k in range(6)]
-    df = spark.createDataFrame(
-        rows, "user_id long, ts_us long, event_id long, event_type string, value double, props string"
+    # constant gaps -> zero variance -> the FULL pipeline must exclude the
+    # user (den <> 0), not divide by zero; a bursty user must survive.
+    from pyspark_retention_pipeline_spark.operators.timeseries import (
+        interarrival_acf_frame,
     )
-    import pyspark_retention_pipeline_spark.operators.timeseries as ts_mod
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window
 
-    # drive the same moment-sum pipeline over the synthetic frame
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    g0 = df.withColumn("_prev", F.lag("ts_us").over(w)).where(
-        F.col("_prev").isNotNull()
-    ).select("user_id", F.expr("(ts_us - _prev) DIV 1000000").alias("gap"))
-    assert g0.count() == 5 and g0.select(F.countDistinct("gap")).first()[0] == 1
+    const_rows = [(99_999_991, 1_000_000 * 60 * k, 10_000 + k) for k in range(6)]
+    bursty_ts = [0, 60, 120, 3600, 3660, 3720, 7200, 7260]
+    bursty_rows = [
+        (99_999_992, 1_000_000 * t, 20_000 + i) for i, t in enumerate(bursty_ts)
+    ]
+    df = spark.createDataFrame(
+        const_rows + bursty_rows, "user_id long, ts_us long, event_id long"
+    )
+    out = {r.user_id: r for r in interarrival_acf_frame(df).collect()}
+    assert 99_999_991 not in out  # zero-variance user excluded by den<>0
+    assert 99_999_992 in out      # non-degenerate user scored
+    assert out[99_999_992].n_gaps == len(bursty_ts) - 1
 
 
 def test_theilsen_matches_numpy(spark, sf_dir):
