@@ -736,3 +736,87 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(decay, 6) AS decay_per_week",
         "CASE WHEN decay < 0 THEN ROUND(ln(2) / -decay, 6) END AS half_life_weeks",
     )
+
+
+@query(
+    "dependent_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), v AS (
+      SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after_chain,
+           ROUND((SELECT COUNT(*) FROM c)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+           ROUND((SELECT COUNT(*) FROM p)
+                 / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS click_to_purchase
+    """,
+    tags=("funnel", "sequence", "higher-order"),
+)
+def dependent_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-session DEPENDENT funnel: first view → first click strictly
+    AFTER that view → first purchase strictly AFTER that click, per user —
+    the ordered-dependency form that a plain per-step count overstates
+    (:func:`session_funnel` requires the steps inside one session; this one
+    allows days between steps but enforces the causal order).
+
+    Spark shape — ONE scan, one shuffle: events (pre-filtered to the three
+    step types) collapse to a per-user sorted (ts, type) array, and the
+    dependency chain is three in-row higher-order ``filter``/``element_at``
+    probes over that array (codegen lambdas, no UDF). The oracle takes the
+    classical three-join MIN-chain form instead — different plan, provably
+    the same semantics, which is exactly what an independent oracle should
+    be. The per-user array is bounded by the user's event count in the
+    three types; a pathological power user bounds it the same way
+    sessionize's per-user window state does."""
+    e = load_events(spark, sf_dir)
+    ev = e.where(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", "ts_us", "event_type"
+    )
+    arr = F.array_sort(F.collect_list(F.struct("ts_us", "event_type")))
+    per_user = ev.groupBy("user_id").agg(arr.alias("a"))
+    vt = F.element_at(
+        F.filter(F.col("a"), lambda x: x.event_type == F.lit("view")), 1
+    )["ts_us"]
+    per_user = per_user.withColumn("vt", vt)
+    ct = F.element_at(
+        F.filter(
+            F.col("a"),
+            lambda x: (x.event_type == F.lit("click")) & (x.ts_us > F.col("vt")),
+        ),
+        1,
+    )["ts_us"]
+    per_user = per_user.withColumn("ct", ct)
+    pt = F.element_at(
+        F.filter(
+            F.col("a"),
+            lambda x: (x.event_type == F.lit("purchase")) & (x.ts_us > F.col("ct")),
+        ),
+        1,
+    )["ts_us"]
+    per_user = per_user.withColumn("pt", pt)
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("vt").cast("long").alias("n_view"),
+        F.count("ct").cast("long").alias("n_click_after_view"),
+        F.count("pt").cast("long").alias("n_purchase_after_chain"),
+        F.round(F.count("ct") / F.count("vt").cast("double"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.count("pt") / F.count("ct").cast("double"), 6).alias(
+            "click_to_purchase"
+        ),
+    )

@@ -679,3 +679,74 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_days))
         .select("n_days", "n_pairs", "ts_slope_per_day")
     )
+
+
+@query(
+    "locf_fill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), rng AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM rng
+    ), j AS (
+      SELECT s.user_id, s.day, d.cents
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           ROUND(last_value(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2)
+             AS value_filled,
+           cents IS NOT NULL AS is_observed
+    FROM j
+    """,
+    tags=("time-series", "gap-fill", "locf"),
+)
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user daily value series with last-observation-carried-
+    forward — the TimescaleDB ``time_bucket_gapfill + locf`` primitive:
+    every user gets a dense day spine over their active range, missing days
+    inherit the last observed value, and ``is_observed`` separates real
+    points from carried ones (:func:`~.events.event_day_spine_fill` is the
+    zero-fill sibling on the global calendar).
+
+    Scale shape: the raw grain collapses to (user, day) in one shuffle; the
+    per-user spine explodes map-side from a ``sequence(min_day, max_day)``
+    bounded by the calendar, and the LOCF window partitions on ``user_id``
+    (per-group state, no global sort). The output is inherently
+    |users| × |active days| — that IS gap-fill's contract; daily sums carry
+    exact cents so the filled doubles match bit-for-bit. The twice-consumed
+    daily aggregate is pinned (range derivation + probe join)."""
+    e = load_events(spark, sf_dir)
+    day = F.expr(f"ts_us DIV {DAY_US}")
+    daily = (
+        e.groupBy("user_id", day.alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rng = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = rng.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.round(F.last("cents", ignorenulls=True).over(w) / 100.0, 2).alias(
+            "value_filled"
+        ),
+        F.col("cents").isNotNull().alias("is_observed"),
+    )

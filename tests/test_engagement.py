@@ -235,3 +235,11 @@ def test_retention_by_first_touch_consistent_with_parts(spark, sf_dir, events):
         w[1] += d7
     for ch, (n, d7) in want.items():
         assert rows[ch].n_users == n and rows[ch].d7_retained == d7
+
+
+def test_dependent_funnel_monotone(spark, sf_dir):
+    from pyspark_retention_pipeline_spark.operators.events import dependent_funnel
+
+    r = dependent_funnel(spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_click_after_view >= r.n_purchase_after_chain
+    assert r.n_view > 0

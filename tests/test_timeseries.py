@@ -378,3 +378,25 @@ def test_theilsen_builds_without_a_job(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", boom)
     df = theilsen_revenue_trend(spark, sf_dir)
     assert df.columns == ["n_days", "n_pairs", "ts_slope_per_day"]
+
+
+def test_locf_fill_invariants(spark, sf_dir):
+    """Dense contiguous spine per user, first day always observed (LOCF has
+    something to carry), filled values never null."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.timeseries import locf_fill
+
+    out = locf_fill(spark, sf_dir)
+    per_user = out.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count("*").alias("n"),
+        F.min(F.when(F.col("is_observed"), F.col("day"))).alias("first_obs"),
+    )
+    bad = per_user.where(
+        (F.col("n") != F.col("d1") - F.col("d0") + 1)
+        | (F.col("first_obs") != F.col("d0"))
+    ).count()
+    assert bad == 0
+    assert out.where(F.col("value_filled").isNull()).count() == 0
