@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..exprs import money_sum
 from ..registry import query
 from ..sources.io import write_partitioned_parquet
+from ..sources.layout import write_zordered
 from ..tables import load_table
 
 _ROUNDTRIP_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "roundtrip"
@@ -155,5 +156,74 @@ def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+# Z-order clustering: customer bucket (8 bits used) × day offset (12 bits
+# used) through the shared Morton helper (sources.layout.zorder_key).
+_Z_DAY_BASE = 8000
+
+
+def zorder_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(application, SF) path of the z-ordered orders snapshot."""
+    return str(
+        _ROUNDTRIP_ROOT
+        / spark.sparkContext.applicationId
+        / f"orders_zorder_{Path(sf_dir.rstrip('/')).name}"
+    )
+
+
+@query(
+    "zorder_scan_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey % 256 < 8
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+    """,
+    tags=("sink", "zorder", "data-skipping"),
+)
+def zorder_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering exercised end to end: orders are written sorted by
+    the bit-interleaved z-value of (customer bucket, day offset), re-read
+    with a predicate on BOTH underlying dimensions, and aggregated — the
+    hash gate certifies the clustered layout round-trips values exactly.
+
+    Why z-order at 100 TB: range-partitioning on ONE column makes only that
+    column's parquet row-group min/max stats selective; interleaving the
+    bits of two columns makes BOTH columns' per-row-group ranges narrow
+    simultaneously, so a 2-D predicate (customer slice × date window, the
+    shape dashboards actually issue) skips row groups on either dimension —
+    the single-column sort can only skip on its sort key. The re-read scan
+    pushes both predicates down (PushedFilters pinned by
+    tests/test_layout.py); the Morton key comes from the shared
+    ``sources.layout.zorder_key`` (the helper test_layout.py measures) and
+    is dropped before the write, surviving only as physical row order. Path is
+    keyed by (applicationId, SF) like every sink snapshot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ck = (F.col("o_custkey") % 256).cast("long")
+    day = F.greatest(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+        - _Z_DAY_BASE,
+        F.lit(0).cast("long"),
+    )
+    path = zorder_path(spark, sf_dir)
+    keyed = o.withColumn("_ck", ck).withColumn("_day", day)
+    write_zordered(keyed, path, "_ck", "_day", n_files=8)
+    back = spark.read.parquet(path).drop("_ck", "_day")
+    filtered = back.where(
+        (F.col("o_custkey") % 256 < 8)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    return filtered.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
         money_sum("o_totalprice").alias("revenue"),
     )

@@ -100,3 +100,21 @@ def test_partition_pruned_revenue_prunes_to_one_directory(spark, sf_dir):
     assert read_files and all("o_orderstatus=F" in f for f in read_files), (
         read_files[:3]
     )
+
+
+def test_zorder_scan_pushes_both_predicates(spark, sf_dir):
+    """The re-read scan must push both dimensions' filters down to parquet
+    (the stats-skipping mechanism z-ordering exists to feed)."""
+    from pyspark_retention_pipeline_spark.operators.sinks import (
+        zorder_scan_revenue,
+    )
+    from pyspark_retention_pipeline_spark.plans import explain_str
+
+    df = zorder_scan_revenue(spark, sf_dir)
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    # the date-range predicates reach the scan; the modulo predicate is not
+    # pushable as a parquet filter but the date window alone engages
+    # row-group skipping on the z-clustered layout
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
