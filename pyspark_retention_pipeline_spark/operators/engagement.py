@@ -479,3 +479,162 @@ def retention_by_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d7").cast("long").alias("d7_retained"),
         F.round(F.sum("d7") / F.count("*"), 6).alias("d7_rate"),
     )
+
+# Kaplan-Meier over SESSION duration: a session is right-censored when its
+# last event is within one session gap of the observation horizon (it may
+# still be running); ln-factors quantize at KM_SCALE before the cumulative
+# product's log-sum.
+SESSION_GAP_US = 1_800_000_000
+MIN_US = 60_000_000
+KM_SCALE = 1_000_000_000
+
+
+@query(
+    "km_session_survival",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), s AS (
+      SELECT user_id, session_id,
+             (MAX(ts_us) - MIN(ts_us)) // {MIN_US} AS t,
+             MAX(ts_us) AS end_us
+      FROM sess GROUP BY user_id, session_id
+    ), horizon AS (
+      SELECT MAX(end_us) AS gmax FROM s
+    ), marked AS (
+      SELECT s.t,
+             CASE WHEN s.end_us <= h.gmax - {SESSION_GAP_US} THEN 1 ELSE 0 END
+               AS ended
+      FROM s CROSS JOIN horizon h
+    ), grain AS (
+      SELECT t, CAST(SUM(ended) AS BIGINT) AS d,
+             CAST(SUM(1 - ended) AS BIGINT) AS c
+      FROM marked GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST(SUM(d + c) OVER () AS BIGINT)
+               - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_at_risk
+      FROM grain
+    ), fac AS (
+      SELECT t, d, n_at_risk,
+             CASE WHEN d > 0 AND d < n_at_risk
+                  THEN CAST(ROUND(ln((n_at_risk - d) / CAST(n_at_risk AS DOUBLE))
+                                  * {KM_SCALE}) AS BIGINT)
+                  ELSE 0 END AS lq,
+             CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
+      FROM risk
+    )
+    SELECT t, n_at_risk, d AS n_ended,
+           CASE WHEN CAST(SUM(hit_zero) OVER w AS BIGINT) > 0 THEN 0.0
+                ELSE ROUND(exp(CAST(SUM(lq) OVER w AS BIGINT) / {KM_SCALE}.0), 6)
+           END AS survival
+    FROM fac
+    WHERE d > 0
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("survival", "kaplan-meier", "sessionization"),
+)
+def km_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session DURATION (whole minutes), with
+    right-censoring: a session whose last event lies within one 30-min gap
+    of the observation horizon may still be running, so it leaves the risk
+    set without counting as ended — the correction naive duration
+    histograms (:func:`session_duration_histogram`) can't make. S(t) =
+    Π over ended-session durations ≤ t of (1 − dᵢ/nᵢ), the classic
+    product-limit estimator.
+
+    Distribution discipline: the event grain collapses through the standard
+    sessionize shape (one user_id shuffle, per-user windows) to one row per
+    session, then EVERYTHING runs on the duration-grain frame (≤ #distinct
+    durations rows, Aggregate-bounded): the risk set is total-minus-prior-
+    removals, and the cumulative product goes through the log-sum with each
+    ln(1 − d/n) factor quantized to an exact BIGINT (the LP_SCALE rule) so
+    the running reduction is order-independent and engine-identical; a
+    hit-zero flag handles the d = n boundary (survival exactly 0) without
+    ln(0). Censored sessions leave the risk set silently — only ended
+    durations emit curve rows."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_new = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US)
+        | F.lag("ts_us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.sum(is_new).over(w_run).alias("session_id"),
+    )
+    s = sess.groupBy("user_id", "session_id").agg(
+        F.expr(f"(MAX(ts_us) - MIN(ts_us)) DIV {MIN_US}").alias("t"),
+        F.max("ts_us").alias("end_us"),
+    )
+    horizon = s.agg(F.max("end_us").alias("gmax"))
+    marked = s.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.when(F.col("end_us") <= F.col("gmax") - SESSION_GAP_US, 1)
+        .otherwise(0)
+        .alias("ended"),
+    )
+    grain = marked.groupBy("t").agg(
+        F.sum("ended").cast("long").alias("d"),
+        F.sum(1 - F.col("ended")).cast("long").alias("c"),
+    )
+    w_all = Window.partitionBy()
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grain.select(
+        "t",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all).cast("long")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            ).cast("long")
+        ).alias("n_at_risk"),
+    )
+    lq = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")) / F.col("n_at_risk").cast("double")
+            )
+            * KM_SCALE
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    hit_zero = F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+    fac = risk.select(
+        "t", "d", "n_at_risk", lq.alias("lq"), hit_zero.alias("hit_zero")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        fac.select(
+            "t",
+            "n_at_risk",
+            F.col("d").alias("n_ended"),
+            F.when(F.sum("hit_zero").over(w_cum).cast("long") > 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.exp(F.sum("lq").over(w_cum).cast("long") / float(KM_SCALE)), 6
+                )
+            )
+            .alias("survival"),
+            F.col("d").alias("_d"),
+        )
+        .where(F.col("_d") > 0)
+        .drop("_d")
+    )

@@ -243,3 +243,19 @@ def test_dependent_funnel_monotone(spark, sf_dir):
     r = dependent_funnel(spark, sf_dir).collect()[0]
     assert r.n_users >= r.n_view >= r.n_click_after_view >= r.n_purchase_after_chain
     assert r.n_view > 0
+
+
+def test_km_session_survival_is_a_survival_curve(spark, sf_dir):
+    """S(t) starts <= 1, is non-increasing, stays positive unless the risk
+    set empties; n_at_risk strictly decreases along the curve."""
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        km_session_survival,
+    )
+
+    rows = sorted(km_session_survival(spark, sf_dir).collect(), key=lambda r: r.t)
+    assert rows
+    assert all(0.0 <= r.survival <= 1.0 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival <= a.survival + 1e-9
+        assert b.n_at_risk < a.n_at_risk
+        assert a.n_ended > 0
