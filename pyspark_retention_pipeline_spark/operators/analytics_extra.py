@@ -1084,3 +1084,130 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_stat"),
         (-F.col("b.nv")).cast("long").alias("ks_at_cents"),
     )
+
+
+# Poisson bootstrap: replicate count and the Poisson(1) inverse-CDF
+# thresholds on the 32-bit md5 hash scale (floor(CDF(k) * 2^32) for
+# k = 0..6; anything above the last threshold draws weight 7).
+BOOT_REPLICATES = 50
+_POISSON1_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+
+
+def _poisson1_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON1_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@query(
+    "bootstrap_revenue_ci",
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST(unnest(range(0, {BOOT_REPLICATES})) AS BIGINT) AS b
+    ), w AS (
+      SELECT r.b,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(r.b AS VARCHAR) || ':' ||
+                                         CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS u
+      FROM orders o CROSS JOIN r
+    ), rep AS (
+      SELECT b,
+             CAST(SUM(({_poisson1_case_sql('u')}) * cents) AS BIGINT) AS s,
+             CAST(SUM({_poisson1_case_sql('u')}) AS BIGINT) AS m
+      FROM w GROUP BY b
+    ), means AS (
+      SELECT b, s / (m * 100.0) AS mean_rev FROM rep WHERE m > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         / (COUNT(*) * 100.0), 2) FROM orders) AS mean_revenue,
+           ROUND(quantile_cont(mean_rev, 0.025), 2) AS ci_lo,
+           ROUND(quantile_cont(mean_rev, 0.975), 2) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates
+    FROM means
+    """,
+    tags=("mlops", "bootstrap", "uncertainty"),
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean order revenue via the
+    POISSON bootstrap — the resampling scheme that distributes: classical
+    resampling draws n rows WITH replacement (a global operation), but each
+    row's multiplicity in a size-n resample is asymptotically Poisson(1),
+    so every (row, replicate) pair draws its own weight independently —
+    map-side, no coordination — from the md5 hash of (replicate, key).
+    Deterministic: the same CI on every run, engine, and partition count
+    (``rand()`` bootstraps are none of these).
+
+    Exactness: weights are small integers from inlined inverse-CDF
+    thresholds on the 32-bit hash scale, replicate sums accumulate exact
+    integer cents, and the replicate means divide identical integers — so
+    the {BOOT_REPLICATES}-value percentile interpolation (linear, same
+    definition both engines) is bit-identical. Scale shape: the
+    ×{BOOT_REPLICATES} explode is map-side and partially aggregated before
+    the ≤ {BOOT_REPLICATES}-row shuffle; memory per task never exceeds one
+    replicate-count accumulator row."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(BOOT_REPLICATES - 1).cast("long"))
+    )
+    w = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey"),
+        reps.alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("b").cast("string"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    k = F.col("u")
+    weight = F.when(k < _POISSON1_T[0], 0)
+    for i, t in enumerate(_POISSON1_T[1:], start=1):
+        weight = weight.when(k < t, i)
+    weight = weight.otherwise(7).cast("long")
+    rep = (
+        w.select("b", "cents", weight.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("s"),
+            F.sum("k").cast("long").alias("m"),
+        )
+        .where(F.col("m") > 0)
+        .select("b", (F.col("s") / (F.col("m") * 100.0)).alias("mean_rev"))
+    )
+    totals = o.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / (F.count("*") * 100.0),
+            2,
+        ).alias("mean_revenue"),
+    )
+    ci = rep.agg(
+        F.round(F.expr("percentile(mean_rev, 0.025)"), 2).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_rev, 0.975)"), 2).alias("ci_hi"),
+        F.count("*").cast("long").alias("n_replicates"),
+    )
+    return totals.crossJoin(F.broadcast(ci)).select(
+        "n_orders", "mean_revenue", "ci_lo", "ci_hi", "n_replicates"
+    )

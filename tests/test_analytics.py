@@ -286,3 +286,18 @@ def test_drift_monitors_match_first_principles(spark, sf_dir):
     assert got_ks.n_ref == len(rv) and got_ks.n_cur == len(cv)
     assert got_ks.n_values == len(values)
     assert abs(got_ks.ks_stat - d) < 1e-6
+
+
+def test_bootstrap_ci_brackets_the_mean_and_shrinks(spark):
+    """The CI must contain the point estimate, and a larger sample gives a
+    tighter interval (the 1/sqrt(n) law, loosely)."""
+    from pyspark_retention_pipeline_spark.operators.analytics_extra import (
+        bootstrap_revenue_ci,
+    )
+
+    small = bootstrap_revenue_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    big = bootstrap_revenue_ci(spark, "/root/testdata/sf0.01").collect()[0]
+    for r in (small, big):
+        assert r.ci_lo <= r.mean_revenue <= r.ci_hi
+        assert r.n_replicates == 50
+    assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo)
