@@ -274,7 +274,8 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), conv AS (
       SELECT user_id,
-             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END)
+               AS converted
       FROM events GROUP BY user_id
     )
     SELECT r.event_type AS first_touch,
@@ -637,4 +638,96 @@ def km_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("_d") > 0)
         .drop("_d")
+    )
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM assign
+    ), rates AS (
+      SELECT n_a, n_b, c_a, c_b,
+             c_a / CAST(n_a AS DOUBLE) AS p_a,
+             c_b / CAST(n_b AS DOUBLE) AS p_b,
+             (c_a + c_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+      FROM g
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           ROUND(p_a, 6) AS rate_a,
+           ROUND(p_b, 6) AS rate_b,
+           ROUND((p_a - p_b)
+                 / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6)
+             AS z_stat
+    FROM rates
+    WHERE n_a > 0 AND n_b > 0 AND p_pool > 0 AND p_pool < 1
+    """,
+    tags=("experimentation", "ab-test", "ztest"),
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministically-assigned experiment
+    arms — the experimentation-platform core: users hash into arm A or B by
+    the md5 of their id (stable across sessions and re-runs, the property a
+    ``rand()`` assignment lacks and the reason real platforms bucket by
+    hash),  On this corpus the arms are two
+    halves of ONE population, so |z| should be small — the standard A/A
+    sanity test an experimentation pipeline runs before any real
+    experiment (pinned by ``tests/test_engagement.py``).
+
+    One shuffle to the per-user grain (arm + converted flag in the same
+    aggregation), then a single 1-row reduction; rates and the z statistic
+    derive from four exact BIGINT counts with identical IEEE expressions on
+    both engines. Degenerate pools (no users in an arm, 0% or 100% overall
+    conversion) are excluded by exact conditions rather than dividing by
+    zero."""
+    e = load_events(spark, sf_dir)
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    g = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    rates = g.selectExpr(
+        "n_a", "n_b", "c_a", "c_b",
+        "c_a / CAST(n_a AS DOUBLE) AS p_a",
+        "c_b / CAST(n_b AS DOUBLE) AS p_b",
+        "(c_a + c_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool",
+    )
+    return rates.where(
+        "n_a > 0 AND n_b > 0 AND p_pool > 0 AND p_pool < 1"
+    ).selectExpr(
+        "n_a", "n_b", "c_a", "c_b",
+        "ROUND(p_a, 6) AS rate_a",
+        "ROUND(p_b, 6) AS rate_b",
+        "ROUND((p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6)"
+        " AS z_stat",
     )

@@ -259,3 +259,16 @@ def test_km_session_survival_is_a_survival_curve(spark, sf_dir):
         assert b.survival <= a.survival + 1e-9
         assert b.n_at_risk < a.n_at_risk
         assert a.n_ended > 0
+
+
+def test_ab_ztest_is_an_aa_test_on_this_corpus(spark, sf_dir):
+    """The two arms are halves of one population (an A/A test), so the
+    z-statistic should be well inside +/-4; counts must reconcile."""
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        ab_conversion_ztest,
+    )
+
+    r = ab_conversion_ztest(spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.c_a <= r.n_a and 0 <= r.c_b <= r.n_b
+    assert abs(r.z_stat) < 4.0
