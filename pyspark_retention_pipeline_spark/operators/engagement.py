@@ -731,3 +731,111 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6)"
         " AS z_stat",
     )
+
+
+# Time-decay attribution: touches within this window before a purchase get
+# exponentially-decayed credit on a 24h e-folding (tau) scale; weights and
+# credit shares quantize before any cross-row sum.
+ATTR_WINDOW_US = 3 * 86_400_000_000
+ATTR_TAU_H = 24.0
+ATTR_W_SCALE = 1_000_000_000
+ATTR_V_SCALE = 1_000_000
+
+
+@query(
+    "time_decay_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS conv_id, epoch_us(ts) AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, epoch_us(ts) AS tts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.conv_id, p.cents, t.event_type,
+             CAST(ROUND(exp(-((p.pts - t.tts) / 3600000000.0) / {ATTR_TAU_H})
+                        * {ATTR_W_SCALE}) AS BIGINT) AS wq
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tts < p.pts AND t.tts >= p.pts - {ATTR_WINDOW_US}
+    ), sh AS (
+      SELECT conv_id, cents, event_type,
+             wq / CAST(SUM(wq) OVER (PARTITION BY conv_id) AS DOUBLE) AS share
+      FROM j
+    ), q AS (
+      SELECT event_type,
+             CAST(ROUND(share * {ATTR_W_SCALE}) AS BIGINT) AS credit_q,
+             CAST(ROUND(share * cents * {ATTR_V_SCALE}) AS BIGINT) AS value_q
+      FROM sh
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(credit_q) AS BIGINT) / {ATTR_W_SCALE}.0, 6)
+             AS credited_conversions,
+           ROUND(CAST(SUM(value_q) AS BIGINT) / {ATTR_V_SCALE}.0 / 100.0, 2)
+             AS credited_value
+    FROM q GROUP BY event_type
+    """,
+    tags=("attribution", "multi-touch", "range-join"),
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay MULTI-touch attribution: every view/click in the 3 days
+    before a purchase shares that purchase's credit, weighted
+    exp(−Δt/24 h) — the middle ground between
+    :func:`first_touch_attribution` (all credit to the oldest touch) and
+    last-touch (all to the newest), and the model marketing mixes actually
+    deploy. Outputs per-channel credited conversions and credited revenue.
+
+    Float discipline (three layers, all quantized before cross-row sums):
+    decay weights are exact BIGINTs from identical exp() doubles, each
+    conversion's weight total is an exact per-group sum (window partitioned
+    by conversion id — per-group state), and each touch's credit share and
+    credited cents re-quantize before the final per-channel reduction — so
+    the order-dependent float additions that differ across engines and
+    partitionings never happen. Join shape: a per-user time-range join
+    (the :func:`~.events.range_join_error_context` pattern) whose fan-out
+    is bounded by the 3-day window; conversions with no in-window touch
+    drop out (standard attribution contract — their credit has no
+    claimant)."""
+    e = load_events(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts_us").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts_us").alias("tts"), "event_type"
+    )
+    j = p.join(t, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - ATTR_WINDOW_US)
+    )
+    wq = F.round(
+        F.exp(-((F.col("pts") - F.col("tts")) / 3600000000.0) / ATTR_TAU_H)
+        * ATTR_W_SCALE
+    ).cast("long")
+    j = j.select("conv_id", "cents", "event_type", wq.alias("wq"))
+    w_conv = Window.partitionBy("conv_id")
+    sh = j.select(
+        "conv_id",
+        "cents",
+        "event_type",
+        (F.col("wq") / F.sum("wq").over(w_conv).cast("double")).alias("share"),
+    )
+    q = sh.select(
+        "event_type",
+        F.round(F.col("share") * ATTR_W_SCALE).cast("long").alias("credit_q"),
+        F.round(F.col("share") * F.col("cents") * ATTR_V_SCALE)
+        .cast("long")
+        .alias("value_q"),
+    )
+    return q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(F.sum("credit_q").cast("long") / float(ATTR_W_SCALE), 6).alias(
+            "credited_conversions"
+        ),
+        F.round(
+            F.sum("value_q").cast("long") / float(ATTR_V_SCALE) / 100.0, 2
+        ).alias("credited_value"),
+    )

@@ -272,3 +272,36 @@ def test_ab_ztest_is_an_aa_test_on_this_corpus(spark, sf_dir):
     assert r.n_a > 0 and r.n_b > 0
     assert 0 <= r.c_a <= r.n_a and 0 <= r.c_b <= r.n_b
     assert abs(r.z_stat) < 4.0
+
+
+def test_time_decay_attribution_conserves_credit(spark, sf_dir):
+    """Credit is conserved: per-channel credited conversions sum to the
+    number of purchases with at least one in-window touch, and credited
+    value sums to those purchases' total value (within quantization)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.engagement import (
+        ATTR_WINDOW_US,
+        time_decay_attribution,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_events
+
+    rows = time_decay_attribution(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {"view", "click"}
+    e = load_events(spark, sf_dir)
+    p = e.where("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts_us").alias("pts"), "value"
+    )
+    t = e.where("event_type IN ('view','click')").select(
+        "user_id", F.col("ts_us").alias("tts")
+    )
+    attributed = (
+        p.join(t, "user_id")
+        .where((F.col("tts") < F.col("pts")) & (F.col("tts") >= F.col("pts") - ATTR_WINDOW_US))
+        .select("cid", "value")
+        .distinct()
+    )
+    n_conv = attributed.count()
+    total_value = attributed.agg(F.sum(F.round(F.col("value") * 100))).first()[0] / 100.0
+    assert abs(sum(r.credited_conversions for r in rows) - n_conv) < 1e-3
+    assert abs(sum(r.credited_value for r in rows) - total_value) < 0.05
