@@ -274,8 +274,7 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), conv AS (
       SELECT user_id,
-             MAX(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END)
-               AS converted
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
       FROM events GROUP BY user_id
     )
     SELECT r.event_type AS first_touch,
