@@ -578,10 +578,13 @@ def km_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(is_new).over(w_run).alias("session_id"),
     )
+    # s feeds both the horizon aggregate and the marked projection — pin
+    # ONE materialization or the sessionize pipeline (the expensive stage)
+    # executes twice.
     s = sess.groupBy("user_id", "session_id").agg(
         F.expr(f"(MAX(ts_us) - MIN(ts_us)) DIV {MIN_US}").alias("t"),
         F.max("ts_us").alias("end_us"),
-    )
+    ).localCheckpoint(eager=False)
     horizon = s.agg(F.max("end_us").alias("gmax"))
     marked = s.crossJoin(F.broadcast(horizon)).select(
         "t",
@@ -738,7 +741,7 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTR_WINDOW_US = 3 * 86_400_000_000
 ATTR_TAU_H = 24.0
 ATTR_W_SCALE = 1_000_000_000
-ATTR_V_SCALE = 1_000_000
+ATTR_V_SCALE = 10_000
 
 
 @query(
@@ -795,7 +798,9 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the :func:`~.events.range_join_error_context` pattern) whose fan-out
     is bounded by the 3-day window; conversions with no in-window touch
     drop out (standard attribution contract — their credit has no
-    claimant)."""
+    claimant). Integer headroom: Σ value_q per channel is credited cents ×
+    ATTR_V_SCALE, clearing BIGINT to ~$9×10¹² per channel at the 10⁴
+    scale; escalate to DECIMAL(38) sums beyond."""
     e = load_events(spark, sf_dir)
     p = e.where(F.col("event_type") == "purchase").select(
         "user_id",

@@ -424,7 +424,8 @@ _EMB_DIMS = 64
                       - (m.s1 / CAST(m.n AS DOUBLE)) * (m.s1 / CAST(m.n AS DOUBLE)))
                AS zs
       FROM dist d CROSS JOIN m
-      WHERE m.n * m.s2 <> m.s1 * m.s1
+      WHERE m.s2 / CAST(m.n AS DOUBLE)
+            - (m.s1 / CAST(m.n AS DOUBLE)) * (m.s1 / CAST(m.n AS DOUBLE)) > 0
     )
     SELECT vec_id, ROUND(qd / {_OUT_DIST_SCALE}.0, 4) AS dist2,
            ROUND(zs, 6) AS zscore
@@ -445,8 +446,9 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus z-score moments reduce over re-quantized distances. Scale shape:
     one posexplode aggregation to {_EMB_DIMS} rows, two broadcast 1-row /
     {_EMB_DIMS}-row joins, one final scan — no shuffle ever carries more
-    than (vec_id, distance). Σqd² clears BIGINT to ~10⁸ vectors at this
-    quantization; escalate to DECIMAL(38) sums beyond."""
+    than (vec_id, distance). Σqd² clears BIGINT to ~10⁶ unit-norm vectors at
+    this quantization (qd² ≈ 1.6×10⁹ each); escalate the moment sums to
+    DECIMAL(38) beyond."""
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double_array(F.col("embedding"))
     q = e.select("vec_id", v.alias("v"))
@@ -493,10 +495,15 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qd") * F.col("qd")).cast("long").alias("s2"),
     )
     mean = F.col("s1") / F.col("n").cast("double")
-    # integer-exact zero-variance guard: all-identical distances would make
-    # zs = 0/0 = NaN, and NaN > 2.0 is TRUE on both engines — the whole
-    # corpus would be flagged. n*s2 == s1*s1 iff population variance is 0.
-    z = dist.crossJoin(F.broadcast(m)).where("n * s2 <> s1 * s1").select(
+    # zero-variance guard: all-identical distances would make zs = 0/0 =
+    # NaN, and NaN > 2.0 is TRUE on both engines — the whole corpus would
+    # be flagged. The guard compares in DOUBLE (identical expression text
+    # both engines, so still deterministic): the integer form n*s2 != s1²
+    # would overflow BIGINT near n ~ 1e5 at this quantization — DuckDB
+    # erroring and Spark wrapping, each wrong differently.
+    z = dist.crossJoin(F.broadcast(m)).where(
+        "s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) > 0"
+    ).select(
         "vec_id",
         "qd",
         (

@@ -215,8 +215,8 @@ def zorder_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = zorder_path(spark, sf_dir)
     keyed = o.withColumn("_ck", ck).withColumn("_day", day)
-    write_zordered(keyed, path, "_ck", "_day", n_files=8)
-    back = spark.read.parquet(path).drop("_ck", "_day")
+    write_zordered(keyed, path, "_ck", "_day", n_files=8, keep_key_cols=False)
+    back = spark.read.parquet(path)
     filtered = back.where(
         (F.col("o_custkey") % 256 < 8)
         & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))

@@ -39,16 +39,25 @@ def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
 
 
 def write_zordered(
-    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    keep_key_cols: bool = True,
 ) -> None:
     """Write ``df`` clustered by the Morton key of (col_a, col_b):
     range-partition on the key (so files own contiguous key ranges — compact
-    2-D rectangles) and sort within partitions for row-group locality."""
+    2-D rectangles) and sort within partitions for row-group locality.
+    ``keep_key_cols=False`` also drops the two key columns themselves —
+    for callers whose keys are derived helper columns that should survive
+    only as physical row order, not as stored data."""
     keyed = df.withColumn("_z", zorder_key(F.col(col_a), F.col(col_b)))
+    drop = ("_z", col_a, col_b) if not keep_key_cols else ("_z",)
     (
         keyed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop(*drop)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -288,15 +288,23 @@ def test_drift_monitors_match_first_principles(spark, sf_dir):
     assert abs(got_ks.ks_stat - d) < 1e-6
 
 
-def test_bootstrap_ci_brackets_the_mean_and_shrinks(spark):
+def test_bootstrap_ci_brackets_the_mean_and_shrinks(spark, sf_dir):
     """The CI must contain the point estimate, and a larger sample gives a
     tighter interval (the 1/sqrt(n) law, loosely)."""
+    import os
+
+    import pytest
+
     from pyspark_retention_pipeline_spark.operators.analytics_extra import (
         bootstrap_revenue_ci,
     )
 
-    small = bootstrap_revenue_ci(spark, "/root/testdata/sf0.001").collect()[0]
-    big = bootstrap_revenue_ci(spark, "/root/testdata/sf0.01").collect()[0]
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    small_dir, big_dir = os.path.join(base, "sf0.001"), os.path.join(base, "sf0.01")
+    if not (os.path.isdir(small_dir) and os.path.isdir(big_dir)):
+        pytest.skip("needs sf0.001 and sf0.01 testdata siblings")
+    small = bootstrap_revenue_ci(spark, small_dir).collect()[0]
+    big = bootstrap_revenue_ci(spark, big_dir).collect()[0]
     for r in (small, big):
         assert r.ci_lo <= r.mean_revenue <= r.ci_hi
         assert r.n_replicates == 50
