@@ -377,10 +377,129 @@ def minhash_candidate_pairs(docs: DataFrame, distinct: bool = False) -> DataFram
     return pairs.distinct() if distinct else pairs
 
 
-@query("minhash_signatures", tags=("dedup-neardup", "minhash"))
+# ---------------------------------------------------------------------------
+# Engine-portable hashing (md5-derived, arithmetic combines) for the
+# ORACLE-CHECKED registry forms of minhash / winnowing. The xxhash64 library
+# forms above stay the scale path (one 64-bit hash per token vs md5+conv);
+# these portable twins exist so the driver's DuckDB gate can re-derive the
+# exact values. All arithmetic stays inside signed-BIGINT range on BOTH
+# engines (products < 2^60, sums < 3·2^60 < 2^63), so ANSI-mode Spark never
+# overflows and DuckDB never errors.
+# ---------------------------------------------------------------------------
+
+_PORT_M = 1073741789           # prime < 2^30 — keeps a*(h%M) under 2^60
+_PORT_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+_PORT_C = (1000003, 999983, 999979)  # per-position k-gram combine weights
+_MINHASH_A = tuple((15485863 * (j + 1)) % _PORT_M for j in range(N_HASHES))
+_MINHASH_B = tuple((32452843 * (j + 7)) % _PORT_M for j in range(N_HASHES))
+
+# Shared SQL fragments: portable 60-bit token hash (same md5 split as
+# SIMHASH_SIGS_CTE) and the k-gram combine over K consecutive token hashes.
+_PORT_TH_CTE = """toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), th AS (
+      SELECT doc_id, list_transform(t, x ->
+          CAST(('0x' || substring(md5(x), 1, 7)) AS BIGINT) * 4294967296
+        + CAST(('0x' || substring(md5(x), 9, 8)) AS BIGINT)) AS th
+      FROM toks
+    )"""
+
+
+def _port_kgram_sql(k: int) -> str:
+    """SQL lambda body hashing ``k`` consecutive token hashes (1-based list
+    indexing; out-of-range → NULL → coalesce 0, mirroring Spark ``get``)."""
+    terms = " + ".join(
+        f"(coalesce(th[i+{j + 1}], 0) % {_PORT_M}) * {_PORT_C[j]}" for j in range(k)
+    )
+    return f"({terms}) % {_PORT_P}"
+
+
+def _portable_token_hash_frame(docs: DataFrame) -> DataFrame:
+    """``doc_id, th array<long>`` — one portable 60-bit hash per token.
+
+    Staged exactly like :func:`minhash_signature_frame`: the md5 digest array
+    is its own transform so each token is digested ONCE (the two substring
+    extractions below reference the lambda variable, not two md5 calls)."""
+    toks = F.split(F.col("text"), " ")
+    digests = F.transform(toks, F.md5)
+    hashes = F.transform(
+        digests,
+        lambda m: F.conv(F.substring(m, 1, 7), 16, 10).cast("long")
+        * F.lit(4294967296)
+        + F.conv(F.substring(m, 9, 8), 16, 10).cast("long"),
+    )
+    return docs.select("doc_id", hashes.alias("th"))
+
+
+def _portable_kgram_array(k: int) -> F.Column:
+    """Array of combined k-gram hashes over a staged ``th`` column — the
+    Spark twin of :func:`_port_kgram_sql` (0-based ``get`` ≡ 1-based SQL
+    index; both yield NULL past the end, coalesced to 0 identically)."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("th")) - k, F.lit(0))
+    )
+
+    def combine(i):
+        total = None
+        for j in range(k):
+            term = (
+                F.coalesce(F.get("th", i + j), F.lit(0)) % F.lit(_PORT_M)
+            ) * F.lit(_PORT_C[j])
+            total = term if total is None else total + term
+        return total % F.lit(_PORT_P)
+
+    return F.transform(starts, combine)
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_PORT_TH_CTE}, sh AS (
+      SELECT doc_id, unnest(list_transform(
+          range(0, greatest(len(th) - {SHINGLE}, 0) + 1),
+          i -> {_port_kgram_sql(SHINGLE)})) AS s
+      FROM th
+    ), perms(j, a, b) AS (VALUES {", ".join(f"({j}, {_MINHASH_A[j]}, {_MINHASH_B[j]})" for j in range(N_HASHES))})
+    SELECT doc_id, CAST(j AS BIGINT) AS hash_idx,
+           MIN((a * (s % {_PORT_M}) + b) % {_PORT_P}) AS min_h
+    FROM sh CROSS JOIN perms
+    GROUP BY doc_id, j
+"""
+
+
+@query("minhash_signatures", oracle=_MINHASH_ORACLE, tags=("dedup-neardup", "minhash"))
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_signature_frame(d)
+    """MinHash signatures in driver-canonicalizable form: one row per
+    (doc, permutation) with a scalar ``min_h`` — the round-6 array-typed
+    output crashed the harness's pandas canonicalizer (CORRECTNESS_r06).
+
+    This registry form uses engine-portable hashing (md5-derived 60-bit token
+    hash, arithmetic shingle combine, 16 affine permutations mod 2^61-1) so
+    DuckDB re-derives the exact values — upgrading the slot from rows-only to
+    oracle-checked. The xxhash64 array form
+    (:func:`minhash_signature_frame`) remains the scale path feeding
+    :func:`minhash_candidates`: same staged-hash plan shape, one cheap JVM
+    hash per token instead of md5+conv, signatures as a packed array."""
+    staged = _portable_token_hash_frame(load_table(spark, sf_dir, "documents"))
+    sh = staged.select(
+        "doc_id", F.explode(_portable_kgram_array(SHINGLE)).alias("s")
+    )
+    s_mod = F.col("s") % F.lit(_PORT_M)
+    aggs = [
+        F.min((F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    g = sh.groupBy("doc_id").agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("hash_idx"),
+                F.col(f"m{j}").alias("min_h"),
+            )
+            for j in range(N_HASHES)
+        ]
+    )
+    return g.select("doc_id", F.explode(packed).alias("x")).select(
+        "doc_id", "x.hash_idx", "x.min_h"
+    )
 
 
 @query("minhash_candidates", tags=("dedup-neardup", "minhash-lsh"))
@@ -393,12 +512,14 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@query("simhash64", tags=("dedup-neardup", "simhash"))
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_bits_frame(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document via higher-order functions: per-token
     xxhash64, per-bit ±1 votes folded with ``aggregate(zip_with(...))``, sign
-    → bit. One row per doc, no shuffle, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    → bit. One row per doc, no shuffle, no UDF. Library form (array output,
+    engine-native hash) kept for composition; the registry query
+    :func:`simhash64` packs the portable 60-bit variant into one BIGINT so
+    the driver gate can canonicalize and oracle-check it."""
+    d = docs
     toks = F.array_distinct(F.split(F.col("text"), " "))
     # Stage the per-token hash as its own transform so each token hashes
     # ONCE; the 64 bit extractions below then reference the lambda variable
@@ -517,6 +638,26 @@ def portable_simhash60(text_col: F.Column) -> F.Column:
     for term in bit_terms[1:]:
         sig = sig + term
     return sig
+
+
+_SIMHASH64_ORACLE = f"""
+    WITH {SIMHASH_SIGS_CTE}
+    SELECT doc_id, sig FROM sigs
+"""
+
+
+@query("simhash64", oracle=_SIMHASH64_ORACLE, tags=("dedup-neardup", "simhash"))
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash signature packed into ONE BIGINT — the
+    driver-canonicalizable registry form (the round-6 ``simhash_bits
+    array<int>`` output crashed the harness's pandas canonicalizer,
+    CORRECTNESS_r06). Uses :func:`portable_simhash60` (md5-derived
+    engine-portable token hash, 60 vote lanes folded in codegen), which the
+    DuckDB oracle re-derives bit-for-bit — upgrading the slot from rows-only
+    to oracle-checked. The engine-native 64-bit array form survives as
+    :func:`simhash_bits_frame` for composition."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
 
 
 def simhash_candidate_frame(docs: DataFrame) -> DataFrame:
@@ -734,15 +875,16 @@ WINNOW_K = 3   # k-gram size (words) for the rolling hash
 WINNOW_W = 4   # winnowing window: one fingerprint kept per w consecutive hashes
 
 
-@query("winnowing_fingerprints", tags=("text", "fingerprint", "rolling-hash"))
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnowing_fingerprint_frame(docs: DataFrame) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's local
     algorithm, public literature): hash every k-gram (rolling window of
     words), then keep the minimum hash of each w-length window of consecutive
     k-gram hashes — guarantees any sufficiently long match between documents
     shares a fingerprint, with ~2/(w+1) selection density. All higher-order
-    array functions, one row per doc, no shuffle; rows-only (engine-specific
-    hash).
+    array functions, one row per doc, no shuffle. Library form: array output,
+    engine-native xxhash64 (the scale path — one cheap JVM hash per token);
+    the registry query :func:`winnowing_fingerprints` is the exploded
+    portable twin the driver gate can canonicalize and oracle-check.
 
     The k-gram hash array is built from staged per-token hashes and
     materialized as its own projection before the windowed min — the same
@@ -752,9 +894,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tokens²) work, measured at 63 s for sf0.1 vs 0.3 s staged (200×).
     Rows-only operators never hit the bench, which is exactly how that form
     survived two rounds."""
-    d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    staged = d.select(
+    staged = docs.select(
         "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
     )
     kgram_starts = F.sequence(
@@ -780,6 +921,51 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprints.alias("fingerprints"),
         F.size(fingerprints).cast("long").alias("n_fingerprints"),
     )
+
+
+_WINNOW_ORACLE = f"""
+    WITH {_PORT_TH_CTE}, kh AS (
+      SELECT doc_id, list_transform(
+          range(0, greatest(len(th) - {WINNOW_K}, 0) + 1),
+          i -> {_port_kgram_sql(WINNOW_K)}) AS kh
+      FROM th
+    ), fps AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(0, greatest(len(kh) - {WINNOW_W}, 0) + 1),
+          i -> list_min(list_slice(kh, i + 1, i + {WINNOW_W})))) AS fps
+      FROM kh
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM fps
+"""
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints in driver-canonicalizable form: one
+    ``(doc_id, fingerprint)`` row per selected k-gram hash — the round-6
+    array-typed output crashed the harness's pandas canonicalizer
+    (CORRECTNESS_r06). Portable hashing (md5-derived token hash, arithmetic
+    k-gram combine mod 2^61-1) lets the DuckDB oracle re-derive the exact
+    fingerprint set — rows-only upgraded to oracle-checked. Same staged,
+    O(tokens) plan shape as :func:`winnowing_fingerprint_frame` (the
+    xxhash64 array library form kept for composition)."""
+    staged = _portable_token_hash_frame(load_table(spark, sf_dir, "documents"))
+    kgrams = staged.select(
+        "doc_id", _portable_kgram_array(WINNOW_K).alias("kh")
+    )
+    win_starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("kh")) - WINNOW_W, F.lit(0))
+    )
+    fingerprints = F.array_distinct(
+        F.transform(
+            win_starts, lambda i: F.array_min(F.slice(F.col("kh"), i + 1, WINNOW_W))
+        )
+    )
+    return kgrams.select("doc_id", F.explode(fingerprints).alias("fingerprint"))
 
 
 @query(

@@ -116,12 +116,18 @@ def test_winnowing_overlap_property(spark, monkeypatch):
         [(1, base), (2, shifted), (3, disjoint)], "doc_id long, text string"
     )
     monkeypatch.setattr(tx, "load_table", lambda *_: docs)
-    fps = {
+    # Library form: array output, engine-native xxhash64.
+    lib = {
         r["doc_id"]: set(r["fingerprints"])
-        for r in tx.winnowing_fingerprints(spark, "ignored").collect()
+        for r in tx.winnowing_fingerprint_frame(docs).collect()
     }
-    assert fps[1] & fps[2], "shifted copy must share fingerprints"
-    assert not (fps[1] & fps[3]), "disjoint docs must not collide"
+    # Registry form: exploded (doc_id, fingerprint) rows, portable hash.
+    reg: dict[int, set[int]] = {}
+    for r in tx.winnowing_fingerprints(spark, "ignored").collect():
+        reg.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for fps in (lib, reg):
+        assert fps[1] & fps[2], "shifted copy must share fingerprints"
+        assert not (fps[1] & fps[3]), "disjoint docs must not collide"
 
 
 def test_connected_components_known_graph(spark):
