@@ -36,12 +36,19 @@ def bounded_bucket_pairs(
     id_col: str,
     cap: int = MAX_BUCKET_MEMBERS,
     keep_bucket_cols: bool = False,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(id1, id2)`` with ``id1 < id2`` per bucket, bounded.
 
     ``members`` must have one row per (bucket, id); ``bucket_cols`` is the
     bucket key (e.g. ``["bucket"]`` or ``["band", "bucket"]``).
+
+    ``payload_cols`` threads per-member columns through to the pair output as
+    ``{col}1`` / ``{col}2`` (e.g. the signature each side needs for a hamming
+    verify) — on the star path the hub's payload comes from a ``min_by`` over
+    the same bucket window, so no extra join or shuffle is introduced.
     """
+    payload_cols = payload_cols or []
     w = Window.partitionBy(*bucket_cols)
     sized = members.withColumn("_bsize", F.count("*").over(w))
 
@@ -50,23 +57,27 @@ def bounded_bucket_pairs(
     same_bucket = reduce(
         lambda x, y: x & y, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
     )
-    out_cols = [
-        F.col(f"a.{id_col}").alias("id1"),
-        F.col(f"b.{id_col}").alias("id2"),
-    ] + ([F.col(f"a.{c}") for c in bucket_cols] if keep_bucket_cols else [])
+    out_cols = (
+        [F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")]
+        + [F.col(f"a.{c}").alias(f"{c}1") for c in payload_cols]
+        + [F.col(f"b.{c}").alias(f"{c}2") for c in payload_cols]
+        + ([F.col(f"a.{c}") for c in bucket_cols] if keep_bucket_cols else [])
+    )
     small_pairs = a.join(
         b, same_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     ).select(*out_cols)
 
     hub = F.min(id_col).over(w)
-    big_out = [
-        F.col("_hub").alias("id1"),
-        F.col(id_col).alias("id2"),
-    ] + ([F.col(c) for c in bucket_cols] if keep_bucket_cols else [])
+    big = sized.filter(F.col("_bsize") > cap).withColumn("_hub", hub)
+    for c in payload_cols:
+        big = big.withColumn(f"_hub_{c}", F.min_by(c, id_col).over(w))
+    big_out = (
+        [F.col("_hub").alias("id1"), F.col(id_col).alias("id2")]
+        + [F.col(f"_hub_{c}").alias(f"{c}1") for c in payload_cols]
+        + [F.col(c).alias(f"{c}2") for c in payload_cols]
+        + ([F.col(c) for c in bucket_cols] if keep_bucket_cols else [])
+    )
     big_pairs = (
-        sized.filter(F.col("_bsize") > cap)
-        .withColumn("_hub", hub)
-        .filter(F.col(id_col) != F.col("_hub"))
-        .select(*big_out)
+        big.filter(F.col(id_col) != F.col("_hub")).select(*big_out)
     )
     return small_pairs.unionByName(big_pairs)

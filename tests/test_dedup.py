@@ -130,6 +130,48 @@ def test_winnowing_overlap_property(spark, monkeypatch):
         assert not (fps[1] & fps[3]), "disjoint docs must not collide"
 
 
+def test_simhash_hot_bucket_bound_engages(spark):
+    """Round-6 verdict item 3: a degenerate corpus (identical docs → every
+    band bucket holds all n docs) must degrade to star pairs, not the
+    quadratic all-pairs join. Below the cap the output is the exact
+    hamming-≤3 pair set."""
+    n = 40
+    text = "spark engine scan filter join aggregate window shuffle partition"
+    docs = _docs(spark, [(i, text) for i in range(1, n + 1)])
+
+    # cap above bucket size -> exact: all n*(n-1)/2 pairs, hamming 0.
+    exact = simhash_candidate_frame(docs, cap=64).collect()
+    assert len(exact) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 for r in exact)
+
+    # cap below bucket size -> star degradation: n-1 hub pairs, all docs
+    # still connected through the hub (doc 1 = min id).
+    bounded = simhash_candidate_frame(docs, cap=8).collect()
+    assert len(bounded) == n - 1
+    assert {r["doc_id_a"] for r in bounded} == {1}
+    assert {r["doc_id_b"] for r in bounded} == set(range(2, n + 1))
+    assert all(r["hamming"] == 0 for r in bounded)
+
+
+def test_simhash_bound_keeps_near_dup_pairs_exact_below_cap(spark):
+    """Mixed corpus under the cap: the bounded path must not change the
+    hamming-≤3 semantics (oracle safety at testdata scales)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    variant = base.replace("sigma", "changed")
+    docs = _docs(spark, [(1, base), (2, variant), (3, "totally different words")])
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in simhash_candidate_frame(docs).collect()
+    }
+    small_cap = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in simhash_candidate_frame(docs, cap=64).collect()
+    }
+    assert got == small_cap  # any cap above bucket sizes -> identical output
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 def test_connected_components_known_graph(spark):
     from pyspark_retention_pipeline_spark.operators.components import (
         connected_components,
