@@ -40,82 +40,84 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-6 rotation (VERDICT r5 items 1/2/7): the window leads with the 12
-# oracle-backed event-time queries repaired by the load_events precision fix
-# (every consumer of the loader gets a fresh hash row), then the 2 round-5
-# plan rewrites that shipped without driver rows, then ALL 19 rows-only
-# queries — 17 of them have never had even a rows>0 driver record — then the
-# queries ADDED this round (never driver-verified), and the flagship
-# continuity slot. New-query volume consumed the oldest-coverage backfill
-# tier this round. Everything else keeps registration order, with
-# oracle-backed queries before rows-only ones so no verifiable query is ever
-# displaced by an unverifiable one.
+# Round-7 rotation (VERDICT r6 items 1/2/3 + docs/ROUND7_ROTATION.md): the
+# window leads with the queries whose IMPLEMENTATION changed this round —
+# the three canonicalizer-crashing array-output queries rebuilt as scalar
+# oracle-backed forms (the only red rows in CORRECTNESS_r06), plus
+# simhash_candidates and its four composers, whose candidate-generation plan
+# gained the hot-bucket bound — then burns every remaining slot on the
+# never-driver-verified oracle-backed backlog, OLDEST FIRST per the rotation
+# doc. The mandatory changed-plan seats (items 1/3) cost 7 slots the
+# backfill tier would otherwise use, so the backlog lands at 22 (item 2
+# aimed for <= 18 — not reachable while honoring the plan-change rule; the
+# 22 deferred queries stay pytest-parity- and sweep-green and lead round 8).
 _FRONT: tuple[str, ...] = (
-    # --- repaired by the round-6 load_events ns→µs fix — need fresh rows ---
-    "tumbling_hourly",
-    "sessionize",
-    "sliding_hourly",
-    "daily_rollup_from_hourly",
-    "event_type_hourly_pivot",
-    "range_join_error_context",
-    "asof_last_purchase",
-    "event_day_spine_fill",
-    # json_props / json_typed_parse / event_type_map_summary also consume
-    # load_events but never read ts_us (props and type counts only — the
-    # precision fix can't move their output); their slots went to this
-    # round's new queries. All three stay covered by the pytest parity gate
-    # and the committed sf0.1 sweep.
-    "signup_purchase_funnel",
-    # --- round-5 plan rewrites that shipped without a driver row ---
-    "customer_rank_family",  # two-phase distributed rank
-    "top_revenue_suppliers",  # broadcast scalar-max
-    # --- rows-only tier: first-ever driver rows>0 records (17 of 19) ---
-    "dau_hll_rollup",  # also repaired by the load_events fix
+    # --- changed this round (plan-change rule): the 3 round-6 red rows,
+    #     rebuilt with scalar outputs + portable-hash oracles ---
     "minhash_signatures",
-    "minhash_candidates",
     "simhash64",
     "winnowing_fingerprints",
-    "stratified_sample",
-    "curate_corpus_neardup",
-    "lsh_bucket_candidates",
-    "knn_vectorized",
-    "ivf_knn",
-    "dedup_clusters",
-    "ml_churn_scores",
-    "ml_churn_coefficients",
-    "ml_churn_metrics",
-    "ml_threshold_from_scores",
-    "media_frame_sample",
-    "media_decode_stub",
-    "approx_distinct_products",
-    "p99_quantile_approx",
-    # --- new this round: never driver-verified ---
-    "cohort_retention",
-    "dn_retention",
-    "event_transition_matrix",
-    "cohort_ltv",
-    "source_cap_select",
-    "session_funnel",
-    "growth_accounting",
-    "stickiness_ratio",
-    "power_user_curve",
-    "session_duration_histogram",
-    "time_to_conversion",
-    "first_touch_attribution",
-    "rolling_7d_revenue",
-    "daily_activity_revenue_outer",
-    "doc_len_quartiles_by_lang",
-    "dup_rate_by_source",
-    "group_aware_split",  # rows-only (late continuation) — contract (c)
-    # seats it, displacing lang_id_confusion (oracle-backed, parity-green
-    # at sf0.001/sf0.01 + sweep-green at sf0.1; rotates round 7).
-    "embedding_pca_topk",  # rows-only (continuation) — contract (c) seats it
-    "kmeans_lloyd_curve",  # rows-only (continuation) — contract (c) seats it
-    # revenue_mom_growth / variant_props_histogram / part_cooccurrence /
-    # centroid_inertia (all new, oracle-backed) didn't fit the 50-slot
-    # window without displacing a ts-sensitive repair or a rows-only first
-    # record (contract (c) outranks them); they rotate in next round and
-    # are pytest-parity-green at sf0.001/sf0.01 plus sweep-green at sf0.1.
+    # --- changed this round: hot-bucket bound in the simhash candidate
+    #     join (VERDICT r6 item 3) — the query and every composer of
+    #     simhash_candidate_frame re-verify ---
+    "simhash_candidates",
+    "simhash_jaccard_verify",
+    "split_leakage_check",
+    "source_overlap_matrix",
+    "group_aware_split",  # rows-only; re-seats on change per contract
+    # --- never driver-verified oracle-backed backlog, oldest first
+    #     (docs/ROUND7_ROTATION.md order; cut from the bottom) ---
+    "revenue_mom_growth",
+    "variant_props_histogram",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock",
+    "lateral_recent_orders",
+    "revenue_gini",
+    "lorenz_deciles",
+    "part_cooccurrence",
+    "centroid_inertia",
+    "cumulative_new_users",
+    "daily_anomaly_zscore",
+    "weekday_hour_heatmap",
+    "top_session_paths",
+    "source_temperature_weights",
+    "rfm_segments",
+    "unigram_logprob_score",
+    "heavy_hitter_tokens",
+    "basket_lift",
+    "bounce_rate_daily",
+    "weighted_doc_sample",
+    "udtf_sentence_split",
+    "merge_upsert_snapshot",
+    "scd2_order_versions",
+    "cdc_multi_action_apply",
+    "revenue_trend_forecast",
+    "nation_revenue_trend",
+    "user_type_entropy",
+    "dq_constraint_report",
+    "join_key_skew_profile",
+    "recursive_month_spine",
+    "winsorized_spend_stats",
+    "ngram_dup_rate",
+    "prefix_edit_distance_pairs",
+    "audience_overlap",
+    "retention_by_first_touch",
+    "bucketed_join_revenue",
+    "partition_pruned_revenue",
+    "snapshot_diff_summary",
+    "user_value_twap",
+    # media_dedup_exact / pipe_sql_revenue_flow / hapax_rate_by_source /
+    # pareto_concentration / interarrival_acf / rare_token_rate /
+    # theilsen_revenue_trend / psi_price_drift / ks_price_drift /
+    # retention_decay_fit / lang_id_confusion / bigram_logprob_score /
+    # per_source_sample / embedding_outliers / token_pmi_collocations /
+    # locf_fill / dependent_funnel / zorder_scan_revenue /
+    # km_session_survival / bootstrap_revenue_ci / ab_conversion_ztest /
+    # time_decay_attribution (22) didn't fit the 50-slot window after the
+    # mandatory changed-plan seats; all are pytest-parity-green at
+    # sf0.001/sf0.01 and sweep-green at sf0.1, and lead the round-8 window.
     # --- flagship continuity slot ---
     "churn_features",
 )

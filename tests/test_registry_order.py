@@ -6,12 +6,12 @@ re-derived EVERY round (round-5 verdict item 2 made this a checklist item);
 this file pins the CURRENT round's rotation so a code change that silently
 reorders the registry fails loudly.
 
-Round-6 policy (VERDICT r5 items 1/2/7): the window must seat (a) every
-query repaired by the load_events precision fix, (b) the two round-5 plan
-rewrites that shipped without driver rows, (c) ALL rows-only queries — 17
-of 19 had never had even a rows>0 driver record — and (d) the flagship.
-Seating rows-only queries costs oracle slots this round by design; the
-backfill tier keeps the remaining slots on the stalest oracle coverage.
+Round-7 policy (VERDICT r6 items 1/2/3 + docs/ROUND7_ROTATION.md): the
+window must seat (a) every query whose implementation changed this round —
+the three canonicalizer-crashing queries rebuilt as scalar oracle-backed
+forms, plus simhash_candidates and every composer of the now-bounded
+simhash_candidate_frame — and (b) the flagship; every remaining slot burns
+down the never-driver-verified oracle-backed backlog, oldest first.
 """
 
 from pyspark_retention_pipeline_spark.registry import (
@@ -22,70 +22,55 @@ from pyspark_retention_pipeline_spark.registry import (
 
 DRIVER_WINDOW = 50
 
-# (a) every consumer of load_events — all were broken or suspect under the
-# round-5 ns→µs testdata drift and need fresh driver rows post-fix.
-EVENT_REPAIRED = {
-    "tumbling_hourly",
-    "sessionize",
-    "sliding_hourly",
-    "daily_rollup_from_hourly",
-    "event_type_hourly_pivot",
-    "range_join_error_context",
-    "asof_last_purchase",
-    "event_day_spine_fill",
-    "signup_purchase_funnel",
-    "dau_hll_rollup",
-}
-
-# (b) plans rewritten in round 5 with no driver row since the rewrite.
-REWRITTEN_R5 = {"customer_rank_family", "top_revenue_suppliers"}
-
-# new queries added this round — never driver-verified, must be seated.
-NEW_THIS_ROUND = {
-    "cohort_retention",
-    "dn_retention",
-    "event_transition_matrix",
-    "cohort_ltv",
-    "source_cap_select",
-    "session_funnel",
-    "growth_accounting",
-    "stickiness_ratio",
-    "power_user_curve",
-    "session_duration_histogram",
-    "time_to_conversion",
-    "first_touch_attribution",
-    "rolling_7d_revenue",
-    "daily_activity_revenue_outer",
-    "doc_len_quartiles_by_lang",
-    "dup_rate_by_source",
+# (a) implementation changed in round 7 — plan-change rule makes seating
+# mandatory (round-5 lesson).
+CHANGED_R7 = {
+    # round-6 red rows rebuilt: scalar outputs, portable-hash oracles
+    "minhash_signatures",
+    "simhash64",
+    "winnowing_fingerprints",
+    # hot-bucket bound in simhash_candidate_frame + its composers
+    "simhash_candidates",
+    "simhash_jaccard_verify",
+    "split_leakage_check",
+    "source_overlap_matrix",
     "group_aware_split",
-    # lang_id_confusion was displaced by group_aware_split (rows-only
-    # contract (c), late-continuation addition); it rotates in round 7.
-    # centroid_inertia was displaced by kmeans_lloyd_curve (rows-only
-    # contract (c)); it rotates in round 7 (docs/ROUND7_ROTATION.md).
-    # part_cooccurrence was displaced by embedding_pca_topk: the rows-only
-    # contract (c) outranks a new oracle-backed query's first driver row —
-    # it rotates in round 7 (docs/ROUND7_ROTATION.md).
 }
 
-# new this round but NOT seated: the 50-slot window filled with ts-sensitive
-# repairs + rows-only firsts; these rotate in next round (parity-green at
-# sf0.001/sf0.01 in pytest and sf0.1 in the committed sweep meanwhile).
-NEW_UNSEATED = {
-    "lang_id_confusion",
-    "revenue_mom_growth",
-    "variant_props_histogram",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_stock",
-    "lateral_recent_orders",
-    "revenue_gini",
-    "lorenz_deciles",
-}
+# The three rebuilt queries must now be oracle-backed (the round-6 forms
+# were rows-only AND crashed the driver's canonicalizer).
+UPGRADED_TO_ORACLE = {"minhash_signatures", "simhash64", "winnowing_fingerprints"}
 
-# (d) flagship continuity slot — in the window every round.
+# (b) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
+
+# Deferred never-verified backlog (bottom of the rotation-doc order) — these
+# lead the round-8 window; pinned here so the round-8 rotation starts from a
+# checked list instead of re-deriving it from memory.
+DEFERRED_TO_R8 = {
+    "media_dedup_exact",
+    "pipe_sql_revenue_flow",
+    "hapax_rate_by_source",
+    "pareto_concentration",
+    "interarrival_acf",
+    "rare_token_rate",
+    "theilsen_revenue_trend",
+    "psi_price_drift",
+    "ks_price_drift",
+    "retention_decay_fit",
+    "lang_id_confusion",
+    "bigram_logprob_score",
+    "per_source_sample",
+    "embedding_outliers",
+    "token_pmi_collocations",
+    "locf_fill",
+    "dependent_funnel",
+    "zorder_scan_revenue",
+    "km_session_survival",
+    "bootstrap_revenue_ci",
+    "ab_conversion_ztest",
+    "time_decay_attribution",
+}
 
 
 def test_front_names_all_exist():
@@ -100,21 +85,47 @@ def test_front_fills_driver_window_exactly():
     assert list(all_queries())[:DRIVER_WINDOW] == list(_FRONT)
 
 
-def test_repaired_and_rewritten_inside_driver_window():
+def test_changed_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (EVENT_REPAIRED | REWRITTEN_R5 | NEW_THIS_ROUND | FLAGSHIP) - window
-    assert not missing, f"repaired/rewritten queries outside driver window: {missing}"
+    missing = (CHANGED_R7 | FLAGSHIP) - window
+    assert not missing, f"changed-plan queries outside driver window: {missing}"
 
 
-def test_all_rows_only_queries_inside_driver_window():
-    """(c) every rows-only query gets a driver rows>0 record this round —
-    17 of 19 have never had one (VERDICT r5 item 7)."""
-    ordered = list(all_queries())
+def test_rebuilt_queries_are_oracle_backed():
     oracles = all_oracle_sql()
-    window = set(ordered[:DRIVER_WINDOW])
-    rows_only = {n for n in ordered if n not in oracles}
-    missing = rows_only - window
-    assert not missing, f"rows-only queries outside driver window: {missing}"
+    missing = UPGRADED_TO_ORACLE - set(oracles)
+    assert not missing, f"rebuilt queries lost their oracle: {missing}"
+
+
+def test_deferred_backlog_is_registered_and_oracle_backed():
+    qs, oracles = all_queries(), all_oracle_sql()
+    assert DEFERRED_TO_R8 <= set(qs)
+    # group_aware_split-style rows-only ops are not in this tier by design.
+    missing = DEFERRED_TO_R8 - set(oracles)
+    assert not missing, f"deferred backlog entries missing oracles: {missing}"
+    # Deferral means NOT in this round's window.
+    window = set(list(qs)[:DRIVER_WINDOW])
+    overlap = DEFERRED_TO_R8 & window
+    assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
+
+
+def test_no_array_typed_output_in_driver_window():
+    """The driver canonicalizes results with pandas sort_values, which
+    throws on list cells (CORRECTNESS_r06's three red rows). Guard the whole
+    seated window against array/map/struct output columns."""
+    import pyspark.sql.types as T
+
+    from pyspark_retention_pipeline_spark.session import get_spark
+
+    spark = get_spark("registry-order-tests", shuffle_partitions=4)
+    qs = all_queries()
+    bad: list[str] = []
+    for name in _FRONT:
+        schema = qs[name](spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-window queries emit non-scalar columns: {bad}"
 
 
 def test_oracle_backed_precede_rows_only_after_front():
