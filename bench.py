@@ -72,6 +72,21 @@ HEADLINE = [
     # exact KS statistic on the two-column distributed prefix sum
     "simhash_candidates",
     "ks_price_drift",
+    # round 7 (verdict item 6): one representative per family that had no
+    # headline presence, so regressions there can't hide behind the sweep.
+    "cdc_multi_action_apply",    # CDC tier (upsert/SCD2/multi-action apply)
+    "psi_price_drift",           # drift monitors (PSI; KS already above)
+    "bigram_logprob_score",      # corpus-self-trained LM (bigram join)
+    "q2_min_cost_supplier",      # TPC-H partsupp family (correlated min)
+    "winnowing_fingerprints",    # fingerprints — guards the O(tokens^2) trap
+    "minhash_signatures",        # portable-hash registry form (new plan r7)
+    "dq_constraint_report",      # data-quality audit family
+    "time_decay_attribution",    # attribution family
+    "km_session_survival",       # survival-analysis family
+    "revenue_trend_forecast",    # time-series regression/forecast family
+    "weighted_doc_sample",       # weighted/stratified sampling family
+    "embedding_outliers",        # embedding-analytics family
+    "udtf_sentence_split",       # UDTF family (lateral table function)
 ]
 
 

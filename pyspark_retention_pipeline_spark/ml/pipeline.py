@@ -191,13 +191,18 @@ def score_records(
     spark: SparkSession, model: PipelineModel, records: list[dict], threshold: float = 0.46
 ) -> DataFrame:
     """Serving-path inference (reference ``serve_api.py:113-160``): missing
-    features imputed as 0.0, unknown keys dropped, everything coerced double
-    by an explicit schema at createDataFrame time."""
+    features imputed as 0.0, unknown keys dropped, un-floatable values
+    coerced to 0.0 (``serve_api.py:122-130``'s try/float/except rule),
+    everything double by an explicit schema at createDataFrame time."""
+
+    def _coerce(v) -> float:
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return 0.0
+
     schema = T.StructType([T.StructField(c, T.DoubleType()) for c in FEATURE_COLS])
-    cleaned = [
-        {c: float(r[c]) if r.get(c) is not None else 0.0 for c in FEATURE_COLS}
-        for r in records
-    ]
+    cleaned = [{c: _coerce(r.get(c, 0.0)) for c in FEATURE_COLS} for r in records]
     df = spark.createDataFrame(cleaned, schema).withColumn("class_weight", F.lit(1.0))
     out = model.transform(df)
     p1 = vector_to_array(F.col("probability")).getItem(1)

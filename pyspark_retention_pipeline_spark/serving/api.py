@@ -50,7 +50,13 @@ class ChurnScorer:
         return {"features": self.feature_cols, "threshold": self.threshold}
 
     def health(self) -> dict:
-        return {"status": "ok", "n_features": len(self.feature_cols)}
+        # Reference /health returns the schema inline (serve_api.py:180-184).
+        return {
+            "status": "ok",
+            "n_features": len(self.feature_cols),
+            "features": self.feature_cols,
+            "threshold": self.threshold,
+        }
 
     def predict(self, records: list[dict]) -> list[dict]:
         """Score a batch of feature dicts (missing → 0.0, unknown dropped)."""
@@ -65,15 +71,27 @@ class ChurnScorer:
 
 def create_app(scorer: ChurnScorer):
     """FastAPI wrapper over a :class:`ChurnScorer` — /health, /schema,
-    /predict, /predict_batch (reference ``serve_api.py:177-221``). Raises
-    ImportError where FastAPI isn't installed (this container)."""
+    /predict, /predict_batch (reference ``serve_api.py:177-221``). Payloads
+    validate through pydantic models exactly like the reference's
+    ``PredictItem`` / ``PredictBatch`` (a request without ``features`` is a
+    422, not a silent empty-record score); an empty batch short-circuits to
+    ``n=0`` (``serve_api.py:214-216``). Raises ImportError where FastAPI
+    isn't installed (this container; tests exercise the routes with
+    TestClient when it is)."""
     try:
         from fastapi import FastAPI
+        from pydantic import BaseModel
     except ImportError as e:  # pragma: no cover - environment-dependent
         raise ImportError(
             "fastapi is not installed; use ChurnScorer directly or install "
             "fastapi+uvicorn for the HTTP layer"
         ) from e
+
+    class PredictItem(BaseModel):
+        features: dict
+
+    class PredictBatch(BaseModel):
+        items: list[PredictItem]
 
     app = FastAPI(title="churn-scorer")
 
@@ -86,14 +104,15 @@ def create_app(scorer: ChurnScorer):
         return scorer.schema()
 
     @app.post("/predict")
-    def predict(payload: dict):
-        out = scorer.predict([payload.get("features", {})])
+    def predict(payload: PredictItem):
+        out = scorer.predict([payload.features])
         return {"n": 1, "threshold": scorer.threshold, "results": out}
 
     @app.post("/predict_batch")
-    def predict_batch(payload: dict):
-        items = payload.get("items", [])
-        out = scorer.predict([i.get("features", i) for i in items])
+    def predict_batch(payload: PredictBatch):
+        if not payload.items:
+            return {"n": 0, "threshold": scorer.threshold, "results": []}
+        out = scorer.predict([i.features for i in payload.items])
         return {"n": len(out), "threshold": scorer.threshold, "results": out}
 
     return app

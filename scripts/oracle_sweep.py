@@ -22,11 +22,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _git_state(repo: str) -> tuple[str, bool]:
+    """(HEAD sha, dirty?) — the artifact certifies a COMMITTED tree."""
+    import subprocess
+
+    sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True, text=True
+    ).stdout.strip()
+    dirty = bool(
+        subprocess.run(
+            ["git", "status", "--porcelain"], cwd=repo, capture_output=True, text=True
+        ).stdout.strip()
+    )
+    return sha, dirty
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None, help="markdown artifact path")
+    ap.add_argument(
+        "--allow-dirty",
+        action="store_true",
+        help="iterate on an uncommitted tree (artifact marked NOT certifying)",
+    )
     args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sha, dirty = _git_state(repo)
+    if dirty and not args.allow_dirty:
+        print(
+            "oracle_sweep: working tree is dirty — the sweep artifact certifies "
+            "a committed tree (round-6 verdict item 7). Commit first, or pass "
+            "--allow-dirty to iterate without writing a certification.",
+            file=sys.stderr,
+        )
+        return 2
 
     from pyspark_retention_pipeline_spark.registry import all_oracle_sql, all_queries
     from pyspark_retention_pipeline_spark.session import get_spark
@@ -65,10 +96,15 @@ def main() -> int:
 
     n_ok = sum(1 for _, ok, _, _ in rows if ok)
     with open(out_path, "w") as f:
+        stamp = (
+            f"**NOT a certification — dirty tree on top of `{sha}`**"
+            if dirty
+            else f"certifies committed tree `{sha}`"
+        )
         f.write(
             f"# Oracle parity sweep — {sf_name}\n\n"
             f"All oracle-backed registry queries vs DuckDB on the same parquet "
-            f"tables (`{args.sf_dir}`).\n\n"
+            f"tables (`{args.sf_dir}`); {stamp}.\n\n"
             f"**{n_ok}/{len(rows)} hash-identical** in {total:.0f}s"
             f"{' — FAILURES: ' + ', '.join(failures) if failures else ''}.\n\n"
             "| query | parity | sec |\n|---|---|---|\n"
