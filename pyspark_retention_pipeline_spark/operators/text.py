@@ -592,19 +592,39 @@ _SIMHASH_ORACLE = f"""
 """
 
 
+# Packed-counter fold layout: 60 vote lanes → 30 accumulator words, each
+# holding 2 × 30-bit counters. A token's 2 bits for word w are extracted at
+# once and scattered to their 30-bit fields with ONE multiply-and-mask:
+# bit i of x=(h>>2w)&3 lands at 29k+i after ×(1+2^29); masking the 30k
+# positions keeps exactly i=k (29k+i ≡ 0 mod 30 with i<2 only at i=k), so
+# the spread is cross-term-free. A 30-bit counter would need 2^30 DISTINCT
+# tokens in one document to carry — impossible under Spark's 2 GiB string
+# limit (2^30 distinct tokens average ≥4 chars ≈ 5 GiB of text), so the
+# packing is unconditionally exact with NO fallback branch. (A denser
+# 4×15-bit layout measured faster still, but its overflow guard doubled the
+# expression tree, broke whole-stage codegen, and ran 20× slower — the
+# branch-free 2×30 form is the optimum that keeps codegen.)
+_PACK_LANES = 2
+_PACK_FIELD_BITS = 30
+_PACK_WORDS = _SIMHASH_BITS // _PACK_LANES
+_PACK_SPREAD = 1 + (1 << 29)
+_PACK_FMASK = 1 + (1 << 30)
+_PACK_FIELD_MAX = (1 << _PACK_FIELD_BITS) - 1
+
+
 def portable_simhash60(text_col: F.Column) -> F.Column:
     """60-bit SimHash over the distinct whitespace tokens of ``text_col``,
     from an md5-derived (engine-portable) per-token hash. Same staged-hash
-    plan shape as :func:`simhash64`: each token is md5'd ONCE, the vote
-    lanes fold via ``aggregate``/``zip_with``, and the sign bits assemble
-    into one BIGINT — all codegen expressions, no UDF, no shuffle.
+    plan shape as the xxhash library forms: each token is md5'd ONCE, the
+    vote lanes fold via ``aggregate``/``zip_with``, and the sign bits
+    assemble into one BIGINT — all codegen expressions, no UDF, no shuffle.
 
-    The fold accumulates plain 0/1 bit counts (``(h >> j) & 1``, no
-    conditional) rather than ±1 votes: ``Σ±1 > 0  ⇔  2·ones > n`` exactly
-    (including the tie at ``2·ones = n``, which both forms call 0), so the
-    semantics — and the DuckDB oracle, which keeps the classical ±1 form —
-    are unchanged while each token's lane update drops the branch pair.
-    Measured at sf0.1: 2.33 s → ~1.6 s for the candidate query."""
+    The fold accumulates 0/1 bit counts in PACKED words — 2 lanes × 30-bit
+    counters per BIGINT, scattered by one multiply-and-mask per word — so a
+    token costs 30 word updates instead of 60 lane updates (measured at
+    sf0.1: 1.26 s → 1.0 s for the signature pass; the md5+tokenize base now
+    dominates). ``Σ±1 > 0 ⇔ 2·ones > n`` exactly (ties → 0), so the DuckDB
+    oracle keeps the classical ±1 form unchanged."""
     toks = F.array_distinct(F.split(text_col, " "))
     digests = F.transform(toks, F.md5)
     hashes = F.transform(
@@ -614,26 +634,34 @@ def portable_simhash60(text_col: F.Column) -> F.Column:
         + F.conv(F.substring(m, 9, 8), 16, 10).cast("long"),
     )
 
-    def hash_bits01(h):
+    def packed_words(h):
         return F.array(
             *[
-                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
-                for j in range(_SIMHASH_BITS)
+                (
+                    F.shiftright(h, _PACK_LANES * w).bitwiseAND(F.lit(3))
+                    * F.lit(_PACK_SPREAD)
+                ).bitwiseAND(F.lit(_PACK_FMASK))
+                for w in range(_PACK_WORDS)
             ]
         )
 
-    ones = F.aggregate(
+    acc = F.aggregate(
         hashes,
-        F.array(*[F.lit(0) for _ in range(_SIMHASH_BITS)]),
-        lambda acc, h: F.zip_with(acc, hash_bits01(h), lambda a, v: a + v),
+        F.array(*[F.lit(0).cast("long") for _ in range(_PACK_WORDS)]),
+        lambda a, h: F.zip_with(a, packed_words(h), lambda x, y: x + y),
     )
     n = F.size(toks)
-    bit_terms = [
-        F.when(ones[j] * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    bit_terms = []
+    for j in range(_SIMHASH_BITS):
+        w, k = divmod(j, _PACK_LANES)
+        ones_j = F.shiftright(acc[w], _PACK_FIELD_BITS * k).bitwiseAND(
+            F.lit(_PACK_FIELD_MAX)
         )
-        for j in range(_SIMHASH_BITS)
-    ]
+        bit_terms.append(
+            F.when(ones_j * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     sig = bit_terms[0]
     for term in bit_terms[1:]:
         sig = sig + term
