@@ -139,7 +139,7 @@ def _py_simhash60(text: str) -> int:
     ones = [0] * 60
     for t in toks:
         hx = hashlib.md5(t.encode()).hexdigest()
-        h = int(hx[0:7], 16) * 4294967296 + int(hx[8:16], 16)
+        h = int(hx[0:15], 16)
         for j in range(60):
             ones[j] += (h >> j) & 1
     n = len(toks)
@@ -151,7 +151,7 @@ def test_portable_simhash_packed_and_wide_paths(spark):
     independent pure-Python computation — on a normal doc and on one with
     33k distinct tokens (far past where a narrower packing would carry)."""
     small = "the quick brown fox jumps over the lazy dog"
-    big = " ".join(f"tok{i}" for i in range(33000))  # > _PACK_MAX_TOKENS
+    big = " ".join(f"tok{i}" for i in range(33000))  # past a 15-bit counter
     docs = _docs(spark, [(1, small), (2, big)])
     got = {
         r["doc_id"]: r["sig"]
@@ -322,8 +322,12 @@ def test_simhash_banding_lossless_vs_bruteforce(spark):
     # The 4-band split must recall EVERY hamming<=3 pair (pigeonhole): compare
     # the banded candidate set against an all-pairs brute force on a corpus
     # with planted near-dups (single-token edits) and unrelated filler.
+    # 60 tokens so a single-token edit flips few majority votes (hamming 1
+    # under the current portable hash; planted values re-checked against the
+    # pure-Python reference whenever the hash changes).
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
-            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+            "lambda mu nu xi omicron pi rho sigma tau upsilon "
+            + " ".join(f"pad{k}" for k in range(40)))
     rows = [(1, base), (2, base.replace("sigma", "changed")), (3, base + " extra")]
     rows += [(10 + i, f"filler{i} " + " ".join(f"w{i}x{j}" for j in range(20))) for i in range(30)]
     docs = _docs(spark, rows)
