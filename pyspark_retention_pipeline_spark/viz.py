@@ -4,9 +4,11 @@ and ``pipeline/plot_feature_importance.py:20-60``).
 
 matplotlib is not installed in this container, so rendering is
 import-gated the same way serving gates FastAPI: when matplotlib is
-available the PNG path mirrors the reference; otherwise a dependency-free
-SVG writer produces the same artifacts (polyline curve with a best-threshold
-marker; signed horizontal bars). The DATA inputs are the oracle-verified
+available its PNG path mirrors the reference; otherwise ``.png`` targets
+render through the dependency-free raster encoder (:mod:`.raster` —
+stdlib zlib/struct + numpy, built-in 5×7 font) and other targets through
+the SVG writer, both producing the same artifacts (polyline curve with a
+best-threshold marker; signed horizontal bars). The DATA inputs are the oracle-verified
 ``threshold_curve`` query and ``ml.coefficients_frame`` — rendering consumes
 their bounded outputs (101 rows / one row per feature), never raw data.
 """
@@ -130,8 +132,71 @@ def _write(path: str, content: str) -> None:
         f.write(content)
 
 
+_HEX = {
+    "#1f77b4": (31, 119, 180),
+    "#ff7f0e": (255, 127, 14),
+    "#2ca02c": (44, 160, 44),
+    "#d62728": (214, 39, 40),
+}
+_GRAY = (128, 128, 128)
+_BLACK = (0, 0, 0)
+
+
+def threshold_curve_png(
+    rows: Sequence[dict], out_path: str, best_threshold: float | None = None
+) -> str:
+    """Dependency-free PNG twin of :func:`threshold_curve_svg` (same
+    geometry, rendered via :mod:`.raster` — closes the reference's
+    PNG-artifact parity without matplotlib)."""
+    from .raster import Canvas
+
+    rows = sorted(rows, key=lambda r: r["t"])
+    c = Canvas(_W, _H)
+    c.line(_PAD, _H - _PAD, _W - _PAD, _H - _PAD, _BLACK)  # x axis
+    c.line(_PAD, _PAD, _PAD, _H - _PAD, _BLACK)            # y axis
+    c.text(_W // 2, 12, "Threshold Optimization Curve", anchor="middle")
+    c.text(_W // 2, _H - 18, "Threshold", anchor="middle")
+    colors = {"f1": "#1f77b4", "precision": "#ff7f0e", "recall": "#2ca02c"}
+    for i, (metric, color) in enumerate(colors.items()):
+        pts = [(_sx(r["t"]), _sy(r[metric])) for r in rows]
+        c.polyline(pts, _HEX[color], width=2)
+        c.text(_W - _PAD - 100, _PAD + 16 * i, metric, _HEX[color])
+    if best_threshold is not None:
+        x = _sx(best_threshold)
+        c.line(x, _PAD, x, _H - _PAD, _GRAY, dash=(6, 4))
+        c.text(x + 4, _PAD + 6, f"best = {best_threshold:.2f}", _GRAY)
+    return c.write_png(out_path)
+
+
+def feature_importance_png(rows: Sequence[dict], out_path: str) -> str:
+    """Dependency-free PNG twin of :func:`feature_importance_svg` — signed
+    horizontal bars, red right = churn risk up, blue left = risk down."""
+    from .raster import Canvas
+
+    rows = list(rows)
+    max_abs = max((abs(r["coefficient"]) for r in rows), default=0.0) or 1.0
+    mid_x = _W / 2
+    bar_h = (_H - 2 * _PAD) / max(len(rows), 1)
+    c = Canvas(_W, _H)
+    c.text(_W // 2, 12, "Feature Importance (signed)", anchor="middle")
+    c.line(mid_x, _PAD, mid_x, _H - _PAD, _BLACK)
+    for i, r in enumerate(rows):
+        coef = r["coefficient"]
+        w = abs(coef) / max_abs * (_W / 2 - _PAD - 10)
+        y = _PAD + i * bar_h + 2
+        color = _HEX["#d62728"] if coef >= 0 else _HEX["#1f77b4"]
+        x = mid_x if coef >= 0 else mid_x - w
+        c.fill_rect(x, y, w, bar_h - 6, color)
+        label = f"{r['feature']} ({coef:+.3f})"
+        tx = mid_x + w + 6 if coef >= 0 else mid_x - w - 6
+        anchor = "start" if coef >= 0 else "end"
+        c.text(tx, y + bar_h / 2 - 4, label, _BLACK, anchor=anchor)
+    return c.write_png(out_path)
+
+
 def render_threshold_curve(rows: Sequence[dict], out_path: str, best_threshold=None) -> str:
-    """PNG via matplotlib when available (reference behavior), else SVG."""
+    """PNG via matplotlib when available (reference behavior); else the
+    built-in raster PNG for ``.png`` paths; else SVG."""
     if plt is not None:  # pragma: no cover - matplotlib absent here
         rows = sorted(rows, key=lambda r: r["t"])
         plt.figure(figsize=(7, 5))
@@ -146,7 +211,9 @@ def render_threshold_curve(rows: Sequence[dict], out_path: str, best_threshold=N
         plt.savefig(out_path, dpi=150)
         plt.close()
         return out_path
-    return threshold_curve_svg(rows, _as_svg(out_path), best_threshold)
+    if out_path.lower().endswith(".png"):
+        return threshold_curve_png(rows, out_path, best_threshold)
+    return threshold_curve_svg(rows, out_path, best_threshold)
 
 
 def render_feature_importance(rows: Sequence[dict], out_path: str) -> str:
@@ -159,9 +226,7 @@ def render_feature_importance(rows: Sequence[dict], out_path: str) -> str:
         plt.savefig(out_path, dpi=150)
         plt.close()
         return out_path
-    return feature_importance_svg(rows, _as_svg(out_path))
+    if out_path.lower().endswith(".png"):
+        return feature_importance_png(rows, out_path)
+    return feature_importance_svg(rows, out_path)
 
-
-def _as_svg(path: str) -> str:
-    root, ext = os.path.splitext(path)
-    return root + ".svg" if ext.lower() == ".png" else path
