@@ -3,7 +3,7 @@
 SF_DIR ?= /root/testdata/sf0.001
 OUT_DIR ?= ./data/artifacts
 
-.PHONY: test test-gate bench etl train eval plans sweep
+.PHONY: test test-gate bench etl train eval plots plans sweep
 
 test:
 	python -m pytest tests/ -q
@@ -34,6 +34,11 @@ eval:
 	python -c "from pyspark_retention_pipeline_spark.session import get_spark; \
 	from pyspark_retention_pipeline_spark.ml.workflow import run_eval; \
 	print(run_eval(get_spark('eval'), '$(OUT_DIR)'))"
+
+plots:
+	python -c "from pyspark_retention_pipeline_spark.session import get_spark; \
+	from pyspark_retention_pipeline_spark.ml.workflow import run_plots; \
+	print(run_plots(get_spark('plots'), '$(OUT_DIR)'))"
 
 plans:
 	python scripts/dump_plans.py

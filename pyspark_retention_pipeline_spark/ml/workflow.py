@@ -136,6 +136,57 @@ def run_training(
     return metrics
 
 
+def run_plots(
+    spark: SparkSession, out_dir: str, split: str = "val", plot_dir: str | None = None
+) -> dict[str, str]:
+    """Plot-artifact stage (reference ``plot_threshold.py:33-88`` and
+    ``plot_feature_importance.py:63-71`` mains): load the persisted model
+    and a split, sweep the REAL model scores with the single-pass operator
+    (the reference loops 101 pandas passes driver-side,
+    ``plot_threshold.py:16-30``), and write ``threshold_curve.csv`` +
+    ``threshold_curve.png`` + ``feature_importance.png``. PNGs render via
+    matplotlib when present, else the built-in raster encoder. Only the
+    101-row curve and per-feature coefficients are collected — bounded
+    artifact sinks."""
+    from ..operators.threshold import sweep_scores
+    from ..viz import render_feature_importance, render_threshold_curve
+
+    plot_dir = plot_dir or os.path.join(out_dir, "plots")
+    os.makedirs(plot_dir, exist_ok=True)
+    model = PipelineModel.load(os.path.join(out_dir, "model"))
+    sdf = spark.read.parquet(os.path.join(out_dir, split))
+    scored = score_frame(model, sdf).select(
+        F.col("label"), F.col("p_churn").alias("score")
+    )
+    curve = (
+        _with_metrics(sweep_scores(scored))
+        .select("t", "precision", "recall", "f1")
+        .orderBy("t")
+    )
+    rows = [r.asDict() for r in curve.collect()]
+
+    csv_path = os.path.join(plot_dir, "threshold_curve.csv")
+    with open(csv_path, "w") as f:
+        f.write("threshold,precision,recall,f1\n")
+        for r in rows:
+            f.write(f"{r['t']},{r['precision']},{r['recall']},{r['f1']}\n")
+
+    best = None
+    metrics_path = os.path.join(out_dir, "metrics.json")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            best = json.load(f).get("best_threshold")
+
+    curve_png = render_threshold_curve(
+        rows, os.path.join(plot_dir, "threshold_curve.png"), best_threshold=best
+    )
+    coef_rows = [r.asDict() for r in coefficients_frame(spark, model).collect()]
+    fi_png = render_feature_importance(
+        coef_rows, os.path.join(plot_dir, "feature_importance.png")
+    )
+    return {"curve_csv": csv_path, "curve_png": curve_png, "importance_png": fi_png}
+
+
 def run_eval(spark: SparkSession, out_dir: str) -> dict[str, float]:
     """Held-out evaluation: AUCs + confusion matrix at the persisted best
     threshold, confusion cells in ONE conditional aggregation."""

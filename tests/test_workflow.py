@@ -37,6 +37,19 @@ def test_full_lifecycle(spark, sf_dir, tmp_path):
     assert test_metrics["tp"] + test_metrics["fp"] + test_metrics["fn"] + test_metrics["tn"] == n_test
     assert test_metrics["threshold"] == metrics["best_threshold"]
 
+    # Plot stage (reference plot_threshold.py / plot_feature_importance.py):
+    # curve CSV with 101 rows + two decodable PNG artifacts.
+    from pyspark_retention_pipeline_spark.ml.workflow import run_plots
+    from pyspark_retention_pipeline_spark.raster import decode_png
+
+    paths = run_plots(spark, out)
+    lines = open(paths["curve_csv"]).read().strip().splitlines()
+    assert lines[0] == "threshold,precision,recall,f1"
+    assert len(lines) == 102  # header + 101 thresholds
+    for key in ("curve_png", "importance_png"):
+        img = decode_png(open(paths[key], "rb").read())
+        assert img.shape == (500, 700, 3)
+
 
 def test_split_determinism(spark, sf_dir, tmp_path):
     out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
