@@ -68,7 +68,7 @@ HEADLINE = [
     "unigram_logprob_score",
     "top_session_paths",
     # round-6 late continuation: the two widest new dedup/drift plans —
-    # banded SimHash LSH candidates (checkpointed signature reuse) and the
+    # banded SimHash LSH candidates (pinned bucket frame) and the
     # exact KS statistic on the two-column distributed prefix sum
     "simhash_candidates",
     "ks_price_drift",

@@ -699,23 +699,21 @@ def simhash_candidate_frame(
 ) -> DataFrame:
     """Banded-LSH SimHash pair generation over a ``(doc_id, text)`` frame —
     the distributable core of :func:`simhash_candidates`, factored out so the
-    losslessness property is testable on synthetic corpora. The lazy
-    ``localCheckpoint`` pins ONE materialization of the signature frame:
-    without it the self-join recomputes the 60-lane hash fold on BOTH join
-    branches (verified in the physical plan — two document scans), doubling
-    the dominant cost at corpus scale.
+    losslessness property is testable on synthetic corpora.
 
     Candidate pairs route through :func:`~.buckets.bounded_bucket_pairs` on
     the ``(band, band_val)`` key with the signatures threaded through as
     payload, so band buckets wider than ``cap`` emit star pairs instead of
     the quadratic all-pairs set (round-6 verdict item 3: the prose claimed
-    this bound; now the code implements it). The bucket-size window and the
-    self-join partition on the same key, so AQE reuses one exchange."""
+    this bound; now the code implements it). ``bounded_bucket_pairs``
+    pins its sized frame with a lazy ``localCheckpoint``, so the 60-lane
+    signature fold and the bucket-size window run ONCE — every downstream
+    plan branch (both self-join sides, the star branch) reads the pinned
+    rows instead of re-deriving them (previously the fold ran per branch;
+    the earlier signature-frame checkpoint became redundant and is gone)."""
     from .buckets import bounded_bucket_pairs
 
-    sigs = docs.select(
-        "doc_id", portable_simhash60(F.col("text")).alias("sig")
-    ).localCheckpoint(eager=False)
+    sigs = docs.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
     mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = sigs.select(
         "doc_id",
