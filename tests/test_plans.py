@@ -234,6 +234,33 @@ def test_shuffle_budgets(spark, sf_dir):
         assert n == 0, f"{name}: expected a map-side-only plan, found {n} exchanges"
 
 
+def test_lsh_candidate_pipelines_pin_shared_frames(spark, sf_dir):
+    """Round-7 plan shape: bounded_bucket_pairs pins its sized bucket frame
+    with a lazy localCheckpoint, so the expensive upstream derivation
+    (signature folds, band explode, bucket-size window) materializes ONCE
+    and every branch (both self-join sides + the star branch) reads the
+    pinned rows. Plan evidence: no parquet scan and no Generate (explode)
+    survive in the candidate plan — the corpus is read only at checkpoint
+    materialization — and the exchange inventory is just the candidate
+    join + (for simhash) the post-verify dedup."""
+    from pyspark_retention_pipeline_spark.plans import shuffle_count
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    budgets = {
+        "simhash_candidates": 2,   # band join + post-hamming distinct
+        "minhash_candidates": 1,   # band join (dup pairs kept by design)
+        "lsh_bucket_candidates": 1,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert "Scan parquet" not in plan, f"{name}: upstream re-derived per branch"
+        assert "Generate" not in plan, f"{name}: band explode not pinned"
+        assert "Scan ExistingRDD" in plan, f"{name}: pinned frame missing"
+        n = shuffle_count(df)
+        assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling: a hot key that dwarfs the median partition is
     split at runtime (OptimizeSkewedJoin) — the final adaptive plan marks the
