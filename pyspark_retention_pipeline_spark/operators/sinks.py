@@ -33,6 +33,7 @@ _ROUNDTRIP_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "rou
 
 def snapshot_path(spark: SparkSession, sf_dir: str) -> str:
     """Per-(application, SF) path of the status-partitioned orders snapshot."""
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",))
     return str(
         _ROUNDTRIP_ROOT
         / spark.sparkContext.applicationId
@@ -74,6 +75,33 @@ def parquet_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_BUCKETS = 8
 
+# App-id-keyed snapshot/table paths make concurrent sessions disjoint, but
+# every session leaves its generation behind; without a sweep the warehouse
+# grows without bound across gate/bench/pytest runs (~1 MB per run at test
+# SF — 51 MB observed after round 6). One hour of age is far past any live
+# session here, so mtime-gated deletion can never race a running query.
+_STALE_AFTER_S = 3600
+
+
+def sweep_stale_artifacts(root: Path, prefixes: tuple[str, ...]) -> None:
+    """Delete ``root`` subdirectories matching ``prefixes`` whose mtime is
+    older than an hour — prior sessions' app-id-keyed leftovers. Managed
+    tables of PAST applications aren't in the current catalog (fresh
+    in-memory metastore per session), so this is a filesystem sweep."""
+    import shutil
+    import time
+
+    if not root.is_dir():
+        return
+    cutoff = time.time() - _STALE_AFTER_S
+    for child in root.iterdir():
+        if child.is_dir() and child.name.startswith(prefixes):
+            try:
+                if child.stat().st_mtime < cutoff:
+                    shutil.rmtree(child, ignore_errors=True)
+            except OSError:
+                continue
+
 
 @query(
     "bucketed_join_revenue",
@@ -98,6 +126,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB) is pinned separately by tests/test_bucketing.py. Table names
     key on (application, SF) like the parquet round-trip, so concurrent
     sessions cannot race."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    sweep_stale_artifacts(Path(wh.removeprefix("file:")), ("bt_orders_", "bt_cust_"))
     app = spark.sparkContext.applicationId.replace("-", "_")
     sf = Path(sf_dir.rstrip("/")).name.replace(".", "_")
     t_orders = f"bt_orders_{app}_{sf}"
@@ -167,6 +197,7 @@ _Z_DAY_BASE = 8000
 
 def zorder_path(spark: SparkSession, sf_dir: str) -> str:
     """Per-(application, SF) path of the z-ordered orders snapshot."""
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",))
     return str(
         _ROUNDTRIP_ROOT
         / spark.sparkContext.applicationId
