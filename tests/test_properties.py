@@ -322,3 +322,52 @@ def test_heavy_hitters_exact_for_any_distribution(spark, counts, k, seed):
         if c * div > total
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# Packed-counter fold math (round 7): pure-Python properties of the
+# multiply-and-mask bit-spread and the vote-equivalence rule that
+# portable_simhash60's packed accumulator relies on. No Spark needed —
+# these pin the hand-derived arithmetic itself.
+# ---------------------------------------------------------------------------
+
+_SPREAD = 1 + (1 << 29)
+_FMASK = 1 + (1 << 30)
+
+
+@given(h=st.integers(min_value=0, max_value=(1 << 60) - 1))
+@settings(max_examples=300, deadline=None)
+def test_bit_spread_is_cross_term_free(h):
+    """((h >> 2w) & 3) * (1+2^29) masked at the 30k positions must yield
+    EXACTLY bit 2w at position 0 and bit 2w+1 at position 30, for every
+    word — the identity that lets one multiply scatter two vote lanes."""
+    for w in range(30):
+        x = (h >> (2 * w)) & 3
+        spread = (x * _SPREAD) & _FMASK
+        assert spread & 1 == (h >> (2 * w)) & 1
+        assert (spread >> 30) & 1 == (h >> (2 * w + 1)) & 1
+        assert spread & ~_FMASK == 0  # nothing leaks outside the two fields
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=1, max_size=64
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_packed_accumulation_equals_per_lane_counts(hashes):
+    """Summing spread words must reproduce exact per-lane one-counts while
+    n < 2^30 (the no-carry bound), matching the classical +/-1 vote sign:
+    sum(+-1) > 0  <=>  2*ones > n, ties -> 0."""
+    acc = [0] * 30
+    for h in hashes:
+        for w in range(30):
+            acc[w] += (((h >> (2 * w)) & 3) * _SPREAD) & _FMASK
+    n = len(hashes)
+    for j in range(60):
+        w, k = divmod(j, 2)
+        ones = (acc[w] >> (30 * k)) & ((1 << 30) - 1)
+        direct = sum((h >> j) & 1 for h in hashes)
+        assert ones == direct
+        votes = sum(1 if (h >> j) & 1 else -1 for h in hashes)
+        assert (votes > 0) == (2 * ones > n)
