@@ -65,6 +65,9 @@ _FRONT: tuple[str, ...] = (
     "split_leakage_check",
     "source_overlap_matrix",
     "group_aware_split",  # rows-only; re-seats on change per contract
+    # --- changed this round: salted two-stage per-group top-k (round-6
+    #     verdict watch item 8) — output-identical, plan changed ---
+    "top_parts_per_segment",
     # --- never driver-verified oracle-backed backlog, oldest first
     #     (docs/ROUND7_ROTATION.md order; cut from the bottom) ---
     "revenue_mom_growth",
@@ -107,7 +110,7 @@ _FRONT: tuple[str, ...] = (
     "bucketed_join_revenue",
     "partition_pruned_revenue",
     "snapshot_diff_summary",
-    "user_value_twap",
+    # user_value_twap /
     # media_dedup_exact / pipe_sql_revenue_flow / hapax_rate_by_source /
     # pareto_concentration / interarrival_acf / rare_token_rate /
     # theilsen_revenue_trend / psi_price_drift / ks_price_drift /
@@ -115,9 +118,11 @@ _FRONT: tuple[str, ...] = (
     # per_source_sample / embedding_outliers / token_pmi_collocations /
     # locf_fill / dependent_funnel / zorder_scan_revenue /
     # km_session_survival / bootstrap_revenue_ci / ab_conversion_ztest /
-    # time_decay_attribution (22) didn't fit the 50-slot window after the
-    # mandatory changed-plan seats; all are pytest-parity-green at
-    # sf0.001/sf0.01 and sweep-green at sf0.1, and lead the round-8 window.
+    # time_decay_attribution (23) didn't fit the 50-slot window after the
+    # mandatory changed-plan seats (user_value_twap yielded its slot to the
+    # late top_parts_per_segment plan change); all are pytest-parity-green
+    # at sf0.001/sf0.01 and sweep-green at sf0.1, and lead the round-8
+    # window.
     # --- flagship continuity slot ---
     "churn_features",
 )

@@ -221,6 +221,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "q16_supplier_part_counts": 3,  # anti-join + two-phase distinct
         "q20_excess_stock": 3,  # lineitem collapse + ps join + rollup
         "lateral_recent_orders": 2,  # decorrelated rownum + broadcast probe
+        # round 7: salted two-stage top-k — agg + salt window + final window
+        "top_parts_per_segment": 3,
         "revenue_gini": 3,  # spend agg + two-phase rank + 1-row moments
         "lorenz_deciles": 4,  # + decile rollup; cumsum over a 10-row frame
     }
@@ -391,3 +393,46 @@ def test_literal_bounded_leaves_in_window_detector(spark):
         "t", F.sum("count").over(Window.partitionBy())
     )
     assert unpartitioned_corpus_windows(joined) == []
+
+
+def test_top_parts_per_segment_salted_two_stage(spark, sf_dir):
+    """Round-6 verdict watch item 8: per-group top-k must not funnel a
+    group's full grain through one window task. Pin the salted two-stage
+    shape — two Window nodes, the first partitioned by (segment, salt) —
+    and prove exactness by comparing against the plain single-window form
+    built inline (a key lives in exactly one salt bucket, so every true
+    top-k row survives stage 1)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.exprs import scaled_sum
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    df = QUERIES["top_parts_per_segment"](spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Window") >= 2, "expected the two-stage window rank"
+    assert "pmod" in plan, "stage-1 window must partition on the salt"
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "l_partkey")
+        .agg(
+            scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "part_revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("part_revenue").desc(), F.col("l_partkey")
+    )
+    plain = (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("segment", "l_partkey", "part_revenue")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))

@@ -35,6 +35,9 @@ CHANGED_R7 = {
     "split_leakage_check",
     "source_overlap_matrix",
     "group_aware_split",
+    # salted two-stage per-group top-k (round-6 verdict watch item 8);
+    # output-identical to the single-window form, but the plan changed
+    "top_parts_per_segment",
 }
 
 # The three rebuilt queries must now be oracle-backed (the round-6 forms
@@ -48,6 +51,7 @@ FLAGSHIP = {"churn_features"}
 # lead the round-8 window; pinned here so the round-8 rotation starts from a
 # checked list instead of re-deriving it from memory.
 DEFERRED_TO_R8 = {
+    "user_value_twap",  # yielded its slot to the top_parts_per_segment seat
     "media_dedup_exact",
     "pipe_sql_revenue_flow",
     "hapax_rate_by_source",
