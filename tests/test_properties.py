@@ -371,3 +371,48 @@ def test_packed_accumulation_equals_per_lane_counts(hashes):
         assert ones == direct
         votes = sum(1 if (h >> j) & 1 else -1 for h in hashes)
         assert (votes > 0) == (2 * ones > n)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=500),  # key (unique per group below)
+            st.integers(min_value=0, max_value=3),    # value — tiny range forces ties
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_salted_topk_equals_single_window(spark, rows, k):
+    """The salted two-stage per-group top-k (windows.py) must be
+    byte-identical to the plain single-window rank for ANY data — including
+    maximal value ties resolved purely by the key tie-break, groups smaller
+    than k, and keys colliding in the same salt bucket. A key lives in
+    exactly one salt bucket, so every true top-k row has at most k-1 rows
+    above it in its own bucket and survives stage 1."""
+    from pyspark.sql import Window
+
+    dedup = {(g, key): v for g, key, v in rows}  # one row per (group, key)
+    data = [(g, key, v) for (g, key), v in dedup.items()]
+    df = spark.createDataFrame(data, "grp int, key long, val long").repartition(8)
+    order = (F.col("val").desc(), F.col("key"))
+
+    w_plain = Window.partitionBy("grp").orderBy(*order)
+    plain = df.withColumn("rn", F.row_number().over(w_plain)).filter(
+        F.col("rn") <= k
+    )
+
+    w_local = Window.partitionBy("grp", F.pmod(F.xxhash64("key"), F.lit(3))).orderBy(
+        *order
+    )
+    w_final = Window.partitionBy("grp").orderBy(*order)
+    salted = (
+        df.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k)
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
