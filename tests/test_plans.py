@@ -223,6 +223,18 @@ def test_shuffle_budgets(spark, sf_dir):
         "lateral_recent_orders": 2,  # decorrelated rownum + broadcast probe
         # round 7: salted two-stage top-k — agg + salt window + final window
         "top_parts_per_segment": 3,
+        # round 7 SCALE.md audit: pin every numeric exchange claim the doc
+        # makes (the round-6 lesson — prose claims must be code-checked)
+        "pack_documents": 1,  # both windows share ONE shard_id exchange
+        "interarrival_acf": 1,  # windows + agg share the user_id partitioning
+        "sessionize": 1,  # one user_id shuffle reused by the rollup
+        "retention_decay_fit": 3,  # user collapse + 2 matrix-grain exchanges
+        "bootstrap_revenue_ci": 3,  # replicate rollup + 2 bounded reductions
+        "ab_conversion_ztest": 2,  # per-user grain + 1-row final reduce
+        "km_session_survival": 3,  # sessionize + duration-grain stages
+        "dependent_funnel": 2,  # per-user fold + 1-row funnel reduce
+        "locf_fill": 1,  # one user_id exchange for spine + LOCF window
+        "cumulative_new_users": 3,  # first-day agg + day rollup + run-sum
         "revenue_gini": 3,  # spend agg + two-phase rank + 1-row moments
         "lorenz_deciles": 4,  # + decile rollup; cumsum over a 10-row frame
     }
@@ -231,7 +243,7 @@ def test_shuffle_budgets(spark, sf_dir):
         assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
     # Map-side-only operators: ZERO exchanges, ever — a shuffle appearing in
     # a pure filter/assignment plan is a regression by definition.
-    for name in ("epoch_shuffle", "lang_mix_sample", "hash_sample"):
+    for name in ("epoch_shuffle", "lang_mix_sample", "hash_sample", "chunk_documents"):
         n = shuffle_count(QUERIES[name](spark, sf_dir))
         assert n == 0, f"{name}: expected a map-side-only plan, found {n} exchanges"
 
