@@ -945,13 +945,18 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast 1-row aggregate), so the monitor needs no configuration.
 
     Distribution discipline: prices histogram into {PSI_BINS} fixed-width
-    bins in ONE pass (conditional counts for both halves — no second scan,
-    no join of two filtered subqueries); a generated bin spine keeps
-    zero-count bins so Laplace smoothing ((c+1)/(N+B)) is well-defined on
-    both sides; each (p−q)·ln(p/q) term quantizes to an exact BIGINT before
-    summing (the ENT_SCALE/LP_SCALE rule: never float-reduce across rows),
-    and the total is a window over the {PSI_BINS}-row aggregate — bounded by
-    construction at any corpus size."""
+    bins in ONE counting pass (conditional counts for both halves — never a
+    scan per half, no join of two filtered subqueries; the data-derived
+    pivot costs one additional bounded min/max pass); a generated bin spine
+    keeps zero-count bins so Laplace smoothing ((c+1)/(N+B)) is well-defined
+    on both sides; each (p−q)·ln(p/q) term quantizes to an exact BIGINT
+    before summing (the ENT_SCALE/LP_SCALE rule: never float-reduce across
+    rows), and the total is a window over the {PSI_BINS}-row aggregate —
+    bounded by construction at any corpus size. The ≤{PSI_BINS}-row counts
+    frame is pinned with a lazy checkpoint: it feeds both the totals branch
+    and the terms branch, and without the pin each branch re-ran the WHOLE
+    corpus aggregation (measured: 4 orders scans in the plan → 2 at
+    runtime, pivot + counts)."""
     o = load_table(spark, sf_dir, "orders")
     counts = _calendar_half_counts(
         o,
@@ -960,7 +965,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PSI_BINS - 1).cast("long"),
         ),
         "bin",
-    )
+    ).localCheckpoint(eager=False)
     spine = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
     fullb = (
         spine.join(counts, "bin", "left")

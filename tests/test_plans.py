@@ -448,3 +448,22 @@ def test_top_parts_per_segment_salted_two_stage(spark, sf_dir):
         .select("segment", "l_partkey", "part_revenue")
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_drift_monitors_read_corpus_once_per_pass(spark, sf_dir):
+    """Round-7 SCALE.md audit: psi_price_drift's ≤20-row counts frame feeds
+    two plan branches; without its lazy-checkpoint pin each branch re-ran
+    the whole corpus aggregation (4 orders scans in the plan). Pinned, the
+    downstream plan reads only the materialized frame — no parquet scan
+    survives. ks_price_drift inherits the same property from
+    with_global_cumsum's internal pin."""
+    from pyspark_retention_pipeline_spark.plans import shuffle_count
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    for name, budget in {"psi_price_drift": 2, "ks_price_drift": 3}.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert "orders.parquet" not in plan, f"{name}: corpus re-derived per branch"
+        assert "Scan ExistingRDD" in plan, f"{name}: pinned frame missing"
+        n = shuffle_count(df)
+        assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
