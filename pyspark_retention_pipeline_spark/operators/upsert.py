@@ -39,32 +39,37 @@ def scd2_apply(
     ``changes`` carries the key, the new attribute values, and the change
     timestamp column. One change per key per application (dedupe upstream
     with a keep-latest window if needed).
+
+    Single-pass form (round-7 scan audit): ONE left join against the
+    (key, change_ts) batch classifies every ``current`` row in place — an
+    OPEN version of a changed key closes (``valid_to`` = change ts),
+    everything else passes through untouched — then the change rows append
+    as new open versions. The previous anti/semi/inner three-join form
+    scanned the target three times for the same output; at a 100 TB target
+    that is two wasted full scans. The join is unhinted: the change batch
+    is usually small (AQE broadcasts it) but derives from a scaling input,
+    so a forced broadcast would be the round-1 OOM pattern.
     """
     change_keys = changes.select(
         F.col(key), F.col(change_ts_col).alias("_change_ts")
     )
-
-    closed = (
-        # Unhinted: the change batch is usually small (AQE will broadcast
-        # it) but derives from a scaling input, so a forced broadcast would
-        # be the round-1 OOM pattern.
-        current.join(change_keys, key, "inner")
-        .filter(F.col(valid_to).isNull())
-        .withColumn(valid_to, F.col("_change_ts"))
-        .drop("_change_ts")
-    )
-    unchanged = current.join(change_keys.select(key), key, "left_anti").unionByName(
-        # historical (already-closed) versions of changed keys stay as-is
-        current.join(change_keys.select(key), key, "left_semi").filter(
-            F.col(valid_to).isNotNull()
+    classified = (
+        current.join(change_keys, key, "left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col("_change_ts").isNotNull() & F.col(valid_to).isNull(),
+                F.col("_change_ts"),
+            ).otherwise(F.col(valid_to)),
         )
+        .drop("_change_ts")
     )
     new_versions = (
         changes.withColumn(valid_from, F.col(change_ts_col))
         .withColumn(valid_to, F.lit(None).cast(current.schema[valid_to].dataType))
         .drop(change_ts_col)
     )
-    return unchanged.unionByName(closed).unionByName(new_versions)
+    return classified.unionByName(new_versions)
 
 
 # Deterministic change batch: every 97th order key "arrives" as an update.
@@ -108,9 +113,14 @@ def merge_upsert_snapshot(spark, sf_dir: str) -> DataFrame:
     states the post-merge invariant directly (untouched ∪ updates), so the
     gate verifies the MERGE outcome, not the mechanism. At scale this is
     the table-format-free CDC form; a Delta/Iceberg MERGE replaces only
-    the sink, not this logic."""
+    the sink, not this logic. The synthetic change batch is PINNED (lazy
+    checkpoint): it feeds two plan branches (anti-join keys + the union
+    arm), and in production a change batch is a materialized input, not a
+    re-derivation of the target — unpinned, each branch re-scanned
+    orders."""
     base = _orders_base(spark, sf_dir)
-    merged = upsert(base, _orders_updates(base), ["o_orderkey"])
+    updates = _orders_updates(base).localCheckpoint(eager=False)
+    merged = upsert(base, updates, ["o_orderkey"])
     return merged.select(
         "o_orderkey",
         "o_orderstatus",
@@ -144,9 +154,12 @@ def scd2_order_versions(spark, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension application under the hash gate:
     the same deterministic change batch closes each changed key's open
     version (valid_to = change ts) and appends the change as the new open
-    version — :func:`scd2_apply`'s anti-join/semi-join/union plan. The
-    oracle is the declarative post-state (open unchanged ∪ closed old ∪
-    new open), verifying version bookkeeping row-for-row."""
+    version — :func:`scd2_apply`'s single-pass classify-and-append plan
+    (one target scan, one key shuffle). The oracle is the declarative
+    post-state (open unchanged ∪ closed old ∪ new open), verifying version
+    bookkeeping row-for-row. The change batch is pinned like in
+    :func:`merge_upsert_snapshot` — it feeds the classify join AND the
+    new-versions arm."""
     from ..exprs import ts_lit
     from ..tables import load_table
 
@@ -160,7 +173,7 @@ def scd2_order_versions(spark, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lit("U").alias("o_orderstatus"),
         ts_lit(SCD2_CHANGE_TS).alias("change_ts"),
-    )
+    ).localCheckpoint(eager=False)
     out = scd2_apply(current, changes, "o_orderkey", "change_ts")
     return out.select("o_orderkey", "o_orderstatus", "valid_from", "valid_to")
 
@@ -201,24 +214,25 @@ def cdc_multi_action_apply(spark, sf_dir: str) -> DataFrame:
     exercises precedence: a key appearing only as 'D' must vanish, not
     survive as a stale update). The oracle is the declarative post-state.
     Deletes are the piece :func:`merge_upsert_snapshot` couldn't express —
-    together they cover the three MERGE actions without a table format."""
+    together they cover the three MERGE actions without a table format.
+    The change batch derives in ONE conditional pass (every changed key
+    classified U/D in the same filtered projection, not one scan per
+    action) and is pinned — it feeds the touched-keys anti-join and the
+    survivors arm."""
     base = _orders_base(spark, sf_dir)
-    upd = base.filter(
-        (F.col("o_orderkey") % UPD_MOD == 0)
-        & (F.col("o_orderkey") % (UPD_MOD * 2) != 0)
-    ).select(
+    ck = F.col("o_orderkey")
+    is_del = ck % (UPD_MOD * 2) == 0
+    changes = base.filter(ck % UPD_MOD == 0).select(
         "o_orderkey",
-        F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
-        F.lit("U").alias("op"),
-    )
-    dels = base.filter(F.col("o_orderkey") % (UPD_MOD * 2) == 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.lit("D").alias("op"),
-    )
-    merged = apply_changes(base, upd.unionByName(dels), ["o_orderkey"])
+        F.when(is_del, F.col("o_orderstatus")).otherwise(F.lit("U")).alias(
+            "o_orderstatus"
+        ),
+        F.when(is_del, F.col("o_totalprice"))
+        .otherwise(F.round(F.col("o_totalprice") + 100.0, 2))
+        .alias("o_totalprice"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    ).localCheckpoint(eager=False)
+    merged = apply_changes(base, changes, ["o_orderkey"])
     return merged.select(
         "o_orderkey",
         "o_orderstatus",

@@ -467,3 +467,24 @@ def test_drift_monitors_read_corpus_once_per_pass(spark, sf_dir):
         assert "Scan ExistingRDD" in plan, f"{name}: pinned frame missing"
         n = shuffle_count(df)
         assert 1 <= n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_cdc_plans_scan_target_once(spark, sf_dir):
+    """Round-7 scan audit: the CDC tier must read the big target table once
+    per necessary pass — scd2_apply is the single-pass classify-and-append
+    join (the old anti/semi/inner form scanned the target three times), and
+    the synthetic change batches are pinned so their two consumer branches
+    read one materialization. snapshot_diff_summary legitimately needs two:
+    the merge's target side and the diff's base side."""
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    expected = {
+        "merge_upsert_snapshot": 1,
+        "scd2_order_versions": 1,
+        "cdc_multi_action_apply": 1,
+        "snapshot_diff_summary": 2,
+    }
+    for name, n in expected.items():
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        got = plan.count("orders.parquet")
+        assert got == n, f"{name}: {got} orders scans (expected {n})"
