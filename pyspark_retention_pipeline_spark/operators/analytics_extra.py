@@ -588,7 +588,12 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Support floor n_pair ≥ 2 keeps singleton noise out of the lift ranking."""
     li = load_table(spark, sf_dir, "lineitem")
     arr = F.array_sort(F.collect_set("l_partkey"))
-    per_order = li.groupBy("l_orderkey").agg(arr.alias("parts"))
+    # Pinned: the per-order basket frame feeds THREE branches (pair
+    # explode, item supports, order total); unpinned, each branch re-ran
+    # the lineitem scan + basket aggregation (4 scans in the plan).
+    per_order = (
+        li.groupBy("l_orderkey").agg(arr.alias("parts")).localCheckpoint(eager=False)
+    )
     pairs_col = F.flatten(
         F.transform(
             F.col("parts"),

@@ -393,7 +393,10 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join re-shuffles the (user, type) grain twice and never appears
     in the Spark plan."""
     e = load_events(spark, sf_dir)
-    ut = e.select("user_id", "event_type").distinct()
+    # Pinned: the distinct (user, type) frame feeds the pair branch and the
+    # two per-type total branches; unpinned, each re-ran the events scan +
+    # the distinct shuffle (3 scans in the plan).
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
     per_user = ut.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )

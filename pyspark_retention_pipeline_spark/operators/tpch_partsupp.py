@@ -181,10 +181,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("ps_supplycost") * F.col("ps_availqty") * 100
     ).cast("long")
+    # Pinned: the part-grain value frame feeds the threshold aggregate AND
+    # the final filter; unpinned, the threshold branch re-ran the whole
+    # partsupp synthesis + nation join (4 supplier scans in the plan).
     val = (
         ps.join(nat, ps.ps_suppkey == nat.s_suppkey)
         .groupBy("ps_partkey")
         .agg((F.sum(cents) / 100.0).alias("value"))
+        .localCheckpoint(eager=False)
     )
     thresh = val.agg((F.avg("value") * 2.0).alias("thresh"))
     return (

@@ -488,3 +488,18 @@ def test_cdc_plans_scan_target_once(spark, sf_dir):
         plan = explain_str(QUERIES[name](spark, sf_dir))
         got = plan.count("orders.parquet")
         assert got == n, f"{name}: {got} orders scans (expected {n})"
+
+
+def test_shared_frame_pins_in_basket_and_overlap_plans(spark, sf_dir):
+    """Round-7 scan audit: basket_lift's per-order basket frame,
+    audience_overlap's distinct (user, type) frame, and
+    q11_important_stock's part-grain value frame each feed 2-3 plan
+    branches; unpinned, every branch re-ran the corpus scan and the shared
+    aggregation (3-4 scans per plan). Pinned, no parquet scan survives
+    downstream — the corpus is read once at checkpoint materialization."""
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    for name in ("basket_lift", "audience_overlap", "q11_important_stock"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert ".parquet" not in plan, f"{name}: shared frame re-derived per branch"
+        assert "Scan ExistingRDD" in plan, f"{name}: pinned frame missing"
