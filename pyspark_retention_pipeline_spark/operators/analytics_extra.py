@@ -957,11 +957,13 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both sides; each (p−q)·ln(p/q) term quantizes to an exact BIGINT
     before summing (the ENT_SCALE/LP_SCALE rule: never float-reduce across
     rows), and the total is a window over the {PSI_BINS}-row aggregate —
-    bounded by construction at any corpus size. The ≤{PSI_BINS}-row counts
-    frame is pinned with a lazy checkpoint: it feeds both the totals branch
-    and the terms branch, and without the pin each branch re-ran the WHOLE
-    corpus aggregation (measured: 4 orders scans in the plan → 2 at
-    runtime, pivot + counts)."""
+    bounded by construction at any corpus size. The sample totals
+    n_ref/n_cur derive from a WINDOW over the same {PSI_BINS}-row frame
+    rather than a separate aggregate branch: the branched form re-ran the
+    whole corpus aggregation per consumer (measured: 4 orders scans in the
+    plan; the single-lineage form scans orders exactly twice — pivot +
+    counts — and keeps the bounding Aggregate visible to the
+    unpartitioned-window invariant, which a checkpoint pin would hide)."""
     o = load_table(spark, sf_dir, "orders")
     counts = _calendar_half_counts(
         o,
@@ -970,7 +972,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PSI_BINS - 1).cast("long"),
         ),
         "bin",
-    ).localCheckpoint(eager=False)
+    )
     spine = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
     fullb = (
         spine.join(counts, "bin", "left")
@@ -980,11 +982,10 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
         )
     )
-    tot = fullb.agg(
-        F.sum("c_ref").cast("long").alias("n_ref"),
-        F.sum("c_cur").cast("long").alias("n_cur"),
-    )
-    terms = fullb.crossJoin(F.broadcast(tot)).select(
+    w_tot = Window.partitionBy()
+    terms = fullb.withColumn(
+        "n_ref", F.sum("c_ref").over(w_tot).cast("long")
+    ).withColumn("n_cur", F.sum("c_cur").over(w_tot).cast("long")).select(
         "bin",
         "c_ref",
         "c_cur",
