@@ -8,6 +8,7 @@ from .inspect import (
     pushed_filters,
     scan_columns,
     shuffle_count,
+    unbounded_cross_joins,
     unpartitioned_corpus_windows,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "pushed_filters",
     "scan_columns",
     "shuffle_count",
+    "unbounded_cross_joins",
     "unpartitioned_corpus_windows",
 ]

@@ -134,6 +134,54 @@ def _literal_bounded_leaf(node) -> bool:
     return False
 
 
+def _all_paths_reduced(node) -> bool:
+    """True when EVERY row-contributing path below ``node`` passes through a
+    bounding reduction (Aggregate/GlobalLimit/Deduplicate) or ends in a
+    literal-bounded leaf. Shared by the unpartitioned-window and the
+    cross-join invariants."""
+    if node.getClass().getSimpleName() in _BOUNDED_REDUCTIONS:
+        return True
+    kids = node.children()
+    if kids.size() == 0:
+        # bare relation: corpus-scale, unless the leaf's row count is a
+        # small plan-time literal (range spine / literal frame).
+        return _literal_bounded_leaf(node)
+    return all(_all_paths_reduced(kids.apply(i)) for i in range(kids.size()))
+
+
+def unbounded_cross_joins(df: DataFrame) -> list[str]:
+    """``Join`` nodes with NO equi-join key (cross joins and pure non-equi
+    conditions — the shapes that compile to CartesianProduct /
+    BroadcastNestedLoopJoin) where NEITHER side is bounded.
+
+    A nested-loop join is O(|left| × |right|): fine when one side is a
+    1-row broadcast scalar or an aggregate-reduced frame (the sanctioned
+    ``crossJoin(F.broadcast(scalar))`` pattern), a quadratic cliff when both
+    sides scale with the corpus. Equi-key detection is textual on the
+    node's simpleString: any top-level ``=``/``<=>`` conjunct lets the
+    planner hash-partition, so only keyless joins are candidates."""
+    import re as _re
+
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Join":
+            s = node.simpleString(200)
+            has_equi = (" = " in s) or (" <=> " in s)
+            kids = node.children()
+            if not has_equi and not any(
+                _all_paths_reduced(kids.apply(i)) for i in range(kids.size())
+            ):
+                out.append(_re.sub(r"#\d+L?", "", s))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     """Unpartitioned ``Window`` nodes whose input is NOT aggregate-reduced.
 
@@ -155,16 +203,7 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     tiny aggregate (round-5 ADVICE item 1): the aggregate bounds the
     broadcast side's cardinality, not the probe side's."""
 
-    def reduced(node) -> bool:
-        if node.getClass().getSimpleName() in _BOUNDED_REDUCTIONS:
-            return True
-        kids = node.children()
-        if kids.size() == 0:
-            # bare relation: corpus-scale, unless the leaf's row count is a
-            # small plan-time literal (range spine / literal frame).
-            return _literal_bounded_leaf(node)
-        return all(reduced(kids.apply(i)) for i in range(kids.size()))
-
+    reduced = _all_paths_reduced
     out: list[str] = []
 
     def walk(node) -> None:

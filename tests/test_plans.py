@@ -508,3 +508,69 @@ def test_shared_frame_pins_in_basket_and_overlap_plans(spark, sf_dir):
         plan = explain_str(QUERIES[name](spark, sf_dir))
         assert ".parquet" not in plan, f"{name}: shared frame re-derived per branch"
         assert "Scan ExistingRDD" in plan, f"{name}: pinned frame missing"
+
+
+# Non-equi / cross joins allowed despite the detector: each has a documented
+# boundedness argument the inspector cannot prove structurally.
+CROSS_JOIN_EXEMPT = {
+    # literal id-slice baselines (doc_id < 150 / vec_id < 100): bounded by a
+    # Filter on a plan-time literal, which the reducer can't prove
+    "prefix_edit_distance_pairs",
+    "embedding_neardup",
+    # day-grain self-join over a checkpointed aggregate: the localCheckpoint
+    # (round-6 recompute fix) erases the Aggregate from the lineage; the
+    # frame is calendar-bounded by construction (see its docstring)
+    "theilsen_revenue_trend",
+}
+
+
+def test_no_unbounded_cross_joins(spark, sf_dir):
+    """Round-7 invariant: every keyless join (cross / pure non-equi — the
+    shapes that compile to CartesianProduct or BroadcastNestedLoopJoin) must
+    have at least one aggregate/limit/literal-bounded side. A nested-loop
+    join of two corpus-scale frames is O(n²) at 100 TB; the sanctioned
+    broadcast-scalar crossJoin pattern always has a 1-row aggregate side and
+    passes structurally. Named exemptions carry documented boundedness
+    arguments above."""
+    from pyspark_retention_pipeline_spark.plans import unbounded_cross_joins
+
+    skip = {
+        "ml_churn_scores",
+        "ml_churn_coefficients",
+        "ml_churn_metrics",
+        "ml_threshold_from_scores",
+        "ivf_knn",
+        "kmeans_lloyd_curve",
+        "dedup_clusters",
+        "curate_corpus_neardup",
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name in CROSS_JOIN_EXEMPT:
+            continue
+        hits = unbounded_cross_joins(fn(spark, sf_dir))
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, f"unbounded cross/non-equi joins: {offenders}"
+
+
+def test_cross_join_detector_distinguishes_scalar_from_corpus(spark, sf_dir):
+    """Positive control: a corpus × corpus non-equi join is flagged; the
+    broadcast-scalar crossJoin and an equi-join are not."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.plans import unbounded_cross_joins
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    bad = o.alias("a").join(
+        o.alias("b"), F.col("a.o_totalprice") < F.col("b.o_totalprice")
+    )
+    assert unbounded_cross_joins(bad), "corpus non-equi join not flagged"
+
+    scalar = o.agg(F.max("o_totalprice").alias("mx"))
+    ok = o.crossJoin(F.broadcast(scalar)).filter(F.col("o_totalprice") > F.col("mx") / 2)
+    assert not unbounded_cross_joins(ok), "broadcast-scalar crossJoin falsely flagged"
+
+    equi = o.alias("a").join(o.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+    assert not unbounded_cross_joins(equi), "equi self-join falsely flagged"
