@@ -416,3 +416,48 @@ def test_salted_topk_equals_single_window(spark, rows, k):
         .filter(F.col("rn") <= k)
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=12),
+    change_keys=st.sets(st.integers(min_value=0, max_value=11), max_size=6),
+    closed_keys=st.sets(st.integers(min_value=0, max_value=11), max_size=6),
+)
+@SETTINGS
+def test_scd2_apply_matches_python_reference(spark, n_rows, change_keys, closed_keys):
+    """The single-pass scd2_apply (one classify join) must match a
+    straightforward Python reference for ANY mix of changed keys, keys with
+    already-closed historical versions, and untouched keys: an open version
+    of a changed key closes at the change ts, closed versions never move,
+    and every change appends as the new open version."""
+    from pyspark_retention_pipeline_spark.operators.upsert import scd2_apply
+
+    CHANGE_TS = 5_000
+    cur = []
+    for k in range(n_rows):
+        if k in closed_keys:  # historical closed version alongside the open one
+            cur.append((k, f"old{k}", 100, 200))
+        cur.append((k, f"v{k}", 300, None))  # open version
+    current = spark.createDataFrame(
+        cur, "id long, attr string, valid_from long, valid_to long"
+    )
+    chg = [(k, f"new{k}", CHANGE_TS) for k in sorted(change_keys) if k < n_rows]
+    changes = spark.createDataFrame(
+        chg, "id long, attr string, changed_at long"
+    ) if chg else spark.createDataFrame([], "id long, attr string, changed_at long")
+
+    expected = []
+    changed = {k for k, _, _ in chg}
+    for k, attr, vf, vt in cur:
+        if vt is None and k in changed:
+            expected.append((k, attr, vf, CHANGE_TS))
+        else:
+            expected.append((k, attr, vf, vt))
+    for k, attr, ts in chg:
+        expected.append((k, attr, ts, None))
+
+    got = [
+        (r["id"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(current, changes, "id", "changed_at").collect()
+    ]
+    assert sorted(got, key=str) == sorted(expected, key=str)
