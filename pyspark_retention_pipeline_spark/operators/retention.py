@@ -197,10 +197,39 @@ def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-weight derivation fully inside the plan — the reference collects
     label counts to the Python driver and re-injects them as literals
     (``pipeline/train.py:40-55``); here the counts stay distributed via a
-    broadcast scalar join, so nothing round-trips through the driver."""
-    from .joins import label_antijoin
+    broadcast scalar join, so nothing round-trips through the driver.
 
-    labeled = label_antijoin(spark, sf_dir)
+    Scale shape (round-7 scan audit fix): the labeled frame is built in ONE
+    fused conditional aggregation over orders (``MAX(in_hist)/MAX(in_fut)``
+    per custkey — set-identical to ``label_antijoin``'s two-distinct join,
+    proven in tests/test_operators_unit.py) and pinned with a lazy
+    ``localCheckpoint``, because it feeds two plan branches (the count
+    aggregate and the output join). The old composition re-ran the
+    hist/fut derivation per branch — 4 orders scans in the plan; now the
+    corpus is read once at checkpoint materialization and both branches
+    read the pinned rows (tests/test_plans.py asserts no parquet scan
+    survives downstream). The counts side of the cross join is an
+    ungrouped aggregate DOWNSTREAM of the pin, so the keyless-join
+    boundedness reducer still sees its 1-row proof."""
+    o = load_table(spark, sf_dir, "orders")
+    labeled = (
+        o.filter(F.col("o_orderdate") <= ts_lit(LOOKAHEAD_END))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(
+                F.when(F.col("o_orderdate") <= ts_lit(CUTOFF), 1).otherwise(0)
+            ).alias("in_hist"),
+            F.max(
+                F.when(F.col("o_orderdate") > ts_lit(CUTOFF), 1).otherwise(0)
+            ).alias("in_fut"),
+        )
+        .filter(F.col("in_hist") == 1)
+        .select(
+            "custkey",
+            F.when(F.col("in_fut") == 0, 1.0).otherwise(0.0).alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
     counts = labeled.agg(
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_neg"),

@@ -805,12 +805,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-level TF-IDF with top-3 terms per document (bounded to
     doc_id < 50 for the oracle workload). Two aggregations + one broadcast
     join; the document-frequency side is tiny (vocabulary-sized) and
-    broadcast, so the big side never shuffles for the join."""
+    broadcast, so the big side never shuffles for the join.
+
+    Scale shape (round-7 scan audit fix): the exploded-token subtree fed
+    THREE plan branches (TF counts, DF counts, corpus size), and each
+    branch re-ran the corpus scan and the explode — 3 documents scans per
+    plan. The (doc_id, token, tf) aggregate — already the smallest frame
+    that can answer all three questions, since DF(token) is its per-token
+    row count and N is its distinct doc count — is now pinned with a lazy
+    ``localCheckpoint``; the corpus is read once at materialization and
+    every branch reads the pinned rows (plan asserted scan-free in
+    tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tf = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    tf_counts = tf.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_counts = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    tf_counts = (
+        tf.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # tf_counts has exactly one row per (doc_id, token), so DF is a plain
+    # per-token row count and N a distinct-doc count — no second pass over
+    # the raw tokens.
+    df_counts = tf_counts.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = tf_counts.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf_counts.join(F.broadcast(df_counts), "token")
         .crossJoin(F.broadcast(n_docs))
@@ -836,8 +853,17 @@ def quality_zscore_frame(docs: DataFrame) -> DataFrame:
     At 100 TB with ~5 languages the round-2 ``applyInPandas`` form pulled
     terabytes into single pandas frames (round-2 verdict item 3); this form
     shuffles only (lang, median) rows. The pandas variant survives as
-    :func:`quality_zscore_pandas_frame` (agreement-tested)."""
-    base = docs.select("doc_id", "lang", "n_chars")
+    :func:`quality_zscore_pandas_frame` (agreement-tested).
+
+    Scale shape (round-7 scan audit fix): the narrow base projection feeds
+    three plan branches (median pass, MAD pass, final join) and the median
+    frame feeds two more — unpinned, the plan re-ran the corpus scan per
+    branch (4 documents scans). The base frame is pinned with a lazy
+    ``localCheckpoint`` (3 narrow columns, one materialization), so the
+    corpus parquet is read exactly once and the two inherently sequential
+    median passes re-read the pinned rows instead of the corpus
+    (tests/test_plans.py asserts the downstream plan is parquet-free)."""
+    base = docs.select("doc_id", "lang", "n_chars").localCheckpoint(eager=False)
     med = base.groupBy("lang").agg(F.median("n_chars").alias("med"))
     mad = (
         base.join(F.broadcast(med), "lang")

@@ -524,6 +524,42 @@ CROSS_JOIN_EXEMPT = {
 }
 
 
+def test_multibranch_recompute_fixes_scan_once(spark, sf_dir):
+    """Round-8 seats of the last three round-7 scan-audit hits: class_weights
+    (was 4 orders scans — labeled frame rebuilt per branch), tfidf_top_terms
+    (was 3 documents scans — exploded tokens re-derived per branch), and
+    quality_zscore_by_lang (was 4 documents scans — base projection re-read
+    by both median passes and the final join). Each now pins its shared
+    frame with a lazy localCheckpoint, so the corpus parquet is read exactly
+    once at materialization and NO parquet scan survives in the downstream
+    plan."""
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    for name in ("class_weights", "tfidf_top_terms", "quality_zscore_by_lang"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert ".parquet" not in plan, f"{name}: shared frame re-derived per branch"
+        assert "Scan ExistingRDD" in plan, f"{name}: pinned frame missing"
+
+
+def test_class_weights_fused_labels_match_antijoin(spark, sf_dir):
+    """The round-8 class_weights rewrite derives (custkey, label) in one
+    fused conditional aggregation over orders; it must stay set-identical
+    to the reference-parity two-distinct join form (label_antijoin)."""
+    from pyspark_retention_pipeline_spark.operators.joins import label_antijoin
+
+    fused = {
+        (r["custkey"], r["label"])
+        for r in QUERIES["class_weights"](spark, sf_dir)
+        .select("custkey", "label")
+        .collect()
+    }
+    join_form = {
+        (r["custkey"], r["label"])
+        for r in label_antijoin(spark, sf_dir).collect()
+    }
+    assert fused == join_form
+
+
 def test_no_unbounded_cross_joins(spark, sf_dir):
     """Round-7 invariant: every keyless join (cross / pure non-equi — the
     shapes that compile to CartesianProduct or BroadcastNestedLoopJoin) must
