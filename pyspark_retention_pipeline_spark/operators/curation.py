@@ -776,6 +776,140 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin of the group-aware split + its leakage audit. The canonical id
+# (min doc_id of each near-dup component) is SQL-expressible via a recursive
+# transitive closure over the hamming-<=3 pair set — DuckDB re-derives the
+# exact component minima the iterated-min connected components converge to,
+# then applies the identical md5 90/5/5 bucket to the canonical id.
+_GROUP_SPLIT_AUDIT_ORACLE = f"""
+    WITH RECURSIVE {SIMHASH_SIGS_CTE}, sym AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM simhash_pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM simhash_pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+      WHERE s.dst <> r.src
+    ), canon AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    ), assign AS (
+      SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+    ), sp AS (
+      SELECT doc_id, canonical_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(canonical_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(CAST(canonical_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assign
+    ), per_split AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters
+      FROM sp GROUP BY split
+    ), paired AS (
+      SELECT sa.split AS split_a, sb.split AS split_b
+      FROM simhash_pairs p
+      JOIN sp sa ON p.doc_id_a = sa.doc_id
+      JOIN sp sb ON p.doc_id_b = sb.doc_id
+    ), within AS (
+      SELECT split_a AS split, CAST(COUNT(*) AS BIGINT) AS n_within_pairs
+      FROM paired WHERE split_a = split_b GROUP BY 1
+    ), cross_sides AS (
+      SELECT split_a AS split FROM paired WHERE split_a <> split_b
+      UNION ALL
+      SELECT split_b AS split FROM paired WHERE split_a <> split_b
+    ), crossed AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_cross_pairs
+      FROM cross_sides GROUP BY split
+    )
+    SELECT ps.split, ps.n_docs, ps.n_clusters,
+           CAST(COALESCE(w.n_within_pairs, 0) AS BIGINT) AS n_within_pairs,
+           CAST(COALESCE(c.n_cross_pairs, 0) AS BIGINT) AS n_cross_pairs
+    FROM per_split ps
+    LEFT JOIN within w ON ps.split = w.split
+    LEFT JOIN crossed c ON ps.split = c.split
+"""
+
+
+@query(
+    "group_split_leakage_audit",
+    oracle=_GROUP_SPLIT_AUDIT_ORACLE,
+    tags=("curation", "split", "leakage", "dedup-neardup"),
+)
+def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed PROOF frame for :func:`~.components.group_aware_split`
+    (whose own output is rows-only — iterative components): one row per
+    split with its doc count, cluster count, the number of near-dup pairs
+    fully inside the split (non-zero, so the pair join is provably not
+    vacuously empty), and the number of near-dup pairs straddling the
+    split boundary — which the group-aware assignment makes 0 BY
+    CONSTRUCTION (both members of every hamming-<=3 pair share a
+    component, hence a canonical id, hence a split bucket).
+
+    The DuckDB oracle independently re-derives the components via a
+    recursive transitive closure over the same pair set, so the driver row
+    checks the full chain — signatures, banding-complete candidate
+    recovery, component minima, md5 bucket — not just the zero.
+
+    Scale shape: the assignment frame and the labeled pair frame are each
+    pinned (both feed two aggregation branches; unpinned, each branch
+    re-runs the LSH candidate join and the component iteration). All
+    downstream aggregates are split-cardinality (3 rows).
+    """
+    from .components import group_aware_split
+
+    assign = group_aware_split(spark, sf_dir).localCheckpoint(eager=False)
+    d = load_table(spark, sf_dir, "documents")
+    paired = (
+        simhash_candidate_frame(d)
+        .select("doc_id_a", "doc_id_b")
+        .join(
+            assign.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+            ),
+            "doc_id_b",
+        )
+        .select("split_a", "split_b")
+        .localCheckpoint(eager=False)
+    )
+    per_split = assign.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("canonical_id").alias("n_clusters"),
+    )
+    within = (
+        paired.filter(F.col("split_a") == F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count("*").alias("n_within_pairs"))
+    )
+    leaks = paired.filter(F.col("split_a") != F.col("split_b"))
+    cross = (
+        leaks.select(F.col("split_a").alias("split"))
+        .unionAll(leaks.select(F.col("split_b").alias("split")))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_cross_pairs"))
+    )
+    return (
+        per_split.join(within, "split", "left")
+        .join(cross, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("n_within_pairs", F.lit(0)).cast("long").alias("n_within_pairs"),
+            F.coalesce("n_cross_pairs", F.lit(0)).cast("long").alias("n_cross_pairs"),
+        )
+    )
+
+
 _SOURCE_OVERLAP_ORACLE = f"""
     WITH {SIMHASH_SIGS_CTE}
     SELECT least(da.source, db.source) AS source_a,
