@@ -40,91 +40,69 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-7 rotation (VERDICT r6 items 1/2/3 + docs/ROUND7_ROTATION.md): the
-# window leads with the queries whose IMPLEMENTATION changed this round —
-# the three canonicalizer-crashing array-output queries rebuilt as scalar
-# oracle-backed forms (the only red rows in CORRECTNESS_r06), plus
-# simhash_candidates and its four composers, whose candidate-generation plan
-# gained the hot-bucket bound — then burns every remaining slot on the
-# never-driver-verified oracle-backed backlog, OLDEST FIRST per the rotation
-# doc. The mandatory changed-plan seats (items 1/3) cost 7 slots the
-# backfill tier would otherwise use, so the backlog lands at 22 (item 2
-# aimed for <= 18 — not reachable while honoring the plan-change rule; the
-# 22 deferred queries stay pytest-parity- and sweep-green and lead round 8).
+# Round-8 rotation (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md) — now
+# GENERATED: ``scripts/derive_front.py`` derives this window mechanically
+# from the committed CORRECTNESS_r0*.json driver artifacts plus the script's
+# small per-round config (changed-plan list, flagship, window size), and
+# ``tests/test_registry_order.py`` asserts the tuple below equals the
+# script's output. Round-8 composition: the 4 plan-changed seats (the three
+# shared-frame-pin fixes from commit 8599b2e + the jaccard-verify parity
+# slice), the ENTIRE 24-query never-driver-verified backlog (the 23
+# round-7 deferrals + the new group_split_leakage_audit — backlog reaches
+# zero for the first time), the flagship, and 21 backfill seats from the
+# stalest (round-1-verified) tier; the remaining 6 r1-tier names defer to
+# round 9.
 _FRONT: tuple[str, ...] = (
-    # --- changed this round (plan-change rule): the 3 round-6 red rows,
-    #     rebuilt with scalar outputs + portable-hash oracles ---
-    "minhash_signatures",
-    "simhash64",
-    "winnowing_fingerprints",
-    # --- changed this round: hot-bucket bound in the simhash candidate
-    #     join (VERDICT r6 item 3) — the query and every composer of
-    #     simhash_candidate_frame re-verify ---
-    "simhash_candidates",
+    "class_weights",
+    "tfidf_top_terms",
+    "quality_zscore_by_lang",
     "simhash_jaccard_verify",
-    "split_leakage_check",
-    "source_overlap_matrix",
-    "group_aware_split",  # rows-only; re-seats on change per contract
-    # --- changed this round: salted two-stage per-group top-k (round-6
-    #     verdict watch item 8) — output-identical, plan changed ---
-    "top_parts_per_segment",
-    # --- never driver-verified oracle-backed backlog, oldest first
-    #     (docs/ROUND7_ROTATION.md order; cut from the bottom) ---
-    "revenue_mom_growth",
-    "variant_props_histogram",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_stock",
-    "lateral_recent_orders",
-    "revenue_gini",
-    "lorenz_deciles",
-    "part_cooccurrence",
-    "centroid_inertia",
-    "cumulative_new_users",
-    "daily_anomaly_zscore",
-    "weekday_hour_heatmap",
-    "top_session_paths",
-    "source_temperature_weights",
-    "rfm_segments",
-    "unigram_logprob_score",
-    "heavy_hitter_tokens",
-    "basket_lift",
-    "bounce_rate_daily",
-    "weighted_doc_sample",
-    "udtf_sentence_split",
-    "merge_upsert_snapshot",
-    "scd2_order_versions",
-    "cdc_multi_action_apply",
-    "revenue_trend_forecast",
-    "nation_revenue_trend",
-    "user_type_entropy",
-    "dq_constraint_report",
-    "join_key_skew_profile",
-    "recursive_month_spine",
-    "winsorized_spend_stats",
-    "ngram_dup_rate",
-    "prefix_edit_distance_pairs",
-    "audience_overlap",
-    "retention_by_first_touch",
-    "bucketed_join_revenue",
-    "partition_pruned_revenue",
-    "snapshot_diff_summary",
-    # user_value_twap /
-    # media_dedup_exact / pipe_sql_revenue_flow / hapax_rate_by_source /
-    # pareto_concentration / interarrival_acf / rare_token_rate /
-    # theilsen_revenue_trend / psi_price_drift / ks_price_drift /
-    # retention_decay_fit / lang_id_confusion / bigram_logprob_score /
-    # per_source_sample / embedding_outliers / token_pmi_collocations /
-    # locf_fill / dependent_funnel / zorder_scan_revenue /
-    # km_session_survival / bootstrap_revenue_ci / ab_conversion_ztest /
-    # time_decay_attribution (23) didn't fit the 50-slot window after the
-    # mandatory changed-plan seats (user_value_twap yielded its slot to the
-    # late top_parts_per_segment plan change); all are pytest-parity-green
-    # at sf0.001/sf0.01 and sweep-green at sf0.1, and lead the round-8
-    # window.
-    # --- flagship continuity slot ---
+    "retention_decay_fit",
+    "dependent_funnel",
+    "km_session_survival",
+    "ab_conversion_ztest",
+    "time_decay_attribution",
+    "user_value_twap",
+    "interarrival_acf",
+    "theilsen_revenue_trend",
+    "locf_fill",
+    "lang_id_confusion",
+    "hapax_rate_by_source",
+    "rare_token_rate",
+    "bigram_logprob_score",
+    "token_pmi_collocations",
+    "per_source_sample",
+    "group_split_leakage_audit",
+    "embedding_outliers",
+    "pareto_concentration",
+    "pipe_sql_revenue_flow",
+    "psi_price_drift",
+    "ks_price_drift",
+    "bootstrap_revenue_ci",
+    "zorder_scan_revenue",
+    "media_dedup_exact",
     "churn_features",
+    "above_avg_orders",
+    "active_customers_semi",
+    "all_orders_finished",
+    "best_threshold",
+    "cast_projection",
+    "churned_customers",
+    "cohort_filter",
+    "customer_spend_stats",
+    "label_antijoin",
+    "large_volume_orders",
+    "late_shipping_priority_check",
+    "latest_order_per_customer",
+    "left_join_enrich",
+    "not_cancelled",
+    "order_key_list",
+    "priority_line_distribution",
+    "recent90_agg",
+    "recent_window",
+    "returned_parts_distinct",
+    "running_total",
+    "segment_case",
 )
 
 
@@ -178,3 +156,11 @@ def get(name: str) -> Query:
 def names() -> list[str]:
     _ensure_loaded()
     return sorted(_REGISTRY)
+
+
+def registration_order() -> list[str]:
+    """Query names in module-import registration order — the stable age
+    proxy ``scripts/derive_front.py`` uses for the never-driver-verified
+    tier (unlike ``all_queries()``, NOT reordered by ``_FRONT``)."""
+    _ensure_loaded()
+    return list(_REGISTRY)

@@ -2,17 +2,24 @@
 
 The driver's correctness gate verifies a bounded prefix of ``queries()``
 (50 entries per round), so insertion order is load-bearing. The policy is
-re-derived EVERY round (round-5 verdict item 2 made this a checklist item);
-this file pins the CURRENT round's rotation so a code change that silently
-reorders the registry fails loudly.
+re-derived EVERY round (round-5 verdict item 2 made this a checklist item).
 
-Round-7 policy (VERDICT r6 items 1/2/3 + docs/ROUND7_ROTATION.md): the
-window must seat (a) every query whose implementation changed this round —
-the three canonicalizer-crashing queries rebuilt as scalar oracle-backed
-forms, plus simhash_candidates and every composer of the now-bounded
-simhash_candidate_frame — and (b) the flagship; every remaining slot burns
-down the never-driver-verified oracle-backed backlog, oldest first.
+Since round 8 the window is GENERATED: ``scripts/derive_front.py`` computes
+it from the committed ``CORRECTNESS_r0*.json`` driver artifacts plus the
+script's small per-round config, and the anchor test here asserts
+``registry._FRONT`` equals the script's output — a hand edit to either side
+that diverges fails loudly (VERDICT r7 item 7).
+
+Round-8 policy (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md): seat
+(a) the four queries whose plan changed this round — the three shared-frame
+pin fixes plus the jaccard-verify parity slice; (b) the ENTIRE
+never-driver-verified backlog (23 round-7 deferrals + the new
+group_split_leakage_audit — the backlog reaches zero for the first time);
+(c) the flagship; backfill from the stalest (round-1-verified) tier.
 """
+
+import importlib.util
+import os
 
 from pyspark_retention_pipeline_spark.registry import (
     _FRONT,
@@ -21,37 +28,24 @@ from pyspark_retention_pipeline_spark.registry import (
 )
 
 DRIVER_WINDOW = 50
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 7 — plan-change rule makes seating
+# (a) implementation changed in round 8 — plan-change rule makes seating
 # mandatory (round-5 lesson).
-CHANGED_R7 = {
-    # round-6 red rows rebuilt: scalar outputs, portable-hash oracles
-    "minhash_signatures",
-    "simhash64",
-    "winnowing_fingerprints",
-    # hot-bucket bound in simhash_candidate_frame + its composers
-    "simhash_candidates",
+CHANGED_R8 = {
+    # shared-frame pins (multi-branch recompute fixes, VERDICT r7 item 2)
+    "class_weights",
+    "tfidf_top_terms",
+    "quality_zscore_by_lang",
+    # both-engine deterministic doc_id slice (VERDICT r7 item 5)
     "simhash_jaccard_verify",
-    "split_leakage_check",
-    "source_overlap_matrix",
-    "group_aware_split",
-    # salted two-stage per-group top-k (round-6 verdict watch item 8);
-    # output-identical to the single-window form, but the plan changed
-    "top_parts_per_segment",
 }
 
-# The three rebuilt queries must now be oracle-backed (the round-6 forms
-# were rows-only AND crashed the driver's canonicalizer).
-UPGRADED_TO_ORACLE = {"minhash_signatures", "simhash64", "winnowing_fingerprints"}
-
-# (b) flagship continuity slot — in the window every round.
-FLAGSHIP = {"churn_features"}
-
-# Deferred never-verified backlog (bottom of the rotation-doc order) — these
-# lead the round-8 window; pinned here so the round-8 rotation starts from a
-# checked list instead of re-deriving it from memory.
-DEFERRED_TO_R8 = {
-    "user_value_twap",  # yielded its slot to the top_parts_per_segment seat
+# (b) the never-driver-verified backlog, all seated this round. The 23
+# round-7 deferrals (pinned as DEFERRED_TO_R8 last round) + the new
+# oracle-backed split-leakage proof query.
+BACKLOG_R8 = {
+    "user_value_twap",
     "media_dedup_exact",
     "pipe_sql_revenue_flow",
     "hapax_rate_by_source",
@@ -74,7 +68,36 @@ DEFERRED_TO_R8 = {
     "bootstrap_revenue_ci",
     "ab_conversion_ztest",
     "time_decay_attribution",
+    "group_split_leakage_audit",  # new in round 8
 }
+
+# (c) flagship continuity slot — in the window every round.
+FLAGSHIP = {"churn_features"}
+
+# Stalest-tier backfill deferred to round 9 (the 6 round-1-verified names
+# the 50-slot window could not hold after the mandatory seats).
+DEFERRED_TO_R9 = {
+    "sql_expr_filter",
+    "supplier_balance_by_nation",
+    "threshold_pred",
+    "threshold_sweep",
+    "top_customers",
+    "union_by_name",
+}
+
+
+def _derived_front() -> list[str]:
+    spec = importlib.util.spec_from_file_location(
+        "derive_front", os.path.join(REPO, "scripts", "derive_front.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.derive_front()
+
+
+def test_front_matches_derivation_script():
+    """The anchor: the pinned window IS the script's output (no hand drift)."""
+    assert list(_FRONT) == _derived_front()
 
 
 def test_front_names_all_exist():
@@ -89,27 +112,24 @@ def test_front_fills_driver_window_exactly():
     assert list(all_queries())[:DRIVER_WINDOW] == list(_FRONT)
 
 
-def test_changed_and_flagship_inside_driver_window():
+def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R7 | FLAGSHIP) - window
-    assert not missing, f"changed-plan queries outside driver window: {missing}"
+    missing = (CHANGED_R8 | BACKLOG_R8 | FLAGSHIP) - window
+    assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
-def test_rebuilt_queries_are_oracle_backed():
-    oracles = all_oracle_sql()
-    missing = UPGRADED_TO_ORACLE - set(oracles)
-    assert not missing, f"rebuilt queries lost their oracle: {missing}"
+def test_backlog_is_oracle_backed():
+    """The whole backlog must carry oracles — a rows-only seat would burn a
+    slot on a weaker check (rows-only ops re-seat only on change)."""
+    missing = BACKLOG_R8 - set(all_oracle_sql())
+    assert not missing, f"backlog entries missing oracles: {missing}"
 
 
-def test_deferred_backlog_is_registered_and_oracle_backed():
-    qs, oracles = all_queries(), all_oracle_sql()
-    assert DEFERRED_TO_R8 <= set(qs)
-    # group_aware_split-style rows-only ops are not in this tier by design.
-    missing = DEFERRED_TO_R8 - set(oracles)
-    assert not missing, f"deferred backlog entries missing oracles: {missing}"
-    # Deferral means NOT in this round's window.
+def test_deferred_backfill_outside_window():
+    qs = all_queries()
+    assert DEFERRED_TO_R9 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R8 & window
+    overlap = DEFERRED_TO_R9 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
