@@ -3,7 +3,7 @@
 SF_DIR ?= /root/testdata/sf0.001
 OUT_DIR ?= ./data/artifacts
 
-.PHONY: test test-gate bench etl train eval plots plans sweep
+.PHONY: test test-gate test-gated bench etl train eval plots plans sweep
 
 test:
 	python -m pytest tests/ -q
@@ -22,6 +22,15 @@ sweep:
 parity-gate:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
 	  python -m pytest tests/test_oracle_parity.py -q
+
+# The dependency-gated tests (fastapi routes, protobuf stateful streaming)
+# for a host that HAS those deps: runs exactly the tests that skip in the
+# build container and turns any skip into a failure (COVERAGE.md "Permanent
+# dependency gates").
+test-gated:
+	python -c "import fastapi, google.protobuf" \
+	  || (echo 'test-gated requires fastapi + protobuf installed'; exit 1)
+	python -m pytest tests/test_serving.py tests/test_stateful_streaming.py -q -rs
 
 bench:
 	python bench.py

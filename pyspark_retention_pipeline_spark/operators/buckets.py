@@ -56,6 +56,16 @@ def bounded_bucket_pairs(
     minhash 0.58 → 0.11 s, embedding-LSH 0.49 → 0.08 s). Storage is one
     materialization of the (bucket, id, payload) rows — the same order of
     magnitude the branch shuffles were already paying three times.
+
+    Fault-tolerance tradeoff (applies to EVERY lazy-localCheckpoint pin in
+    this repo): localCheckpoint blocks live only on their executor,
+    unreplicated — losing an executor (or a dynamic-allocation downscale)
+    fails the job instead of recomputing, since the truncated lineage
+    cannot be replayed. Fine on local[*] and static on-demand clusters;
+    on a cluster with preemptible executors or dynamic allocation, swap
+    the pin for ``persist(StorageLevel.DISK_ONLY_2)`` (replicated, lineage
+    kept) or a reliable ``checkpoint()`` to HDFS/object storage. See
+    docs/SCALE.md "Pinned shared frames".
     """
     payload_cols = payload_cols or []
     w = Window.partitionBy(*bucket_cols)

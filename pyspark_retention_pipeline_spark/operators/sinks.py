@@ -33,10 +33,12 @@ _ROUNDTRIP_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "rou
 
 def snapshot_path(spark: SparkSession, sf_dir: str) -> str:
     """Per-(application, SF) path of the status-partitioned orders snapshot."""
-    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",))
+    app = spark.sparkContext.applicationId
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",), keep=(app,))
+    _touch_live(_ROUNDTRIP_ROOT / app)
     return str(
         _ROUNDTRIP_ROOT
-        / spark.sparkContext.applicationId
+        / app
         / f"orders_by_status_{Path(sf_dir.rstrip('/')).name}"
     )
 
@@ -78,16 +80,25 @@ N_BUCKETS = 8
 # App-id-keyed snapshot/table paths make concurrent sessions disjoint, but
 # every session leaves its generation behind; without a sweep the warehouse
 # grows without bound across gate/bench/pytest runs (~1 MB per run at test
-# SF — 51 MB observed after round 6). One hour of age is far past any live
-# session here, so mtime-gated deletion can never race a running query.
+# SF — 51 MB observed after round 6). Directory mtime does NOT refresh on
+# reads or on overwrites inside existing subdirectories, so age alone
+# cannot prove a generation dead (ADVICE r7): the sweep therefore SKIPS
+# anything keyed to the current applicationId, and the path helpers
+# os.utime() the live app's directory on each call so long-running
+# sessions stay visibly fresh to other sessions' sweeps too.
 _STALE_AFTER_S = 3600
 
 
-def sweep_stale_artifacts(root: Path, prefixes: tuple[str, ...]) -> None:
+def sweep_stale_artifacts(
+    root: Path, prefixes: tuple[str, ...], keep: tuple[str, ...] = ()
+) -> None:
     """Delete ``root`` subdirectories matching ``prefixes`` whose mtime is
     older than an hour — prior sessions' app-id-keyed leftovers. Managed
     tables of PAST applications aren't in the current catalog (fresh
-    in-memory metastore per session), so this is a filesystem sweep."""
+    in-memory metastore per session), so this is a filesystem sweep.
+    Any directory whose name contains a ``keep`` token (the live session's
+    applicationId) is never deleted, regardless of age — a lazy DataFrame
+    re-evaluated hours later must still find its own files."""
     import shutil
     import time
 
@@ -96,11 +107,25 @@ def sweep_stale_artifacts(root: Path, prefixes: tuple[str, ...]) -> None:
     cutoff = time.time() - _STALE_AFTER_S
     for child in root.iterdir():
         if child.is_dir() and child.name.startswith(prefixes):
+            if any(token and token in child.name for token in keep):
+                continue
             try:
                 if child.stat().st_mtime < cutoff:
                     shutil.rmtree(child, ignore_errors=True)
             except OSError:
                 continue
+
+
+def _touch_live(path: Path) -> None:
+    """Refresh mtime of the live app's artifact dir (liveness signal for
+    OTHER sessions' sweeps; reads/nested overwrites don't update it)."""
+    import os
+
+    try:
+        if path.exists():
+            os.utime(path)
+    except OSError:
+        pass
 
 
 @query(
@@ -127,8 +152,10 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on (application, SF) like the parquet round-trip, so concurrent
     sessions cannot race."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    sweep_stale_artifacts(Path(wh.removeprefix("file:")), ("bt_orders_", "bt_cust_"))
     app = spark.sparkContext.applicationId.replace("-", "_")
+    sweep_stale_artifacts(
+        Path(wh.removeprefix("file:")), ("bt_orders_", "bt_cust_"), keep=(app,)
+    )
     sf = Path(sf_dir.rstrip("/")).name.replace(".", "_")
     t_orders = f"bt_orders_{app}_{sf}"
     t_cust = f"bt_cust_{app}_{sf}"
@@ -197,10 +224,12 @@ _Z_DAY_BASE = 8000
 
 def zorder_path(spark: SparkSession, sf_dir: str) -> str:
     """Per-(application, SF) path of the z-ordered orders snapshot."""
-    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",))
+    app = spark.sparkContext.applicationId
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",), keep=(app,))
+    _touch_live(_ROUNDTRIP_ROOT / app)
     return str(
         _ROUNDTRIP_ROOT
-        / spark.sparkContext.applicationId
+        / app
         / f"orders_zorder_{Path(sf_dir.rstrip('/')).name}"
     )
 

@@ -157,10 +157,22 @@ def unbounded_cross_joins(df: DataFrame) -> list[str]:
     A nested-loop join is O(|left| × |right|): fine when one side is a
     1-row broadcast scalar or an aggregate-reduced frame (the sanctioned
     ``crossJoin(F.broadcast(scalar))`` pattern), a quadratic cliff when both
-    sides scale with the corpus. Equi-key detection is textual on the
-    node's simpleString: any top-level ``=``/``<=>`` conjunct lets the
-    planner hash-partition, so only keyless joins are candidates."""
+    sides scale with the corpus. Equi-key detection walks the Join node's
+    condition EXPRESSION TREE for an ``EqualTo``/``EqualNullSafe`` top-level
+    conjunct (any one lets the planner hash-partition) — not the node's
+    simpleString, whose truncation could drop the equality conjunct from a
+    long condition and whose string literals could contain ``" = "``
+    (ADVICE r7). Single-side equalities (``col = lit``) are pushed below
+    the join by the optimizer, so surviving conjuncts span both sides."""
     import re as _re
+
+    def _has_equi_conjunct(expr) -> bool:
+        cls = expr.getClass().getSimpleName()
+        if cls == "And":
+            return _has_equi_conjunct(expr.left()) or _has_equi_conjunct(
+                expr.right()
+            )
+        return cls in ("EqualTo", "EqualNullSafe")
 
     out: list[str] = []
 
@@ -168,7 +180,8 @@ def unbounded_cross_joins(df: DataFrame) -> list[str]:
         name = node.getClass().getSimpleName()
         if name == "Join":
             s = node.simpleString(200)
-            has_equi = (" = " in s) or (" <=> " in s)
+            cond = node.condition()
+            has_equi = (not cond.isEmpty()) and _has_equi_conjunct(cond.get())
             kids = node.children()
             if not has_equi and not any(
                 _all_paths_reduced(kids.apply(i)) for i in range(kids.size())

@@ -47,7 +47,14 @@ class ChurnScorer:
         return cls(spark, model, threshold)
 
     def schema(self) -> dict:
-        return {"features": self.feature_cols, "threshold": self.threshold}
+        # ``required_features`` is the reference's response contract
+        # (serve_api.py:190); ``features``/``threshold`` are kept alongside
+        # for callers of the richer engine-native shape (ADVICE r7).
+        return {
+            "required_features": self.feature_cols,
+            "features": self.feature_cols,
+            "threshold": self.threshold,
+        }
 
     def health(self) -> dict:
         # Reference /health returns the schema inline (serve_api.py:180-184).

@@ -517,6 +517,15 @@ CROSS_JOIN_EXEMPT = {
     # Filter on a plan-time literal, which the reducer can't prove
     "prefix_edit_distance_pairs",
     "embedding_neardup",
+    # broadcast-query kNN: the crossJoin's query side is literal-bounded
+    # (vec_id < N_QUERIES = 10 / the media variant's fixed query slice) and
+    # broadcast; candidates are scanned ONCE, linear not quadratic. These
+    # surfaced in round 8 when equi-detection moved from simpleString
+    # matching to the condition expression tree: their only condition is
+    # NOT(query_id = neighbor_id), whose " = " the old textual check
+    # misread as an equi-key (the ADVICE r7 masked-true-positive case).
+    "knn_bruteforce",
+    "media_embed_knn",
     # day-grain self-join over a checkpointed aggregate: the localCheckpoint
     # (round-6 recompute fix) erases the Aggregate from the lineage; the
     # frame is calendar-bounded by construction (see its docstring)

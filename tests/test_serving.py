@@ -17,6 +17,10 @@ def scorer(spark, sf_dir):
 
 
 def test_schema_comes_from_model(scorer):
+    # required_features is the reference response contract (serve_api.py:190);
+    # asserting it here keeps the key pinned even where fastapi is absent
+    # and the route-level test skips.
+    assert scorer.schema()["required_features"] == FEATURE_COLS
     assert scorer.schema()["features"] == FEATURE_COLS
     assert scorer.schema()["threshold"] == 0.46
     assert scorer.health()["status"] == "ok"
@@ -92,6 +96,8 @@ def test_route_health_and_schema(client, scorer):
     h = client.get("/health").json()
     assert h["status"] == "ok" and h["features"] == FEATURE_COLS
     s = client.get("/schema").json()
+    # required_features is the reference contract (serve_api.py:190).
+    assert s["required_features"] == FEATURE_COLS
     assert s["features"] == FEATURE_COLS and s["threshold"] == scorer.threshold
 
 
