@@ -354,10 +354,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     and map-side-only sampling/split — no global sort, no unbounded state."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # ``kept`` feeds TWO branches (the gram-explode contamination count and
+    # the final metadata join), so it is pinned — unpinned, the corpus scan
+    # AND the fingerprint window re-ran per branch (3 documents scans in the
+    # round-8 registry audit; budget is ≤ 2).
     kept = (
         d.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("doc_id") % EVAL_MOD != 0))
         .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
     )
     eval_grams = (
         _gram_hash_frame(d.filter(F.col("doc_id") % EVAL_MOD == 0))

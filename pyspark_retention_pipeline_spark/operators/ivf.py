@@ -28,26 +28,30 @@ SEED = 42
 
 
 def build_ivf_index(emb: DataFrame, n_cells: int = N_CELLS, seed: int = SEED):
-    """Fit the coarse quantizer and return (assignments, centroids).
+    """Fit the coarse quantizer and return (assigned, centroids).
 
-    assignments: vec_id, cell; centroids: cell, centroid array<double>.
+    assigned: vec_id, v array<double>, cell — the vector rides along with
+    its cell assignment so the search's candidate side is the transform
+    output itself, NOT a second scan of the embeddings table joined back to
+    the assignments (the join form read embeddings 3× per ivf_knn plan —
+    round-8 registry scan audit; at 100 TB the assignment is a write-time
+    partition column and this frame is the partitioned table itself).
+    centroids: cell, centroid array<double> (K rows, driver-built).
     """
-    vecs = emb.select(
-        "vec_id", array_to_vector(as_double_array(F.col("embedding"))).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(vecs)
-    assignments = model.transform(vecs).select("vec_id", "cell")
+    vecs = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    feats = vecs.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feats)
+    assigned = model.transform(feats).select("vec_id", "v", "cell")
     centroids = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    return assignments, centroids
+    return assigned, centroids
 
 
 def ivf_search(
-    emb: DataFrame,
+    assigned: DataFrame,
     queries_df: DataFrame,
-    assignments: DataFrame,
     centroids: DataFrame,
     n_probe: int = N_PROBE,
     top_k: int = TOP_K,
@@ -76,11 +80,11 @@ def ivf_search(
         .select("query_id", "qv", "qn", "cell")
     )
 
-    cands = (
-        emb.select("vec_id", as_double_array(F.col("embedding")).alias("cv"))
-        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-        .join(assignments, "vec_id")
-        .select(F.col("vec_id").alias("neighbor_id"), "cv", "cn", "cell")
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
+        "cell",
     )
 
     pairs = (
@@ -103,10 +107,12 @@ def ivf_search(
 @query("ivf_knn", tags=("similarity", "ann-ivf"))
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k for the standard query set (vec_id < N_QUERIES); rows-only
-    (KMeans iterations are not SQL-expressible — SURVEY §7)."""
+    (KMeans iterations are not SQL-expressible — SURVEY §7). Two embeddings
+    scans per plan: the assigned-candidates frame and the literal-bounded
+    query slice."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assignments, centroids = build_ivf_index(emb)
-    return ivf_search(emb, emb.filter(F.col("vec_id") < N_QUERIES), assignments, centroids)
+    assigned, centroids = build_ivf_index(emb)
+    return ivf_search(assigned, emb.filter(F.col("vec_id") < N_QUERIES), centroids)
 
 
 LLOYD_K = 8

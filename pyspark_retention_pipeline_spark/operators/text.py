@@ -260,11 +260,17 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-duplicate pairs — the exact quadratic baseline
     (bounded to doc_id < 150 here). At corpus scale this join is infeasible;
-    :func:`minhash_candidates` is the banded-LSH path that approximates it."""
+    :func:`minhash_candidates` is the banded-LSH path that approximates it.
+
+    The exploded token frame feeds THREE branches (both self-join sides and
+    the size aggregate), so it is pinned with a lazy localCheckpoint —
+    unpinned, the bounded slice was still re-read and re-exploded 4× per
+    plan (round-8 registry scan audit; the registry-wide budget test keeps
+    every plan ≤ 2 scans per table)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_LIMIT)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
-    )
+    ).localCheckpoint(eager=False)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.alias("a")
     b = toks.alias("b")

@@ -52,12 +52,17 @@ WINDOW = 50
 ROUND = 8
 # Queries whose implementation (plan) changed this round — mandatory seats,
 # listed in change order. Round 8: the three multi-branch recompute fixes
-# (shared-frame pins, commit 8599b2e) and the jaccard-verify parity slice.
+# (shared-frame pins, commit 8599b2e), the jaccard-verify parity slice, and
+# the three registry-scan-budget fixes (word_jaccard_pairs pinned token
+# frame, curate_corpus pinned dedup frame, ivf_knn single-scan candidates).
 CHANGED: tuple[str, ...] = (
     "class_weights",
     "tfidf_top_terms",
     "quality_zscore_by_lang",
     "simhash_jaccard_verify",
+    "word_jaccard_pairs",
+    "curate_corpus",
+    "ivf_knn",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

@@ -619,3 +619,39 @@ def test_cross_join_detector_distinguishes_scalar_from_corpus(spark, sf_dir):
 
     equi = o.alias("a").join(o.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"))
     assert not unbounded_cross_joins(equi), "equi self-join falsely flagged"
+
+
+# Per-table scan budget: a query plan may read any one parquet table at most
+# twice (two-pass algorithms — drift monitors' sample+bin passes, HAVING
+# re-joins — are legitimate; 3+ is the multi-branch recompute trap, a full
+# extra corpus read per scan at 100 TB). Pinned shared frames appear as
+# "Scan ExistingRDD" and are counted at materialization (once), which is the
+# point. Exemptions carry documented arguments.
+SCAN_BUDGET = 2
+SCAN_BUDGET_EXEMPT: dict[str, str] = {}
+
+
+def test_registry_scan_budget(spark, sf_dir):
+    """REGISTRY-WIDE generalization of the round-7 scan audit (it found 12
+    multi-branch recompute plans by hand; this keeps the count at zero
+    mechanically): every registered query's optimized plan reads each
+    parquet table at most SCAN_BUDGET times. The round-8 sweep fixed the
+    last three offenders (word_jaccard_pairs 4× documents → pinned token
+    frame; curate_corpus 3× → pinned dedup frame; ivf_knn 3× embeddings →
+    cell assignment carries its vector)."""
+    import re
+
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    offenders: dict[str, dict[str, int]] = {}
+    for name, fn in QUERIES.items():
+        if name in SCAN_BUDGET_EXEMPT:
+            continue
+        plan = explain_str(fn(spark, sf_dir))
+        counts: dict[str, int] = {}
+        for m in re.finditer(r"(\w+)\.parquet", plan):
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+        over = {t: c for t, c in counts.items() if c > SCAN_BUDGET}
+        if over:
+            offenders[name] = over
+    assert not offenders, f"plans over the {SCAN_BUDGET}-scan budget: {offenders}"

@@ -11,8 +11,9 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-8 policy (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md): seat
-(a) the four queries whose plan changed this round — the three shared-frame
-pin fixes plus the jaccard-verify parity slice; (b) the ENTIRE
+(a) the seven queries whose plan changed this round — the three
+shared-frame pin fixes, the jaccard-verify parity slice, and the three
+registry-scan-budget fixes; (b) the ENTIRE
 never-driver-verified backlog (23 round-7 deferrals + the new
 group_split_leakage_audit — the backlog reaches zero for the first time);
 (c) the flagship; backfill from the stalest (round-1-verified) tier.
@@ -39,6 +40,11 @@ CHANGED_R8 = {
     "quality_zscore_by_lang",
     # both-engine deterministic doc_id slice (VERDICT r7 item 5)
     "simhash_jaccard_verify",
+    # registry-scan-budget fixes (test_registry_scan_budget): pinned token
+    # frame / pinned dedup frame / single-scan IVF candidates
+    "word_jaccard_pairs",
+    "curate_corpus",
+    "ivf_knn",
 }
 
 # (b) the never-driver-verified backlog, all seated this round. The 23
@@ -74,9 +80,12 @@ BACKLOG_R8 = {
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Stalest-tier backfill deferred to round 9 (the 6 round-1-verified names
+# Stalest-tier backfill deferred to round 9 (the 9 round-1-verified names
 # the 50-slot window could not hold after the mandatory seats).
 DEFERRED_TO_R9 = {
+    "returned_parts_distinct",
+    "running_total",
+    "segment_case",
     "sql_expr_filter",
     "supplier_balance_by_nation",
     "threshold_pred",
