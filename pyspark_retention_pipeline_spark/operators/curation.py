@@ -782,27 +782,71 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle twin of the group-aware split + its leakage audit. The canonical id
-# (min doc_id of each near-dup component) is SQL-expressible via a recursive
-# transitive closure over the hamming-<=3 pair set — DuckDB re-derives the
-# exact component minima the iterated-min connected components converge to,
-# then applies the identical md5 90/5/5 bucket to the canonical id.
-_GROUP_SPLIT_AUDIT_ORACLE = f"""
-    WITH RECURSIVE {SIMHASH_SIGS_CTE}, sym AS (
-      SELECT doc_id_a AS src, doc_id_b AS dst FROM simhash_pairs
+# (min doc_id of each near-dup component) is SQL-expressible as a
+# connected-components fixpoint over the hamming-<=3 pair set — DuckDB
+# re-derives the exact component minima the iterated-min components
+# converge to, then applies the identical md5 90/5/5 bucket to the
+# canonical id.
+#
+# The fixpoint is an UNROLLED hook+jump min-label propagation, NOT a
+# recursive transitive closure: `reach`-style closures materialize
+# sum(k^2) rows per component and iterate to graph DIAMETER (the sf0.1
+# corpus has a 2,629-doc component with 271k edges — measured 460 s in
+# DuckDB 1.0, 92% of the whole sweep). Hook (label <- min over closed
+# neighborhood's labels) + jump (label <- label's label, pointer doubling)
+# converges in ~log2(n) rounds — measured 13 rounds for a 10,000-node
+# path graph, the worst case — so {_CC_ROUNDS} unrolled rounds cover any
+# component up to 2^{_CC_ROUNDS} docs. Every stage is AS MATERIALIZED:
+# DuckDB 1.0 inlines CTEs per reference, and each round references the
+# previous one twice — unmaterialized, the expansion is exponential.
+# Validated against union-find on the real sf0.1 edge set: identical
+# labels, 4.4 s.
+_CC_ROUNDS = 24
+
+
+def _cc_fixpoint_sql(rounds: int = _CC_ROUNDS) -> str:
+    """CTE chain computing canon(doc_id, canonical_id) = component-min
+    labels for every doc in the (materialized) ``pairs_m`` edge set."""
+    parts = [
+        """sym AS MATERIALIZED (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs_m
       UNION ALL
-      SELECT doc_id_b AS src, doc_id_a AS dst FROM simhash_pairs
-    ), reach(src, dst) AS (
-      SELECT src, dst FROM sym
-      UNION
-      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-      WHERE s.dst <> r.src
-    ), canon AS (
-      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
-      FROM reach GROUP BY src
-    ), assign AS (
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs_m
+    )""",
+        """l0 AS MATERIALIZED (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS lbl FROM sym GROUP BY src
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT s.src AS doc_id, LEAST(lx.lbl, MIN(ly.lbl)) AS lbl
+      FROM sym s
+      JOIN l{i - 1} lx ON s.src = lx.doc_id
+      JOIN l{i - 1} ly ON s.dst = ly.doc_id
+      GROUP BY s.src, lx.lbl
+    )"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT h.doc_id, COALESCE(h2.lbl, h.lbl) AS lbl
+      FROM h{i} h LEFT JOIN h{i} h2 ON h.lbl = h2.doc_id
+    )"""
+        )
+    parts.append(
+        f"canon AS (SELECT doc_id, lbl AS canonical_id FROM l{rounds})"
+    )
+    return ", ".join(parts)
+
+
+_GROUP_SPLIT_AUDIT_ORACLE = f"""
+    WITH {SIMHASH_SIGS_CTE},
+    pairs_m AS MATERIALIZED (
+      SELECT doc_id_a, doc_id_b FROM simhash_pairs
+    ), {_cc_fixpoint_sql()}, assign AS (
       SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
       FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
-    ), sp AS (
+    ), sp AS MATERIALIZED (
       SELECT doc_id, canonical_id,
              CASE WHEN CAST(('0x' || substring(md5(CAST(canonical_id AS VARCHAR)), 1, 8))
                            AS BIGINT) % 100 < 90 THEN 'train'
@@ -814,9 +858,9 @@ _GROUP_SPLIT_AUDIT_ORACLE = f"""
       SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters
       FROM sp GROUP BY split
-    ), paired AS (
+    ), paired AS MATERIALIZED (
       SELECT sa.split AS split_a, sb.split AS split_b
-      FROM simhash_pairs p
+      FROM pairs_m p
       JOIN sp sa ON p.doc_id_a = sa.doc_id
       JOIN sp sb ON p.doc_id_b = sb.doc_id
     ), within AS (
