@@ -73,7 +73,8 @@ def last_green_rounds() -> dict[str, int]:
     """Latest round with a green driver row per query, from the committed
     ``CORRECTNESS_r0*.json`` artifacts."""
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    # r* not r0*: rounds 10+ are CORRECTNESS_r10.json etc.
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)\.json$", path).group(1))
         with open(path) as f:
             rows = json.load(f)
