@@ -30,7 +30,14 @@ parity-gate:
 test-gated:
 	python -c "import fastapi, google.protobuf" \
 	  || (echo 'test-gated requires fastapi + protobuf installed'; exit 1)
-	python -m pytest tests/test_serving.py tests/test_stateful_streaming.py -q -rs
+	python -m pytest tests/test_serving.py tests/test_stateful_streaming.py \
+	  -q -rs > /tmp/test_gated.out 2>&1; \
+	  rc=$$?; cat /tmp/test_gated.out; \
+	  if [ $$rc -ne 0 ]; then exit $$rc; fi; \
+	  if grep -qE '[0-9]+ skipped' /tmp/test_gated.out; then \
+	    echo 'test-gated: skips detected — the gate did NOT run everything'; \
+	    exit 1; \
+	  fi
 
 bench:
 	python bench.py

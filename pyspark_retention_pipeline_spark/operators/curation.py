@@ -898,8 +898,10 @@ def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTRUCTION (both members of every hamming-<=3 pair share a
     component, hence a canonical id, hence a split bucket).
 
-    The DuckDB oracle independently re-derives the components via a
-    recursive transitive closure over the same pair set, so the driver row
+    The DuckDB oracle independently re-derives the components over the
+    same pair set via the unrolled hook+jump min-label fixpoint
+    (:func:`_cc_fixpoint_sql` — NOT a recursive transitive closure, which
+    was 460 s at sf0.1; see the module comment above), so the driver row
     checks the full chain — signatures, banding-complete candidate
     recovery, component minima, md5 bucket — not just the zero.
 

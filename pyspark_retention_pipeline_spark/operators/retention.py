@@ -202,7 +202,8 @@ def class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (round-7 scan audit fix): the labeled frame is built in ONE
     fused conditional aggregation over orders (``MAX(in_hist)/MAX(in_fut)``
     per custkey — set-identical to ``label_antijoin``'s two-distinct join,
-    proven in tests/test_operators_unit.py) and pinned with a lazy
+    proven in tests/test_plans.py::
+    test_class_weights_fused_labels_match_antijoin) and pinned with a lazy
     ``localCheckpoint``, because it feeds two plan branches (the count
     aggregate and the output join). The old composition re-ran the
     hist/fut derivation per branch — 4 orders scans in the plan; now the

@@ -82,18 +82,23 @@ N_BUCKETS = 8
 # grows without bound across gate/bench/pytest runs (~1 MB per run at test
 # SF — 51 MB observed after round 6). Directory mtime does NOT refresh on
 # reads or on overwrites inside existing subdirectories, so age alone
-# cannot prove a generation dead (ADVICE r7): the sweep therefore SKIPS
-# anything keyed to the current applicationId, and the path helpers
-# os.utime() the live app's directory on each call so long-running
-# sessions stay visibly fresh to other sessions' sweeps too.
-_STALE_AFTER_S = 3600
+# cannot prove a generation dead (ADVICE r7): the sweep SKIPS anything
+# keyed to the current applicationId (a session can never delete its own
+# files), and every write path os.utime()s its own artifact dirs so a
+# session that keeps issuing sink queries stays visibly fresh to OTHER
+# sessions' sweeps. Residual (accepted): a session idle past the stale
+# window can still lose its artifacts to a concurrent session's sweep —
+# local liveness of another process isn't knowable from the filesystem;
+# six hours dwarfs any gate/bench/pytest session here (minutes each)
+# while still bounding warehouse growth.
+_STALE_AFTER_S = 6 * 3600
 
 
 def sweep_stale_artifacts(
     root: Path, prefixes: tuple[str, ...], keep: tuple[str, ...] = ()
 ) -> None:
     """Delete ``root`` subdirectories matching ``prefixes`` whose mtime is
-    older than an hour — prior sessions' app-id-keyed leftovers. Managed
+    older than the stale window — prior sessions' app-id-keyed leftovers. Managed
     tables of PAST applications aren't in the current catalog (fresh
     in-memory metastore per session), so this is a filesystem sweep.
     Any directory whose name contains a ``keep`` token (the live session's
@@ -175,6 +180,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("c_custkey")
         .saveAsTable(t_cust)
     )
+    # Re-writes into an existing table dir don't reliably refresh its
+    # top-level mtime — refresh explicitly so this session's tables read
+    # as live to other sessions' sweeps (round-8 review finding).
+    root = Path(wh.removeprefix("file:"))
+    _touch_live(root / t_orders)
+    _touch_live(root / t_cust)
     ob, cb = spark.table(t_orders), spark.table(t_cust)
     return (
         ob.join(cb, ob.o_custkey == cb.c_custkey)

@@ -159,20 +159,35 @@ def unbounded_cross_joins(df: DataFrame) -> list[str]:
     ``crossJoin(F.broadcast(scalar))`` pattern), a quadratic cliff when both
     sides scale with the corpus. Equi-key detection walks the Join node's
     condition EXPRESSION TREE for an ``EqualTo``/``EqualNullSafe`` top-level
-    conjunct (any one lets the planner hash-partition) — not the node's
+    conjunct whose operands reference OPPOSITE SIDES of the join (only
+    such a conjunct lets the planner hash-partition) — not the node's
     simpleString, whose truncation could drop the equality conjunct from a
     long condition and whose string literals could contain ``" = "``
-    (ADVICE r7). Single-side equalities (``col = lit``) are pushed below
-    the join by the optimizer, so surviving conjuncts span both sides."""
+    (ADVICE r7). The side check matters for OUTER joins: a
+    preserved-side ``col = lit`` or same-side ``col = col`` conjunct is
+    NOT pushed below an outer join and would otherwise mask a genuinely
+    keyless corpus × corpus nested loop (round-8 review finding)."""
     import re as _re
 
-    def _has_equi_conjunct(expr) -> bool:
+    def _spans_sides(eq, left_out, right_out) -> bool:
+        l_refs, r_refs = eq.left().references(), eq.right().references()
+
+        def on(refs, out) -> bool:
+            return (not refs.isEmpty()) and refs.subsetOf(out)
+
+        return (on(l_refs, left_out) and on(r_refs, right_out)) or (
+            on(l_refs, right_out) and on(r_refs, left_out)
+        )
+
+    def _has_equi_conjunct(expr, left_out, right_out) -> bool:
         cls = expr.getClass().getSimpleName()
         if cls == "And":
-            return _has_equi_conjunct(expr.left()) or _has_equi_conjunct(
-                expr.right()
-            )
-        return cls in ("EqualTo", "EqualNullSafe")
+            return _has_equi_conjunct(
+                expr.left(), left_out, right_out
+            ) or _has_equi_conjunct(expr.right(), left_out, right_out)
+        return cls in ("EqualTo", "EqualNullSafe") and _spans_sides(
+            expr, left_out, right_out
+        )
 
     out: list[str] = []
 
@@ -181,7 +196,9 @@ def unbounded_cross_joins(df: DataFrame) -> list[str]:
         if name == "Join":
             s = node.simpleString(200)
             cond = node.condition()
-            has_equi = (not cond.isEmpty()) and _has_equi_conjunct(cond.get())
+            has_equi = (not cond.isEmpty()) and _has_equi_conjunct(
+                cond.get(), node.left().outputSet(), node.right().outputSet()
+            )
             kids = node.children()
             if not has_equi and not any(
                 _all_paths_reduced(kids.apply(i)) for i in range(kids.size())

@@ -104,10 +104,18 @@ def derive_front() -> list[str]:
         if name not in front and name not in excluded:
             front.append(name)
 
-    # 1. Plan-change rule.
+    # 1. Plan-change rule. A changed query that is also excluded would ship
+    # a new plan with no driver row — the round-5 failure the rule exists
+    # to prevent — so that config combination is an error, never a silent
+    # drop (its output schema must be fixed or the change reverted).
     for name in CHANGED:
         if name not in registered:
             raise SystemExit(f"config error: changed query {name!r} not registered")
+        if name in excluded:
+            raise SystemExit(
+                f"config error: changed query {name!r} is in EXCLUDE — "
+                "plan-changed queries MUST be seatable"
+            )
         seat(name)
     # 2. Never-driver-verified, oracle-backed, registration order.
     for name in registered:

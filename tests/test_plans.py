@@ -620,6 +620,19 @@ def test_cross_join_detector_distinguishes_scalar_from_corpus(spark, sf_dir):
     equi = o.alias("a").join(o.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"))
     assert not unbounded_cross_joins(equi), "equi self-join falsely flagged"
 
+    # Round-8 review finding: an OUTER join whose only equality conjunct is
+    # single-side (col = lit survives outer-join pushdown) is still keyless
+    # — the side-spanning check must not let it pass.
+    masked = o.alias("a").join(
+        o.alias("b"),
+        (F.col("a.o_orderkey") % 2 == F.lit(0))
+        & (F.col("a.o_totalprice") < F.col("b.o_totalprice")),
+        "left",
+    )
+    assert unbounded_cross_joins(masked), (
+        "outer join with single-side equality conjunct not flagged"
+    )
+
 
 # Per-table scan budget: a query plan may read any one parquet table at most
 # twice (two-pass algorithms — drift monitors' sample+bin passes, HAVING
