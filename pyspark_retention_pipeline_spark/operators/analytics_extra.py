@@ -531,17 +531,40 @@ WHERE c.c_mktsegment = 'BUILDING'
 )
 def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with per-row LIMIT: each BUILDING
-    customer's 2 most recent orders, written as the SQL a warehouse user
-    would type — the IDENTICAL string runs on both engines. Catalyst
-    decorrelates it into the partitioned row_number plan you'd hand-write
-    (`latest_order_per_customer` is the explicit twin) — verified
-    deterministic and hash-identical to DuckDB across shuffle-partition
-    settings; the full (date, key) tie-break makes the top-2 set unique,
-    so decorrelation can't change the answer."""
-    from ..tables import register_views
+    customer's 2 most recent orders. The LATERAL SQL a warehouse user
+    would type is the ORACLE (DuckDB runs it verbatim); the engine side is
+    the decorrelated form you'd hand-write — BUILDING keys broadcast-joined
+    into orders, then a per-custkey row_number ≤ 2.
 
-    register_views(spark, sf_dir)
-    return spark.sql(_LATERAL_SQL)
+    Round 8 made these two sides deliberately different: running the SAME
+    SQL through Spark 4.1 decorrelates the correlated LIMIT via a FULL
+    GLOBAL SORT of orders on (o_orderdate, o_orderkey) — a range exchange
+    + total order of the corpus (physical nodes Sort(global=true) over
+    Exchange(rangepartitioning)) — before re-exchanging by custkey for the
+    ranking. That total order is pure waste (only the per-group order
+    matters) and is exactly the shape the registry-wide
+    ``unbounded_global_sorts`` invariant now forbids. The explicit window
+    form pays one hash exchange + per-partition sort instead. The full
+    (date, key) tie-break makes the top-2 set unique, so the two
+    formulations are provably the same set — hash-verified against the
+    LATERAL oracle every gate."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
 
 
 @query(

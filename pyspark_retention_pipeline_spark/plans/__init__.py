@@ -9,6 +9,7 @@ from .inspect import (
     scan_columns,
     shuffle_count,
     unbounded_cross_joins,
+    unbounded_global_sorts,
     unpartitioned_corpus_windows,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "scan_columns",
     "shuffle_count",
     "unbounded_cross_joins",
+    "unbounded_global_sorts",
     "unpartitioned_corpus_windows",
 ]

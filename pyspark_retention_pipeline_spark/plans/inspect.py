@@ -212,6 +212,45 @@ def unbounded_cross_joins(df: DataFrame) -> list[str]:
     return out
 
 
+def unbounded_global_sorts(df: DataFrame) -> list[str]:
+    """Global ``Sort`` nodes over a non-reduced input with no ``Limit``
+    above them — a TOTAL ORDER of a corpus-scale frame.
+
+    A global sort compiles to a range exchange (sampling pass) plus a full
+    sort of every row — legitimate under a Limit (TakeOrdered) or over an
+    aggregate-bounded frame (ordering a per-group rollup for output), pure
+    waste otherwise: downstream operators that only need per-group order
+    should use a partitioned window, and unordered sinks don't need the
+    sort at all. Found in the wild in round 8: Spark 4.1's decorrelation
+    of a correlated ``ORDER BY .. LIMIT`` injects exactly this shape (see
+    ``lateral_recent_orders``). Registry-wide test:
+    ``tests/test_plans.py::test_no_unbounded_global_sorts``."""
+    import re as _re
+
+    out: list[str] = []
+
+    def walk(node, under_limit: bool) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in ("GlobalLimit", "LocalLimit"):
+            under_limit = True
+        if cls == "Sort" and not under_limit:
+            try:
+                is_global = bool(node.global_())
+            except Exception:
+                is_global = True
+            kids = node.children()
+            if is_global and not all(
+                _all_paths_reduced(kids.apply(i)) for i in range(kids.size())
+            ):
+                out.append(_re.sub(r"#\d+L?", "", node.simpleString(150)))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i), under_limit)
+
+    walk(df._jdf.queryExecution().optimizedPlan(), False)
+    return out
+
+
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     """Unpartitioned ``Window`` nodes whose input is NOT aggregate-reduced.
 

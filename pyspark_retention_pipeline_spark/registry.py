@@ -47,12 +47,13 @@ _REGISTRY: dict[str, Query] = {}
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
 # script's output. Round-8 composition: the 4 plan-changed seats (the three
 # shared-frame-pin fixes from commit 8599b2e + the jaccard-verify parity
-# slice; plus the three registry-scan-budget fixes word_jaccard_pairs /
-# curate_corpus / ivf_knn), the ENTIRE 24-query never-driver-verified
-# backlog (the 23 round-7 deferrals + the new group_split_leakage_audit —
-# backlog reaches zero for the first time), the flagship, and 18 backfill
-# seats from the stalest (round-1-verified) tier; the remaining 9 r1-tier
-# names defer to round 9.
+# slice; the three registry-scan-budget fixes word_jaccard_pairs /
+# curate_corpus / ivf_knn; and the lateral_recent_orders global-sort
+# rewrite), the ENTIRE 24-query never-driver-verified backlog (the 23
+# round-7 deferrals + the new group_split_leakage_audit — backlog reaches
+# zero for the first time), the flagship, and 17 backfill seats from the
+# stalest (round-1-verified) tier; the remaining 10 r1-tier names defer
+# to round 9.
 _FRONT: tuple[str, ...] = (
     "class_weights",
     "tfidf_top_terms",
@@ -61,6 +62,7 @@ _FRONT: tuple[str, ...] = (
     "word_jaccard_pairs",
     "curate_corpus",
     "ivf_knn",
+    "lateral_recent_orders",
     "retention_decay_fit",
     "dependent_funnel",
     "km_session_survival",
@@ -103,7 +105,6 @@ _FRONT: tuple[str, ...] = (
     "order_key_list",
     "priority_line_distribution",
     "recent90_agg",
-    "recent_window",
 )
 
 

@@ -63,6 +63,9 @@ CHANGED: tuple[str, ...] = (
     "word_jaccard_pairs",
     "curate_corpus",
     "ivf_knn",
+    # global-sort fix: correlated-LIMIT decorrelation replaced by the
+    # explicit partitioned-window form (test_no_unbounded_global_sorts)
+    "lateral_recent_orders",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

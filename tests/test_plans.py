@@ -668,3 +668,50 @@ def test_registry_scan_budget(spark, sf_dir):
         if over:
             offenders[name] = over
     assert not offenders, f"plans over the {SCAN_BUDGET}-scan budget: {offenders}"
+
+
+def test_no_unbounded_global_sorts(spark, sf_dir):
+    """Round-8 invariant: no registry plan totally orders a corpus-scale
+    frame. A global Sort is a range exchange (sampling pass) + full sort of
+    every row — fine under a Limit (top-k) or over an aggregate-bounded
+    frame, waste otherwise. The one wild instance (Spark's decorrelation of
+    lateral_recent_orders' correlated LIMIT) was rewritten to the explicit
+    partitioned-window form this round."""
+    from pyspark_retention_pipeline_spark.plans import unbounded_global_sorts
+
+    skip = {
+        "ml_churn_scores",
+        "ml_churn_coefficients",
+        "ml_churn_metrics",
+        "ml_threshold_from_scores",
+        "ivf_knn",
+        "kmeans_lloyd_curve",
+        "dedup_clusters",
+        "curate_corpus_neardup",
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        hits = unbounded_global_sorts(fn(spark, sf_dir))
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, f"corpus-scale global sorts: {offenders}"
+
+
+def test_global_sort_detector_controls(spark, sf_dir):
+    """Positive + negative controls for the global-sort detector."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.plans import unbounded_global_sorts
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    assert unbounded_global_sorts(o.orderBy("o_totalprice")), (
+        "corpus-scale total order not flagged"
+    )
+    # top-k: Sort under a Limit compiles to TakeOrdered — allowed.
+    assert not unbounded_global_sorts(o.orderBy("o_totalprice").limit(5))
+    # ordering an aggregate-bounded rollup for output — allowed.
+    agg = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    assert not unbounded_global_sorts(agg.orderBy("n"))

@@ -11,9 +11,10 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-8 policy (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md): seat
-(a) the seven queries whose plan changed this round — the three
-shared-frame pin fixes, the jaccard-verify parity slice, and the three
-registry-scan-budget fixes; (b) the ENTIRE
+(a) the eight queries whose plan changed this round — the three
+shared-frame pin fixes, the jaccard-verify parity slice, the three
+registry-scan-budget fixes, and the lateral_recent_orders global-sort
+rewrite; (b) the ENTIRE
 never-driver-verified backlog (23 round-7 deferrals + the new
 group_split_leakage_audit — the backlog reaches zero for the first time);
 (c) the flagship; backfill from the stalest (round-1-verified) tier.
@@ -45,6 +46,9 @@ CHANGED_R8 = {
     "word_jaccard_pairs",
     "curate_corpus",
     "ivf_knn",
+    # global-sort fix (test_no_unbounded_global_sorts): correlated-LIMIT
+    # decorrelation replaced by the explicit partitioned-window form
+    "lateral_recent_orders",
 }
 
 # (b) the never-driver-verified backlog, all seated this round. The 23
@@ -80,9 +84,10 @@ BACKLOG_R8 = {
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Stalest-tier backfill deferred to round 9 (the 9 round-1-verified names
+# Stalest-tier backfill deferred to round 9 (the 10 round-1-verified names
 # the 50-slot window could not hold after the mandatory seats).
 DEFERRED_TO_R9 = {
+    "recent_window",
     "returned_parts_distinct",
     "running_total",
     "segment_case",
