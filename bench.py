@@ -92,6 +92,9 @@ HEADLINE = [
     "class_weights",
     "tfidf_top_terms",
     "quality_zscore_by_lang",
+    # round 8 late: the global-sort fix — guards the partitioned-window
+    # form against a regression back to a corpus total order
+    "lateral_recent_orders",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded
