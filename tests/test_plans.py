@@ -715,3 +715,45 @@ def test_global_sort_detector_controls(spark, sf_dir):
     # ordering an aggregate-bounded rollup for output — allowed.
     agg = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
     assert not unbounded_global_sorts(agg.orderBy("n"))
+
+
+def test_shuffle_census_no_regression(spark, sf_dir):
+    """Registry-wide shuffle-count pin (round 8): every query's initial
+    physical plan must not contain MORE shuffle Exchange nodes than the
+    committed census (tests/shuffle_census.json, regenerated by
+    scripts/shuffle_census.py). A new Exchange is a full rewrite of the
+    stream to disk + network at 100 TB — the #1 silent scale regression a
+    refactor can introduce. Improvements don't fail; regenerate the census
+    alongside any deliberate plan change."""
+    import importlib.util
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "shuffle_census.json")) as f:
+        census = json.load(f)
+    spec = importlib.util.spec_from_file_location(
+        "shuffle_census",
+        os.path.join(os.path.dirname(here), "scripts", "shuffle_census.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    regressions = {}
+    missing = []
+    for name, fn in QUERIES.items():
+        if name in mod.SKIP:
+            continue
+        if name not in census:
+            missing.append(name)
+            continue
+        # Evaluate at the census's own fixed SF: join-strategy choices (and
+        # hence exchange counts) can legitimately differ at other SFs where
+        # a dimension crosses the broadcast threshold.
+        n = mod.shuffle_count(fn(spark, mod.SF_DIR))
+        if n > census[name]:
+            regressions[name] = (census[name], n)
+    assert not regressions, f"shuffle-count regressions (was, now): {regressions}"
+    assert not missing, (
+        f"queries missing from shuffle census (run scripts/shuffle_census.py): {missing}"
+    )
