@@ -187,3 +187,51 @@ def test_queries_and_oracles_consistent():
     # Spark fn ordering is what the driver iterates; oracle dict must follow it.
     oracle_order = [n for n in qs if n in oracles]
     assert list(oracles) == oracle_order
+
+
+def test_changed_headline_queries_marked_not_like_for_like():
+    """Round-8 review finding, made a standing invariant: a plan-changed
+    query that is in bench's HEADLINE set AND has a timing in the latest
+    driver-recorded BENCH artifact must be listed in bench's
+    NOT_LIKE_FOR_LIKE map — otherwise its ratio is an algorithm/plan
+    comparison silently folded into the like-for-like total (the round-7
+    simhash64 false-regression mode)."""
+    import glob
+    import importlib.util
+    import json
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    front_spec = importlib.util.spec_from_file_location(
+        "derive_front", os.path.join(REPO, "scripts", "derive_front.py")
+    )
+    front = importlib.util.module_from_spec(front_spec)
+    front_spec.loader.exec_module(front)
+
+    rounds = []
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return
+    with open(max(rounds)[1]) as f:
+        data = json.load(f)
+    base_q = data.get("parsed", data).get("queries", {})
+
+    offenders = [
+        name
+        for name in front.CHANGED
+        if name in bench.HEADLINE
+        and name in base_q
+        and name not in bench.NOT_LIKE_FOR_LIKE
+    ]
+    assert not offenders, (
+        f"plan-changed headline queries with a baseline row missing from "
+        f"bench.NOT_LIKE_FOR_LIKE: {offenders}"
+    )
