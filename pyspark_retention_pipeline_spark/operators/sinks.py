@@ -298,3 +298,118 @@ def zorder_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("n_custs"),
         money_sum("o_totalprice").alias("revenue"),
     )
+
+
+def jsonl_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(application, SF) path of the JSONL events snapshot."""
+    app = spark.sparkContext.applicationId
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",), keep=(app,))
+    _touch_live(_ROUNDTRIP_ROOT / app)
+    return str(
+        _ROUNDTRIP_ROOT / app / f"events_jsonl_{Path(sf_dir.rstrip('/')).name}"
+    )
+
+
+@query(
+    "jsonl_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sink", "source", "jsonl", "roundtrip"),
+)
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source under the hash gate (completing the S-family
+    formats: CSV in, parquet in/out, JSONL in/out — the log-shipping format
+    event collectors actually emit). Events are written as JSONL with
+    event-time as epoch-µs LONGS (the engine's event-time convention —
+    JSON timestamp serialization round-trips through strings and is where
+    precision dies; integer microseconds can't drift), re-read with an
+    EXPLICIT schema (schema inference on JSON is a full extra pass at
+    corpus scale and types `value` by luck), and aggregated per event
+    type. The oracle aggregates the ORIGINAL parquet, so a hash match
+    certifies write → read value/precision fidelity end to end."""
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_jsonl, write_jsonl
+    from ..tables import load_events
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    path = jsonl_path(spark, sf_dir)
+    write_jsonl(e, path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value").alias("total_value"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
+def orc_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(application, SF) path of the ORC orders snapshot."""
+    app = spark.sparkContext.applicationId
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",), keep=(app,))
+    _touch_live(_ROUNDTRIP_ROOT / app)
+    return str(
+        _ROUNDTRIP_ROOT / app / f"orders_orc_{Path(sf_dir.rstrip('/')).name}"
+    )
+
+
+@query(
+    "orc_roundtrip_revenue",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "source", "orc", "roundtrip"),
+)
+def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source under the hash gate — the second columnar format
+    (warehouses migrating from Hive hand you ORC, not parquet). Orders are
+    written as ORC, re-read, filtered, and rolled up per status; the
+    re-read scan must push the price predicate into the ORC reader
+    (PushedFilters — ORC carries row-group min/max like parquet, so the
+    filter skips stripes at scale; pinned by tests/test_sources.py). The
+    oracle aggregates the ORIGINAL parquet, so a hash match certifies the
+    cross-format round trip value-exactly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    from ..sources.io import read_orc, write_orc
+
+    path = orc_path(spark, sf_dir)
+    write_orc(o, path)
+    back = read_orc(spark, path)
+    return (
+        back.filter(F.col("o_totalprice") > 1000)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )

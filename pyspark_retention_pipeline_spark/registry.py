@@ -45,15 +45,15 @@ _REGISTRY: dict[str, Query] = {}
 # from the committed CORRECTNESS_r0*.json driver artifacts plus the script's
 # small per-round config (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-8 composition: the 4 plan-changed seats (the three
-# shared-frame-pin fixes from commit 8599b2e + the jaccard-verify parity
-# slice; the three registry-scan-budget fixes word_jaccard_pairs /
-# curate_corpus / ivf_knn; and the lateral_recent_orders global-sort
-# rewrite), the ENTIRE 24-query never-driver-verified backlog (the 23
-# round-7 deferrals + the new group_split_leakage_audit — backlog reaches
-# zero for the first time), the flagship, and 17 backfill seats from the
-# stalest (round-1-verified) tier; the remaining 10 r1-tier names defer
-# to round 9.
+# script's output. Round-8 composition: the 8 plan-changed seats (three
+# shared-frame pins from commit 8599b2e; the jaccard-verify parity slice;
+# the three registry-scan-budget fixes word_jaccard_pairs / curate_corpus
+# / ivf_knn; the lateral_recent_orders global-sort rewrite), the ENTIRE
+# never-driver-verified backlog (23 round-7 deferrals + the new
+# group_split_leakage_audit + the late-round format roundtrips
+# jsonl_roundtrip_events / orc_roundtrip_revenue — backlog reaches zero),
+# the flagship, and 15 backfill seats from the stalest (round-1-verified)
+# tier; the remaining 12 r1-tier names defer to round 9.
 _FRONT: tuple[str, ...] = (
     "class_weights",
     "tfidf_top_terms",
@@ -86,6 +86,8 @@ _FRONT: tuple[str, ...] = (
     "ks_price_drift",
     "bootstrap_revenue_ci",
     "zorder_scan_revenue",
+    "jsonl_roundtrip_events",
+    "orc_roundtrip_revenue",
     "media_dedup_exact",
     "churn_features",
     "above_avg_orders",
@@ -103,8 +105,6 @@ _FRONT: tuple[str, ...] = (
     "left_join_enrich",
     "not_cancelled",
     "order_key_list",
-    "priority_line_distribution",
-    "recent90_agg",
 )
 
 

@@ -79,14 +79,18 @@ BACKLOG_R8 = {
     "ab_conversion_ztest",
     "time_decay_attribution",
     "group_split_leakage_audit",  # new in round 8
+    "jsonl_roundtrip_events",  # new in round 8 (format roundtrips)
+    "orc_roundtrip_revenue",  # new in round 8 (format roundtrips)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Stalest-tier backfill deferred to round 9 (the 10 round-1-verified names
+# Stalest-tier backfill deferred to round 9 (the 12 round-1-verified names
 # the 50-slot window could not hold after the mandatory seats).
 DEFERRED_TO_R9 = {
+    "priority_line_distribution",
+    "recent90_agg",
     "recent_window",
     "returned_parts_distinct",
     "running_total",
