@@ -110,6 +110,10 @@ HEADLINE = [
 # NEW to the set and surface under new_queries instead).
 NOT_LIKE_FOR_LIKE: dict[str, str] = {
     "curate_corpus": "round-8 plan change: dedup frame pinned (was 3 documents scans)",
+    "simhash_candidates": (
+        "round-8 plan change: degraded-bucket chain pairs added "
+        "(output identical below the cap; plan gains a lag-window branch)"
+    ),
 }
 
 

@@ -9,9 +9,11 @@ verdict. :func:`bounded_bucket_pairs` caps that worst case:
     overwhelmingly common case on real corpora);
   * larger buckets emit star pairs — every member paired with the bucket's
     minimum id — so a bucket of m rows contributes m-1 candidates instead of
-    m·(m-1)/2, keeping total candidates O(n·cap) while every member stays
-    connected to its bucket's cluster (connected-components dedup downstream
-    recovers the full group through the hub).
+    m·(m-1)/2, keeping total candidates O(n·cap). Star pairs keep a member
+    connected to the cluster only while it survives any downstream distance
+    filter AGAINST THE HUB; callers that filter (simhash's hamming ≤ 3)
+    should also pass ``chain_cols`` so identical-signature runs stay
+    connected independently of hub distance (see the function docstring).
 
 The size window, the hub window, and the self-join all partition on the same
 bucket key, so AQE reuses one exchange — no extra shuffle versus the unbounded
@@ -37,6 +39,7 @@ def bounded_bucket_pairs(
     cap: int = MAX_BUCKET_MEMBERS,
     keep_bucket_cols: bool = False,
     payload_cols: list[str] | None = None,
+    chain_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(id1, id2)`` with ``id1 < id2`` per bucket, bounded.
 
@@ -47,6 +50,20 @@ def bounded_bucket_pairs(
     ``{col}1`` / ``{col}2`` (e.g. the signature each side needs for a hamming
     verify) — on the star path the hub's payload comes from a ``min_by`` over
     the same bucket window, so no extra join or shuffle is introduced.
+
+    ``chain_cols`` (optional) strengthens the DEGRADED path: in an
+    oversized bucket the star form alone emits only (hub, member) pairs, so
+    a downstream similarity filter (e.g. hamming ≤ 3) disconnects every
+    member whose distance TO THE HUB exceeds the threshold even when it has
+    true near-neighbors in the bucket (round-8 review finding). With
+    ``chain_cols`` set, the oversized bucket ALSO emits adjacent pairs in
+    ``(*chain_cols, id)`` order — members with IDENTICAL chain values (the
+    boilerplate-collapse case that creates oversized buckets in the first
+    place) become consecutive and survive any distance filter at distance
+    0, staying fully connected as a chain regardless of hub distance.
+    Output stays O(2·size) per oversized bucket; duplicates between star
+    and chain pairs are the caller's ``distinct()`` to fold, like repeated
+    band collisions.
 
     The sized frame is pinned with a lazy ``localCheckpoint``: it feeds
     THREE plan branches (both sides of the small-bucket self-join and the
@@ -69,11 +86,23 @@ def bounded_bucket_pairs(
     """
     payload_cols = payload_cols or []
     w = Window.partitionBy(*bucket_cols)
-    sized = members.withColumn("_bsize", F.count("*").over(w)).localCheckpoint(
-        eager=False
-    )
+    enriched = members.withColumn("_bsize", F.count("*").over(w))
+    if chain_cols:
+        # Compute the chain predecessors BEFORE the pin: this window shares
+        # the size window's bucket-key partitioning, so both run off ONE
+        # exchange and the lag columns are materialized into the pinned
+        # frame — the chain branch below is then a pure filter+select with
+        # no exchange of its own (keeps the candidate pipelines at their
+        # 2-exchange budget, tests/test_plans.py).
+        cw = w.orderBy(*[F.col(c) for c in chain_cols], F.col(id_col))
+        enriched = enriched.withColumn("_prev_id", F.lag(id_col).over(cw))
+        for c in payload_cols:
+            enriched = enriched.withColumn(f"_prev_{c}", F.lag(c).over(cw))
+    sized = enriched.localCheckpoint(eager=False)
 
-    small = sized.filter(F.col("_bsize") <= cap).drop("_bsize")
+    small = sized.filter(F.col("_bsize") <= cap).select(
+        *bucket_cols, id_col, *payload_cols
+    )
     a, b = small.alias("a"), small.alias("b")
     same_bucket = reduce(
         lambda x, y: x & y, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
@@ -101,4 +130,26 @@ def bounded_bucket_pairs(
     big_pairs = (
         big.filter(F.col(id_col) != F.col("_hub")).select(*big_out)
     )
-    return small_pairs.unionByName(big_pairs)
+    out = small_pairs.unionByName(big_pairs)
+
+    if chain_cols:
+        chain = sized.filter(F.col("_bsize") > cap)
+        swap = F.col("_prev_id") > F.col(id_col)
+        chain_out = (
+            [
+                F.when(swap, F.col(id_col)).otherwise(F.col("_prev_id")).alias("id1"),
+                F.when(swap, F.col("_prev_id")).otherwise(F.col(id_col)).alias("id2"),
+            ]
+            + [
+                F.when(swap, F.col(c)).otherwise(F.col(f"_prev_{c}")).alias(f"{c}1")
+                for c in payload_cols
+            ]
+            + [
+                F.when(swap, F.col(f"_prev_{c}")).otherwise(F.col(c)).alias(f"{c}2")
+                for c in payload_cols
+            ]
+            + ([F.col(c) for c in bucket_cols] if keep_bucket_cols else [])
+        )
+        chain_pairs = chain.filter(F.col("_prev_id").isNotNull()).select(*chain_out)
+        out = out.unionByName(chain_pairs)
+    return out

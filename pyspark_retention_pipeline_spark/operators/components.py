@@ -37,10 +37,16 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     labels are still moving (returning partially-converged labels would
     silently report split clusters as distinct groups).
     """
+    # The symmetric edge frame is consumed by EVERY round's neighbor-min
+    # join, and each round is its own action — unpinned, the entire edge
+    # derivation (LSH candidate join, verify filter, distinct, this union)
+    # re-executed per round (round-8 review finding; the multi-branch
+    # recompute trap, iterated). One lazy pin materializes it at round 1.
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("vertex"))
@@ -117,6 +123,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_assignment_frame(
+    docs: DataFrame, edges: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, canonical_id, split): near-dup components over
+    ``edges`` (src/dst) → canonical id = component minimum (singletons are
+    their own canonical via left join + coalesce, no densification) → the
+    md5 90/5/5 bucket keyed on the CANONICAL id, so every member of a
+    cluster lands on the same split side. The one implementation behind
+    :func:`group_aware_split` (simhash edges), ``curate_corpus_neardup``
+    (minhash edges, lang threaded through), and the leakage audit — the
+    composition previously lived copy-pasted in each (round-8 review
+    finding)."""
+    from .sampling import split_assignment_frame
+
+    comp = connected_components(edges)
+    base = (
+        docs.select("doc_id", *extra_cols)
+        .join(
+            comp.select(F.col("vertex").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+    )
+    return split_assignment_frame(base, "canonical_id").select(
+        "doc_id", *extra_cols, "canonical_id", "split"
+    )
+
+
 @query("group_aware_split", tags=("curation", "split", "leakage", "dedup-neardup"))
 def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remedy :func:`~.curation.split_leakage_check` prescribes, shipped
@@ -134,21 +173,10 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee — NO hamming-≤3 pair straddles a split — is pinned by
     ``tests/test_curation.py::test_group_aware_split_eliminates_leakage``.
     """
-    from .sampling import split_assignment_frame
     from .text import simhash_candidate_frame
 
     d = load_table(spark, sf_dir, "documents")
     edges = simhash_candidate_frame(d).select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
-    comp = connected_components(edges)
-    docs = d.select("doc_id").join(
-        comp.select(F.col("vertex").alias("doc_id"), "component"), "doc_id", "left"
-    )
-    canon = docs.select(
-        "doc_id",
-        F.coalesce("component", "doc_id").alias("canonical_id"),
-    )
-    return split_assignment_frame(canon, "canonical_id").select(
-        "doc_id", "canonical_id", "split"
-    )
+    return group_assignment_frame(d, edges)

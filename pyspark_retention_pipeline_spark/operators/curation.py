@@ -44,7 +44,7 @@ SCORE_BIN_CHARS = 50
 CONTAM_KEEP_DEN = 5
 
 
-def _gram_hash_frame(docs: DataFrame) -> DataFrame:
+def _gram_hash_frame(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, gram) rows where ``gram`` is the 64-bit hash of a distinct
     word {NGRAM}-gram — n-gram identity WITHOUT materializing n-gram
     strings: tokens hash once each, staged as an array column (referenced
@@ -65,12 +65,11 @@ def _gram_hash_frame(docs: DataFrame) -> DataFrame:
         "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
     )
     starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - NGRAM, F.lit(0)))
-    gram_h = F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(NGRAM)]),
-        )
+    gram_h = F.transform(
+        starts, lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(NGRAM)])
     )
+    if distinct:
+        gram_h = F.array_distinct(gram_h)
     return staged.select("doc_id", F.explode(gram_h).alias("gram"))
 
 
@@ -509,24 +508,14 @@ def curate_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical. Rows-only by contract (iterative clustering, SURVEY §7);
     the SQL-expressible stages of the composition are hash-verified via
     :func:`curate_corpus`."""
-    from .components import connected_components
+    from .components import group_assignment_frame
     from .text import minhash_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(d).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
-    comp = connected_components(pairs)
-    base = (
-        d.select("doc_id", "lang")
-        .join(comp, d.doc_id == comp.vertex, "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce("component", "doc_id").alias("canonical_id"),
-        )
-    )
-    return split_assignment_frame(base, "canonical_id").select(
+    return group_assignment_frame(d, pairs, extra_cols=("lang",)).select(
         "doc_id", "canonical_id", "lang", "split"
     )
 
@@ -694,18 +683,12 @@ def ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same equivalence classes modulo the accepted 2⁻⁶⁴ collision); one
     explode, one vocabulary-of-grams aggregation, one single-row rollup.
     Unlike :func:`ngram_contamination` the gram stream here is
-    NON-distinct: occurrences are the unit."""
-    toks = F.split(F.col("text"), " ")
+    NON-distinct: occurrences are the unit (``_gram_hash_frame`` with
+    ``distinct=False`` — one staging implementation for both call sites,
+    round-8 review finding)."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
-    )
-    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - NGRAM, F.lit(0)))
-    gram_h = F.transform(
-        starts, lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(NGRAM)])
-    )
     c = (
-        staged.select(F.explode(gram_h).alias("gram"))
+        _gram_hash_frame(docs, distinct=False)
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
     )
@@ -905,18 +888,27 @@ def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the full chain — signatures, banding-complete candidate
     recovery, component minima, md5 bucket — not just the zero.
 
-    Scale shape: the assignment frame and the labeled pair frame are each
-    pinned (both feed two aggregation branches; unpinned, each branch
-    re-runs the LSH candidate join and the component iteration). All
-    downstream aggregates are split-cardinality (3 rows).
+    Scale shape: the candidate pair frame is computed ONCE and pinned —
+    it is both the component edge input AND the split-label join input
+    (previously each consumer materialized its own copy, doubling the
+    dominant LSH stage — round-8 review finding); the assignment frame is
+    pinned because it feeds the per-split aggregate and both label joins.
+    All downstream aggregates are split-cardinality (3 rows).
     """
-    from .components import group_aware_split
+    from .components import group_assignment_frame
 
-    assign = group_aware_split(spark, sf_dir).localCheckpoint(eager=False)
     d = load_table(spark, sf_dir, "documents")
-    paired = (
+    pairs = (
         simhash_candidate_frame(d)
         .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=False)
+    )
+    assign = group_assignment_frame(
+        d,
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")),
+    ).localCheckpoint(eager=False)
+    paired = (
+        pairs
         .join(
             assign.select(
                 F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
@@ -932,6 +924,8 @@ def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split_a", "split_b")
         .localCheckpoint(eager=False)
     )
+    # paired stays pinned too: it feeds the within-split and cross-split
+    # aggregation branches below.
     per_split = assign.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("canonical_id").alias("n_clusters"),

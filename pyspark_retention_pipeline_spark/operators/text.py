@@ -576,9 +576,17 @@ _SIMHASH_HAMMING_MAX = 3
 # slice keeps that oracle honest (still all-pairs, still
 # banding-independent on the slice) at a fraction of the cost.
 def simhash_sigs_cte(where: str = "") -> str:
-    return SIMHASH_SIGS_CTE.replace(
+    if not where:
+        return SIMHASH_SIGS_CTE
+    sliced = SIMHASH_SIGS_CTE.replace(
         "FROM documents\n", f"FROM documents {where}\n", 1
     )
+    # A formatting change to the CTE that breaks the splice must fail HERE,
+    # not as a silently-unsliced oracle whose all-pairs self-join re-blows
+    # the sweep (round-8 review finding).
+    if sliced == SIMHASH_SIGS_CTE:
+        raise ValueError("simhash_sigs_cte: slice anchor not found in CTE")
+    return sliced
 
 
 SIMHASH_SIGS_CTE = f"""toks AS (
@@ -707,9 +715,17 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of docs; the exact per-bucket join is O(size²)). Chosen ABOVE the measured
 # sf0.1 maximum (1,690 docs in one band bucket) so every testdata scale takes
 # the exact path and the oracle-checked semantics — exactly the hamming-≤3
-# pair set — are unchanged; a degenerate corpus trades completeness in the
-# oversized bucket for boundedness, keeping every member hub-connected for
-# downstream clustering.
+# pair set — are unchanged. A degenerate corpus trades completeness in the
+# oversized bucket for boundedness: star pairs keep a member connected only
+# if its hamming TO THE HUB is ≤ 3 (the verify filter drops farther star
+# pairs — round-8 review finding), so the candidate join ALSO chains
+# members adjacently in signature order (chain_cols): identical-signature
+# runs — the boilerplate collapse that creates oversized buckets — stay
+# fully connected at hamming 0 regardless of hub distance. A true
+# hamming-≤3 pair with DISTINCT signatures can still be missed only if
+# every band bucket it shares (≥ 1 of 4 guaranteed) is over the cap and
+# neither star nor chain adjacency covers it — bounded, documented recall
+# loss in exchange for O(n·cap) candidates.
 SIMHASH_BUCKET_CAP = 4096
 
 
@@ -758,7 +774,12 @@ def simhash_candidate_frame(
     # verified k times (cheap) and deduped once (tiny).
     return (
         bounded_bucket_pairs(
-            bands, ["band", "band_val"], "doc_id", cap=cap, payload_cols=["sig"]
+            bands,
+            ["band", "band_val"],
+            "doc_id",
+            cap=cap,
+            payload_cols=["sig"],
+            chain_cols=["sig"],
         )
         .select(
             F.col("id1").alias("doc_id_a"),
@@ -809,10 +830,10 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
     ), scored AS (
       SELECT t.doc_id, t.token,
-             t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+             ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
       FROM tf_counts t JOIN df d ON t.token = d.token CROSS JOIN n
     )
-    SELECT doc_id, token, ROUND(tfidf, 6) AS tfidf FROM (
+    SELECT doc_id, token, tfidf FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, token) AS rn
       FROM scored
@@ -847,20 +868,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw tokens.
     df_counts = tf_counts.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = tf_counts.select(F.countDistinct("doc_id").alias("n_docs"))
+    # Rank on the ROUNDED score: JVM Math.log and DuckDB's libm log are
+    # each allowed 1-ulp error in opposite directions, so two near-equal
+    # raw scores at the rn=3/rn=4 boundary could order differently per
+    # engine (round-8 review finding). Rounding to the output scale BEFORE
+    # ranking makes sub-1e-6 distinctions deterministic ties, broken by
+    # token on both engines identically.
     scored = (
         tf_counts.join(F.broadcast(df_counts), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "token",
-            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
+        .select("doc_id", "token", "tfidf")
     )
 
 

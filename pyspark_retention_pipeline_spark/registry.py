@@ -45,15 +45,17 @@ _REGISTRY: dict[str, Query] = {}
 # from the committed CORRECTNESS_r0*.json driver artifacts plus the script's
 # small per-round config (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-8 composition: the 8 plan-changed seats (three
+# script's output. Round-8 composition: the 15 plan-changed seats (three
 # shared-frame pins from commit 8599b2e; the jaccard-verify parity slice;
-# the three registry-scan-budget fixes word_jaccard_pairs / curate_corpus
-# / ivf_knn; the lateral_recent_orders global-sort rewrite), the ENTIRE
-# never-driver-verified backlog (23 round-7 deferrals + the new
-# group_split_leakage_audit + the late-round format roundtrips
-# jsonl_roundtrip_events / orc_roundtrip_revenue — backlog reaches zero),
-# the flagship, and 15 backfill seats from the stalest (round-1-verified)
-# tier; the remaining 12 r1-tier names defer to round 9.
+# the three registry-scan-budget fixes; the lateral_recent_orders
+# global-sort rewrite; and the deep-review fixes — degraded-bucket chain
+# pairs through the simhash composers, the pinned component edge frame
+# through the clustering composers, unified gram staging, rank-on-rounded
+# tfidf), the ENTIRE never-driver-verified backlog (23 round-7 deferrals
+# + group_split_leakage_audit + the format roundtrips — backlog reaches
+# zero), the flagship, and 8 backfill seats from the stalest
+# (round-1-verified) tier; the remaining 19 r1-tier names defer to
+# round 9.
 _FRONT: tuple[str, ...] = (
     "class_weights",
     "tfidf_top_terms",
@@ -63,6 +65,13 @@ _FRONT: tuple[str, ...] = (
     "curate_corpus",
     "ivf_knn",
     "lateral_recent_orders",
+    "simhash_candidates",
+    "split_leakage_check",
+    "source_overlap_matrix",
+    "group_aware_split",
+    "dedup_clusters",
+    "curate_corpus_neardup",
+    "ngram_dup_rate",
     "retention_decay_fit",
     "dependent_funnel",
     "km_session_survival",
@@ -98,13 +107,6 @@ _FRONT: tuple[str, ...] = (
     "churned_customers",
     "cohort_filter",
     "customer_spend_stats",
-    "label_antijoin",
-    "large_volume_orders",
-    "late_shipping_priority_check",
-    "latest_order_per_customer",
-    "left_join_enrich",
-    "not_cancelled",
-    "order_key_list",
 )
 
 

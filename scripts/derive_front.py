@@ -66,6 +66,17 @@ CHANGED: tuple[str, ...] = (
     # global-sort fix: correlated-LIMIT decorrelation replaced by the
     # explicit partitioned-window form (test_no_unbounded_global_sorts)
     "lateral_recent_orders",
+    # round-8 deep-review fixes: chain_cols in the degraded LSH bucket path
+    # (simhash composers), the pinned symmetric edge frame in
+    # connected_components (its composers), the unified gram staging, and
+    # the tfidf rank-on-rounded-score determinism fix (already seated)
+    "simhash_candidates",
+    "split_leakage_check",
+    "source_overlap_matrix",
+    "group_aware_split",
+    "dedup_clusters",
+    "curate_corpus_neardup",
+    "ngram_dup_rate",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

@@ -177,12 +177,16 @@ def test_simhash_hot_bucket_bound_engages(spark):
     assert len(exact) == n * (n - 1) // 2
     assert all(r["hamming"] == 0 for r in exact)
 
-    # cap below bucket size -> star degradation: n-1 hub pairs, all docs
-    # still connected through the hub (doc 1 = min id).
+    # cap below bucket size -> degradation: n-1 star pairs (hub = doc 1)
+    # plus the signature-ordered adjacency chain (identical sigs -> chain
+    # by id: (2,3)..(n-1,n); (1,2) coincides with a star pair). Everything
+    # is hamming 0 and the member count stays O(n), not O(n^2).
     bounded = simhash_candidate_frame(docs, cap=8).collect()
-    assert len(bounded) == n - 1
-    assert {r["doc_id_a"] for r in bounded} == {1}
-    assert {r["doc_id_b"] for r in bounded} == set(range(2, n + 1))
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in bounded}
+    star = {(1, k) for k in range(2, n + 1)}
+    chain = {(k, k + 1) for k in range(1, n)}
+    assert got == star | chain
+    assert len(bounded) == len(got)  # distinct folded the overlap
     assert all(r["hamming"] == 0 for r in bounded)
 
 
@@ -352,3 +356,33 @@ def test_simhash_banding_lossless_vs_bruteforce(spark):
     }
     assert banded == brute
     assert any(h <= 3 for (_, _, h) in banded)  # the planted edits are found
+
+
+def test_bounded_bucket_pairs_chain_connects_hub_distant_twins(spark):
+    """Round-8 review finding, fixed by chain_cols: in an OVERSIZED bucket,
+    members identical to each other but far from the hub used to appear
+    only in (hub, member) star pairs — a downstream distance filter then
+    disconnected them entirely. The signature-ordered adjacency chain must
+    pair them directly (distance 0), independent of hub distance."""
+    from pyspark_retention_pipeline_spark.operators.buckets import (
+        bounded_bucket_pairs,
+    )
+
+    rows = [(1, "b", 100)] + [(i, "b", 100) for i in range(2, 9)]
+    # ids 20, 21 share sig 999 (far from the hub's 100); same bucket.
+    rows += [(20, "b", 999), (21, "b", 999)]
+    members = spark.createDataFrame(rows, "id long, bucket string, sig long")
+    pairs = {
+        (r["id1"], r["id2"], r["sig1"], r["sig2"])
+        for r in bounded_bucket_pairs(
+            members, ["bucket"], "id", cap=4,
+            payload_cols=["sig"], chain_cols=["sig"],
+        ).collect()
+    }
+    # The twins are chained directly with their own payloads on both sides.
+    assert (20, 21, 999, 999) in pairs
+    # Star pairs still connect every member to the hub (id 1).
+    assert {(p[0], p[1]) for p in pairs} >= {(1, k) for k in [20, 21]}
+    # Payload sides follow their ids after chain normalization.
+    for id1, id2, s1, s2 in pairs:
+        assert id1 < id2

@@ -11,10 +11,11 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-8 policy (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md): seat
-(a) the eight queries whose plan changed this round — the three
-shared-frame pin fixes, the jaccard-verify parity slice, the three
-registry-scan-budget fixes, and the lateral_recent_orders global-sort
-rewrite; (b) the ENTIRE
+(a) the fifteen queries whose plan changed this round — shared-frame
+pins, the jaccard-verify parity slice, scan-budget fixes, the
+lateral_recent_orders global-sort rewrite, and the deep-review fixes
+(chain pairs, pinned edge frame, unified gram staging, tfidf rank
+determinism); (b) the ENTIRE
 never-driver-verified backlog (23 round-7 deferrals + the new
 group_split_leakage_audit — the backlog reaches zero for the first time);
 (c) the flagship; backfill from the stalest (round-1-verified) tier.
@@ -49,6 +50,16 @@ CHANGED_R8 = {
     # global-sort fix (test_no_unbounded_global_sorts): correlated-LIMIT
     # decorrelation replaced by the explicit partitioned-window form
     "lateral_recent_orders",
+    # deep-review fixes: degraded-bucket chain pairs (simhash composers),
+    # pinned component edge frame (clustering composers), unified gram
+    # staging, tfidf rank-on-rounded determinism
+    "simhash_candidates",
+    "split_leakage_check",
+    "source_overlap_matrix",
+    "group_aware_split",
+    "dedup_clusters",
+    "curate_corpus_neardup",
+    "ngram_dup_rate",
 }
 
 # (b) the never-driver-verified backlog, all seated this round. The 23
@@ -86,9 +97,16 @@ BACKLOG_R8 = {
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Stalest-tier backfill deferred to round 9 (the 12 round-1-verified names
+# Stalest-tier backfill deferred to round 9 (the 19 round-1-verified names
 # the 50-slot window could not hold after the mandatory seats).
 DEFERRED_TO_R9 = {
+    "label_antijoin",
+    "large_volume_orders",
+    "late_shipping_priority_check",
+    "latest_order_per_customer",
+    "left_join_enrich",
+    "not_cancelled",
+    "order_key_list",
     "priority_line_distribution",
     "recent90_agg",
     "recent_window",
