@@ -50,6 +50,12 @@ def main() -> int:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sha, dirty = _git_state(repo)
+    if not sha:
+        # An artifact that "certifies" an empty sha certifies nothing —
+        # fail loudly instead (observed once: git subprocess returned empty
+        # under a sandboxed make invocation).
+        print("oracle_sweep: could not resolve HEAD sha", file=sys.stderr)
+        return 2
     if dirty and not args.allow_dirty:
         print(
             "oracle_sweep: working tree is dirty — the sweep artifact certifies "
