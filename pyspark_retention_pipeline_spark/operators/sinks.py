@@ -413,3 +413,60 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("revenue"),
         )
     )
+
+
+def csv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(application, SF) path of the CSV customer snapshot."""
+    app = spark.sparkContext.applicationId
+    sweep_stale_artifacts(_ROUNDTRIP_ROOT, ("local",), keep=(app,))
+    _touch_live(_ROUNDTRIP_ROOT / app)
+    return str(
+        _ROUNDTRIP_ROOT / app / f"customer_csv_{Path(sf_dir.rstrip('/')).name}"
+    )
+
+
+@query(
+    "csv_roundtrip_customers",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance,
+           ROUND(MIN(c_acctbal), 2) AS min_balance,
+           ROUND(MAX(c_acctbal), 2) AS max_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sink", "source", "csv", "roundtrip"),
+)
+def csv_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source under the hash gate — the write leg of the S1 CSV
+    surface (the reference only READS CSV; a user exporting extracts needs
+    the loop closed). Customers are written as header CSV, re-read with an
+    EXPLICIT schema (CSV carries no types — inference is a full extra pass
+    and types by luck), and rolled up per market segment. Spark serializes
+    doubles via the shortest-unique Java representation, so c_acctbal
+    round-trips bit-exactly; the oracle aggregates the ORIGINAL parquet,
+    certifying text-format value fidelity end to end."""
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_csv, write_csv
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = csv_path(spark, sf_dir)
+    write_csv(c, path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_customers"),
+        money_sum("c_acctbal").alias("total_balance"),
+        F.round(F.min("c_acctbal"), 2).alias("min_balance"),
+        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+    )

@@ -53,9 +53,9 @@ _REGISTRY: dict[str, Query] = {}
 # through the clustering composers, unified gram staging, rank-on-rounded
 # tfidf), the ENTIRE never-driver-verified backlog (23 round-7 deferrals
 # + group_split_leakage_audit + the format roundtrips — backlog reaches
-# zero), the flagship, and 8 backfill seats from the stalest
-# (round-1-verified) tier; the remaining 19 r1-tier names defer to
-# round 9.
+# zero — csv_roundtrip_customers joins it late), the flagship, and 7
+# backfill seats from the stalest (round-1-verified) tier; the remaining
+# 20 r1-tier names defer to round 9.
 _FRONT: tuple[str, ...] = (
     "class_weights",
     "tfidf_top_terms",
@@ -97,6 +97,7 @@ _FRONT: tuple[str, ...] = (
     "zorder_scan_revenue",
     "jsonl_roundtrip_events",
     "orc_roundtrip_revenue",
+    "csv_roundtrip_customers",
     "media_dedup_exact",
     "churn_features",
     "above_avg_orders",
@@ -106,7 +107,6 @@ _FRONT: tuple[str, ...] = (
     "cast_projection",
     "churned_customers",
     "cohort_filter",
-    "customer_spend_stats",
 )
 
 

@@ -4,9 +4,11 @@ from .bucketing import bucket_fact_tables, colocated_order_lines
 from .io import (
     read_csv_transactions,
     read_csv_transactions_permissive,
+    read_csv,
     read_jsonl,
     read_orc,
     read_parquet_table,
+    write_csv,
     write_jsonl,
     write_orc,
     write_parquet,
@@ -20,9 +22,11 @@ __all__ = [
     "colocated_order_lines",
     "read_csv_transactions",
     "read_csv_transactions_permissive",
+    "read_csv",
     "read_jsonl",
     "read_orc",
     "read_parquet_table",
+    "write_csv",
     "write_jsonl",
     "write_orc",
     "write_parquet",

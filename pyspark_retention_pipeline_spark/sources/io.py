@@ -104,6 +104,21 @@ def read_csv_transactions_permissive(
     return clean, quarantined
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Header CSV sink — the interchange leg of the S1 CSV surface (scan
+    was covered from round 1; the write side closes the loop). Spark
+    serializes doubles via Java's shortest-unique representation, so
+    numeric values round-trip exactly; schemas must still be EXPLICIT on
+    re-read (CSV carries no types)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-pinned CSV scan (generic leg; the reference-shaped
+    transaction reader with header aliases is read_csv_transactions)."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — the interchange format of LLM training-data
     pipelines (one document object per line; splittable when uncompressed,

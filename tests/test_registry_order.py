@@ -92,14 +92,16 @@ BACKLOG_R8 = {
     "group_split_leakage_audit",  # new in round 8
     "jsonl_roundtrip_events",  # new in round 8 (format roundtrips)
     "orc_roundtrip_revenue",  # new in round 8 (format roundtrips)
+    "csv_roundtrip_customers",  # new in round 8 (format roundtrips)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Stalest-tier backfill deferred to round 9 (the 19 round-1-verified names
+# Stalest-tier backfill deferred to round 9 (the 20 round-1-verified names
 # the 50-slot window could not hold after the mandatory seats).
 DEFERRED_TO_R9 = {
+    "customer_spend_stats",
     "label_antijoin",
     "large_volume_orders",
     "late_shipping_priority_check",
