@@ -173,6 +173,13 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spreads.sort()
+    # Nearest-rank p90 (round-8 ADVICE item 4): int(n*0.9) under-shoots the
+    # rank (n=24 picks index 21 ≈ p88; small n lands near the median),
+    # understating the advertised noise floor. ceil(0.9n)-1 is the standard
+    # nearest-rank index.
+    import math
+
+    p90_idx = min(len(spreads) - 1, max(0, math.ceil(0.9 * len(spreads)) - 1))
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -184,7 +191,7 @@ def main() -> None:
         # multiples of these is noise, not a regression (the recurring
         # q20-style false flag, now quantified in-artifact).
         "run_spread_med_pct": round(100 * spreads[len(spreads) // 2], 1),
-        "run_spread_p90_pct": round(100 * spreads[int(len(spreads) * 0.9)], 1),
+        "run_spread_p90_pct": round(100 * spreads[p90_idx], 1),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
@@ -213,13 +220,85 @@ def main() -> None:
             },
             "regressions_gt_1.5x": {q: r for q, r in ratios.items() if r > 1.5},
         }
-    print(json.dumps(result))
+    print(emit_line(result))
+    # Full artifact (prose not_like_for_like reasons, pretty-printed) for
+    # humans; the stdout line is the driver's copy and is size-bounded.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs", "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
     spark.stop()
 
 
+def emit_line(result: dict) -> str:
+    """Serialize the driver-facing JSON line, bounded to the driver's
+    2000-char stdout tail capture.
+
+    Round 8's line measured 2046 chars and the driver recorded
+    ``parsed: null`` with a head-truncated ``tail`` — the whole bench
+    comparison silently vanished from the round artifact (round-8 ADVICE
+    item 2's root cause). Compact separators + names-only
+    ``not_like_for_like`` (prose reasons live in ``NOT_LIKE_FOR_LIKE`` and
+    ``docs/BENCH_LOCAL.json``) keep the line well under the cap;
+    ``tests/test_bench_contract.py`` pins the worst-case size as the
+    headline set grows."""
+    budget = 1950  # driver tail is 2000; leave newline + margin
+    line_result = dict(result)
+    vs = result.get("vs_baseline")
+    if vs is not None:
+        vs = dict(vs)
+        # Names only; prose reasons live in NOT_LIKE_FOR_LIKE + the local
+        # artifact.
+        vs["not_like_for_like"] = sorted(vs.get("not_like_for_like", {}))
+        # Derivable by any holder of two round artifacts (set-diff of the
+        # queries maps / previous round's value) — full detail in
+        # docs/BENCH_LOCAL.json; the line carries only what isn't.
+        vs.pop("new_queries", None)
+        vs.pop("baseline_total", None)
+        line_result["vs_baseline"] = vs
+
+    def dump() -> str:
+        return json.dumps(line_result, separators=(",", ":"))
+
+    line = dump()
+    # Degradation ladder — sheds informational detail, never the driver
+    # contract keys. A realistic round never degrades (the size test pins
+    # that); this guarantees the line parses even in pathological rounds.
+    if len(line) > budget and vs is not None:
+        vs.pop("not_like_for_like", None)
+        line = dump()
+    if len(line) > budget and vs is not None and vs.get("regressions_gt_1.5x"):
+        worst = sorted(
+            vs["regressions_gt_1.5x"].items(), key=lambda kv: -kv[1]
+        )[:10]
+        vs["regressions_gt_1.5x"] = dict(worst)
+        vs["regressions_truncated_to_worst_10"] = True
+        line = dump()
+    if len(line) > budget:
+        line_result.pop("vs_baseline", None)
+        line = dump()
+    if len(line) > budget:
+        # Final resort: 2-dp per-query timings (noise floor is ~10% anyway).
+        line_result["queries"] = {
+            q: round(t, 2) for q, t in line_result["queries"].items()
+        }
+        line = dump()
+    return line
+
+
 def _load_baseline() -> dict | None:
-    """Most recent BENCH_r{N}.json next to this script — the driver's record
-    of the previous round, used to self-flag per-query regressions."""
+    """Most recent USABLE BENCH_r{N}.json next to this script — the
+    driver's record of a previous round, used to self-flag per-query
+    regressions.
+
+    Newest-first, skipping artifacts whose payload is unusable: the driver
+    wraps the bench's JSON line under ``parsed``, and records
+    ``parsed: null`` when the line outgrew its stdout tail capture (the
+    round-8 artifact — see ``emit_line``). Falling back to the newest
+    parseable round keeps the regression guard alive instead of silently
+    dropping ``vs_baseline`` (round-8 ADVICE item 2)."""
     import glob
     import re
 
@@ -229,16 +308,16 @@ def _load_baseline() -> dict | None:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
-    path = max(rounds)[1]
-    try:
-        with open(path) as f:
-            data = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    # The driver wraps the bench's JSON line under "parsed".
-    return data.get("parsed", data)
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        payload = data.get("parsed") or data
+        if isinstance(payload, dict) and payload.get("queries"):
+            return payload
+    return None
 
 
 if __name__ == "__main__":

@@ -234,10 +234,13 @@ def unbounded_global_sorts(df: DataFrame) -> list[str]:
         if cls in ("GlobalLimit", "LocalLimit"):
             under_limit = True
         if cls == "Sort" and not under_limit:
-            try:
-                is_global = bool(node.global_())
-            except Exception:
-                is_global = True
+            # The Scala accessor is ``global()`` — a Python keyword, so it
+            # must be fetched with getattr (py4j does NO keyword mangling;
+            # ``node.global_()`` raises Py4JError, and a silent
+            # except-default-True here turned the documented global-vs-local
+            # distinction into dead code — round-8 ADVICE item 3). No
+            # fallback: if the accessor ever breaks, fail loudly.
+            is_global = bool(getattr(node, "global")())
             kids = node.children()
             if is_global and not all(
                 _all_paths_reduced(kids.apply(i)) for i in range(kids.size())

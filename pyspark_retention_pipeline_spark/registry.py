@@ -40,73 +40,71 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-8 rotation (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md) — now
-# GENERATED: ``scripts/derive_front.py`` derives this window mechanically
-# from the committed CORRECTNESS_r0*.json driver artifacts plus the script's
-# small per-round config (changed-plan list, flagship, window size), and
+# Round-9 rotation (docs/ROUND9_ROTATION.md) — GENERATED:
+# ``scripts/derive_front.py`` derives this window mechanically from the
+# committed CORRECTNESS_r0*.json driver artifacts (rounds BEFORE the
+# configured one only, so the derivation is stable whenever the current
+# round's artifact lands) plus the script's small per-round config
+# (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-8 composition: the 15 plan-changed seats (three
-# shared-frame pins from commit 8599b2e; the jaccard-verify parity slice;
-# the three registry-scan-budget fixes; the lateral_recent_orders
-# global-sort rewrite; and the deep-review fixes — degraded-bucket chain
-# pairs through the simhash composers, the pinned component edge frame
-# through the clustering composers, unified gram staging, rank-on-rounded
-# tfidf), the ENTIRE never-driver-verified backlog (23 round-7 deferrals
-# + group_split_leakage_audit + the format roundtrips — backlog reaches
-# zero — csv_roundtrip_customers joins it late), the flagship, and 7
-# backfill seats from the stalest (round-1-verified) tier; the remaining
-# 20 r1-tier names defer to round 9.
+# script's output. Round-9 composition: the never-verified backlog is ZERO
+# (round 8 burned it) and no plans have changed yet, so the window is the
+# flagship + 49 stalest-green backfill seats — the 20 r1-verified
+# deferrals, the full r2 tier, and the front of the r3 tier, their first
+# re-verification since they were first gated. New queries and
+# plan-changed queries added during round 9 re-derive this window (update
+# CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "class_weights",
-    "tfidf_top_terms",
-    "quality_zscore_by_lang",
-    "simhash_jaccard_verify",
-    "word_jaccard_pairs",
-    "curate_corpus",
-    "ivf_knn",
-    "lateral_recent_orders",
-    "simhash_candidates",
-    "split_leakage_check",
-    "source_overlap_matrix",
-    "group_aware_split",
-    "dedup_clusters",
-    "curate_corpus_neardup",
-    "ngram_dup_rate",
-    "retention_decay_fit",
-    "dependent_funnel",
-    "km_session_survival",
-    "ab_conversion_ztest",
-    "time_decay_attribution",
-    "user_value_twap",
-    "interarrival_acf",
-    "theilsen_revenue_trend",
-    "locf_fill",
-    "lang_id_confusion",
-    "hapax_rate_by_source",
-    "rare_token_rate",
-    "bigram_logprob_score",
-    "token_pmi_collocations",
-    "per_source_sample",
-    "group_split_leakage_audit",
-    "embedding_outliers",
-    "pareto_concentration",
-    "pipe_sql_revenue_flow",
-    "psi_price_drift",
-    "ks_price_drift",
-    "bootstrap_revenue_ci",
-    "zorder_scan_revenue",
-    "jsonl_roundtrip_events",
-    "orc_roundtrip_revenue",
-    "csv_roundtrip_customers",
-    "media_dedup_exact",
     "churn_features",
-    "above_avg_orders",
-    "active_customers_semi",
-    "all_orders_finished",
-    "best_threshold",
-    "cast_projection",
-    "churned_customers",
-    "cohort_filter",
+    "customer_spend_stats",
+    "label_antijoin",
+    "large_volume_orders",
+    "late_shipping_priority_check",
+    "latest_order_per_customer",
+    "left_join_enrich",
+    "not_cancelled",
+    "order_key_list",
+    "priority_line_distribution",
+    "recent90_agg",
+    "recent_window",
+    "returned_parts_distinct",
+    "running_total",
+    "segment_case",
+    "sql_expr_filter",
+    "supplier_balance_by_nation",
+    "threshold_pred",
+    "threshold_sweep",
+    "top_customers",
+    "union_by_name",
+    "cube_status_priority",
+    "dedup_keep_first",
+    "event_type_map_summary",
+    "inactive_customers_except",
+    "json_typed_parse",
+    "label_centroids",
+    "lang_id_heuristic",
+    "order_value_bounds",
+    "regex_token_count",
+    "retained_buyers_intersect",
+    "revenue_by_nation",
+    "revenue_share",
+    "salted_supplier_agg",
+    "segment_metrics_unpivot",
+    "string_ops",
+    "token_classes",
+    "acctbal_histogram",
+    "disjunctive_part_predicates",
+    "doc_fingerprint",
+    "embedding_norms",
+    "grouping_sets_revenue",
+    "idle_wealthy_customers",
+    "lang_stats",
+    "market_share",
+    "median_order_value",
+    "moving_avg_order_value",
+    "order_count_distribution",
+    "orders_per_weekday",
+    "pricing_summary",
 )
 
 

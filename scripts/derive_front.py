@@ -49,35 +49,12 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 8
+ROUND = 9
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 8: the three multi-branch recompute fixes
-# (shared-frame pins, commit 8599b2e), the jaccard-verify parity slice, and
-# the three registry-scan-budget fixes (word_jaccard_pairs pinned token
-# frame, curate_corpus pinned dedup frame, ivf_knn single-scan candidates).
-CHANGED: tuple[str, ...] = (
-    "class_weights",
-    "tfidf_top_terms",
-    "quality_zscore_by_lang",
-    "simhash_jaccard_verify",
-    "word_jaccard_pairs",
-    "curate_corpus",
-    "ivf_knn",
-    # global-sort fix: correlated-LIMIT decorrelation replaced by the
-    # explicit partitioned-window form (test_no_unbounded_global_sorts)
-    "lateral_recent_orders",
-    # round-8 deep-review fixes: chain_cols in the degraded LSH bucket path
-    # (simhash composers), the pinned symmetric edge frame in
-    # connected_components (its composers), the unified gram staging, and
-    # the tfidf rank-on-rounded-score determinism fix (already seated)
-    "simhash_candidates",
-    "split_leakage_check",
-    "source_overlap_matrix",
-    "group_aware_split",
-    "dedup_clusters",
-    "curate_corpus_neardup",
-    "ngram_dup_rate",
-)
+# listed in change order. Round 9: none yet — update this tuple the moment
+# a registered query's plan changes (round-5 lesson; the derivation and
+# docs/ROUND9_ROTATION.md re-run together).
+CHANGED: tuple[str, ...] = ()
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()
@@ -85,11 +62,20 @@ EXCLUDE: tuple[str, ...] = ()
 
 def last_green_rounds() -> dict[str, int]:
     """Latest round with a green driver row per query, from the committed
-    ``CORRECTNESS_r0*.json`` artifacts."""
+    ``CORRECTNESS_r0*.json`` artifacts.
+
+    Only rounds BEFORE the configured ``ROUND`` count: the current round's
+    artifact lands mid-round (the driver writes it before the round is
+    judged), and including it would empty the never-verified tier and
+    reshuffle the staleness order the moment it appears — the derivation
+    must be stable regardless of when ``CORRECTNESS_r{ROUND}.json`` shows
+    up in the tree (round-8 ADVICE item 1)."""
     last: dict[str, int] = {}
     # r* not r0*: rounds 10+ are CORRECTNESS_r10.json etc.
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)\.json$", path).group(1))
+        if rnd >= ROUND:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():

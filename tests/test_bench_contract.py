@@ -1,0 +1,112 @@
+"""Contracts on bench.py's driver-facing output line.
+
+The driver captures only the LAST 2000 characters of bench stdout; round
+8's JSON line measured 2046 and the artifact recorded ``parsed: null``
+with a head-truncated tail — the round's whole bench comparison silently
+vanished (round-8 ADVICE item 2). These tests pin the emission size
+against the WORST-CASE rendering of the current headline set, so growth
+trips a test here instead of truncating in the driver.
+
+No Spark session: the contract is pure serialization.
+"""
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver's stdout tail window, measured from BENCH_r08.json
+# (len(tail) == 2000). Keep a safety margin below it.
+DRIVER_TAIL_CHARS = 2000
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _result(bench, *, new, nlfl, regressed, t=9999.999) -> dict:
+    timings = {name: t for name in bench.HEADLINE}
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 99999.999,
+        "unit": "sec",
+        "ml_pipeline_wall": 9999.999,
+        "run_spread_med_pct": 99.9,
+        "run_spread_p90_pct": 999.9,
+        "queries": timings,
+        "sf": 0.001,
+        "vs_baseline": {
+            "baseline_total": 99999.999,
+            "total_ratio": 99.999,
+            "new_queries": sorted(new),
+            "not_like_for_like": dict.fromkeys(nlfl, "x" * 80),
+            "regressions_gt_1.5x": {n: 99.99 for n in regressed},
+        },
+    }
+
+
+def test_adversarial_line_fits_driver_tail():
+    """Even an impossible all-new + all-regressed + all-nlfl round must
+    degrade down to a parseable line under the driver's capture window —
+    the emission enforces its own bound."""
+    bench = _bench()
+    h = bench.HEADLINE
+    line = bench.emit_line(_result(bench, new=h, nlfl=h, regressed=h))
+    assert len(line) <= DRIVER_TAIL_CHARS - 20, (
+        f"adversarial bench line is {len(line)} chars — the degradation "
+        "ladder in bench.emit_line no longer bounds the emission"
+    )
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, f"driver contract key {key!r} missing"
+    assert set(parsed["queries"]) == set(h)
+
+
+def test_realistic_round_fits_without_degradation():
+    """A realistic round (≤8 new, ≤8 nlfl, ≤4 regressions, sub-10s
+    timings) must fit WITHOUT shedding any detail. When this fails, the
+    headline set has outgrown the driver tail — shrink the emission
+    (precision, split lists) BEFORE the artifact goes dark again."""
+    bench = _bench()
+    h = list(bench.HEADLINE)
+    result = _result(
+        bench, new=h[:8], nlfl=h[8:16], regressed=h[16:20], t=9.999
+    )
+    line = bench.emit_line(result)
+    assert len(line) <= DRIVER_TAIL_CHARS - 20
+    parsed = json.loads(line)
+    vs = parsed["vs_baseline"]
+    # Nothing shed: ratio + both flag structures intact, 3-dp timings.
+    # (new_queries / baseline_total never ride the line by design — both
+    # are derivable from the two round artifacts and live in
+    # docs/BENCH_LOCAL.json.)
+    assert "new_queries" not in vs and "baseline_total" not in vs
+    assert vs["total_ratio"] == 99.999
+    assert len(vs["not_like_for_like"]) == 8
+    assert len(vs["regressions_gt_1.5x"]) == 4
+    assert "regressions_truncated_to_worst_10" not in vs
+    assert parsed["queries"][h[0]] == 9.999
+    # Prose reasons never ride the line — names only (full reasons live in
+    # bench.NOT_LIKE_FOR_LIKE and docs/BENCH_LOCAL.json).
+    assert isinstance(vs["not_like_for_like"], list)
+    # emit_line must not mutate its input: the full artifact is dumped to
+    # docs/BENCH_LOCAL.json AFTER the line is printed.
+    assert len(result["vs_baseline"]["new_queries"]) == 8
+    assert isinstance(result["vs_baseline"]["not_like_for_like"], dict)
+
+
+def test_load_baseline_skips_null_parsed():
+    """The loader must fall back past artifacts whose parsed payload is
+    null (the round-8 truncation) to the newest usable round."""
+    bench = _bench()
+    baseline = bench._load_baseline()
+    # BENCH_r08.json has parsed: null, BENCH_r07.json is usable — the
+    # loader must return SOME usable payload, never None/null here.
+    assert baseline is not None
+    assert baseline.get("queries"), "baseline payload has no queries map"

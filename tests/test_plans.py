@@ -715,6 +715,12 @@ def test_global_sort_detector_controls(spark, sf_dir):
     # ordering an aggregate-bounded rollup for output — allowed.
     agg = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
     assert not unbounded_global_sorts(agg.orderBy("n"))
+    # LOCAL sort over a non-reduced frame (sortWithinPartitions — no range
+    # exchange, no total order) — allowed. This is the global-vs-local
+    # distinction the detector documents; it was dead code while the
+    # ``global()`` accessor was misspelled ``global_()`` and a blanket
+    # except defaulted every Sort to global (round-8 ADVICE item 3).
+    assert not unbounded_global_sorts(o.sortWithinPartitions("o_totalprice"))
 
 
 def test_shuffle_census_no_regression(spark, sf_dir):

@@ -10,15 +10,13 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-8 policy (VERDICT r7 items 1/2/4 + docs/ROUND8_ROTATION.md): seat
-(a) the fifteen queries whose plan changed this round — shared-frame
-pins, the jaccard-verify parity slice, scan-budget fixes, the
-lateral_recent_orders global-sort rewrite, and the deep-review fixes
-(chain pairs, pinned edge frame, unified gram staging, tfidf rank
-determinism); (b) the ENTIRE
-never-driver-verified backlog (23 round-7 deferrals + the new
-group_split_leakage_audit — the backlog reaches zero for the first time);
-(c) the flagship; backfill from the stalest (round-1-verified) tier.
+Round-9 policy (docs/ROUND9_ROTATION.md): the never-verified backlog is
+ZERO after round 8 and no plans have changed yet, so the window is (a)
+any round-9 plan-changed queries (none at rotation time — re-derive when
+changes land), (b) new round-9 queries (auto-enter the never-verified
+tier), (c) the flagship, and (d) stalest-green backfill: the 20
+r1-verified deferrals, the full r2 tier, and the front of the r3 tier —
+their first re-verification since first gated.
 """
 
 import importlib.util
@@ -33,94 +31,30 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 8 — plan-change rule makes seating
-# mandatory (round-5 lesson).
-CHANGED_R8 = {
-    # shared-frame pins (multi-branch recompute fixes, VERDICT r7 item 2)
-    "class_weights",
-    "tfidf_top_terms",
-    "quality_zscore_by_lang",
-    # both-engine deterministic doc_id slice (VERDICT r7 item 5)
-    "simhash_jaccard_verify",
-    # registry-scan-budget fixes (test_registry_scan_budget): pinned token
-    # frame / pinned dedup frame / single-scan IVF candidates
-    "word_jaccard_pairs",
-    "curate_corpus",
-    "ivf_knn",
-    # global-sort fix (test_no_unbounded_global_sorts): correlated-LIMIT
-    # decorrelation replaced by the explicit partitioned-window form
-    "lateral_recent_orders",
-    # deep-review fixes: degraded-bucket chain pairs (simhash composers),
-    # pinned component edge frame (clustering composers), unified gram
-    # staging, tfidf rank-on-rounded determinism
-    "simhash_candidates",
-    "split_leakage_check",
-    "source_overlap_matrix",
-    "group_aware_split",
-    "dedup_clusters",
-    "curate_corpus_neardup",
-    "ngram_dup_rate",
-}
+# (a) implementation changed in round 9 — plan-change rule makes seating
+# mandatory (round-5 lesson). Update the moment a registered plan changes.
+CHANGED_R9: set[str] = set()
 
-# (b) the never-driver-verified backlog, all seated this round. The 23
-# round-7 deferrals (pinned as DEFERRED_TO_R8 last round) + the new
-# oracle-backed split-leakage proof query.
-BACKLOG_R8 = {
-    "user_value_twap",
-    "media_dedup_exact",
-    "pipe_sql_revenue_flow",
-    "hapax_rate_by_source",
-    "pareto_concentration",
-    "interarrival_acf",
-    "rare_token_rate",
-    "theilsen_revenue_trend",
-    "psi_price_drift",
-    "ks_price_drift",
-    "retention_decay_fit",
-    "lang_id_confusion",
-    "bigram_logprob_score",
-    "per_source_sample",
-    "embedding_outliers",
-    "token_pmi_collocations",
-    "locf_fill",
-    "dependent_funnel",
-    "zorder_scan_revenue",
-    "km_session_survival",
-    "bootstrap_revenue_ci",
-    "ab_conversion_ztest",
-    "time_decay_attribution",
-    "group_split_leakage_audit",  # new in round 8
-    "jsonl_roundtrip_events",  # new in round 8 (format roundtrips)
-    "orc_roundtrip_revenue",  # new in round 8 (format roundtrips)
-    "csv_roundtrip_customers",  # new in round 8 (format roundtrips)
-}
+# (b) never-driver-verified backlog: ZERO at rotation time (round 8 seated
+# all of it). New round-9 queries enter here as they are registered.
+BACKLOG_R9: set[str] = set()
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Stalest-tier backfill deferred to round 9 (the 20 round-1-verified names
-# the 50-slot window could not hold after the mandatory seats).
-DEFERRED_TO_R9 = {
-    "customer_spend_stats",
-    "label_antijoin",
-    "large_volume_orders",
-    "late_shipping_priority_check",
-    "latest_order_per_customer",
-    "left_join_enrich",
-    "not_cancelled",
-    "order_key_list",
-    "priority_line_distribution",
-    "recent90_agg",
-    "recent_window",
-    "returned_parts_distinct",
-    "running_total",
-    "segment_case",
-    "sql_expr_filter",
-    "supplier_balance_by_nation",
-    "threshold_pred",
-    "threshold_sweep",
-    "top_customers",
-    "union_by_name",
+# Boundary-tier backfill deferred to round 10: the window cut falls inside
+# the r3-verified tier; these 9 r3 names are the tier's remainder (the
+# r5+ tiers are simply fresher, not "deferred").
+DEFERRED_TO_R10 = {
+    "promo_revenue_share",
+    "quality_score",
+    "returned_items_top_customers",
+    "segments_by_revenue",
+    "shipping_priority",
+    "small_qty_part_revenue",
+    "sql_api_revenue",
+    "token_topk",
+    "volume_shipping",
 }
 
 
@@ -152,22 +86,22 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R8 | BACKLOG_R8 | FLAGSHIP) - window
+    missing = (CHANGED_R9 | BACKLOG_R9 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
     """The whole backlog must carry oracles — a rows-only seat would burn a
     slot on a weaker check (rows-only ops re-seat only on change)."""
-    missing = BACKLOG_R8 - set(all_oracle_sql())
+    missing = BACKLOG_R9 - set(all_oracle_sql())
     assert not missing, f"backlog entries missing oracles: {missing}"
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R9 <= set(qs)
+    assert DEFERRED_TO_R10 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R9 & window
+    overlap = DEFERRED_TO_R10 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
@@ -220,10 +154,7 @@ def test_changed_headline_queries_marked_not_like_for_like():
     NOT_LIKE_FOR_LIKE map — otherwise its ratio is an algorithm/plan
     comparison silently folded into the like-for-like total (the round-7
     simhash64 false-regression mode)."""
-    import glob
     import importlib.util
-    import json
-    import re
 
     spec = importlib.util.spec_from_file_location(
         "bench", os.path.join(REPO, "bench.py")
@@ -237,16 +168,15 @@ def test_changed_headline_queries_marked_not_like_for_like():
     front = importlib.util.module_from_spec(front_spec)
     front_spec.loader.exec_module(front)
 
-    rounds = []
-    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            rounds.append((int(m.group(1)), path))
-    if not rounds:
+    # bench._load_baseline is the single implementation of "newest USABLE
+    # driver artifact": it skips parsed: null payloads (the round-8
+    # artifact's truncated-line case — data.get("parsed", data) returned
+    # None here and this test crashed with AttributeError, round-8 ADVICE
+    # item 2) and falls back to the newest parseable round.
+    baseline = bench._load_baseline()
+    if baseline is None:
         return
-    with open(max(rounds)[1]) as f:
-        data = json.load(f)
-    base_q = data.get("parsed", data).get("queries", {})
+    base_q = baseline.get("queries", {})
 
     offenders = [
         name
