@@ -95,6 +95,12 @@ HEADLINE = [
     # round 8 late: the global-sort fix — guards the partitioned-window
     # form against a regression back to a corpus total order
     "lateral_recent_orders",
+    # round 9: the tokenizer tier (vocab-weighted BPE pair counts — the
+    # explode-over-vocab shape; the zero-shuffle intra-doc rewrite) and the
+    # banded-ANN top-1 (payload-threaded bucket pairs, no join-back)
+    "bpe_pair_counts",
+    "intradoc_dedup_rewrite",
+    "embedding_ann_top1",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded

@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     tpch_partsupp,
     text,
     text_quality,
+    tokenizer,
     chunking,
     curation,
     similarity,

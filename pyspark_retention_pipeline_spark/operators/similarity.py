@@ -181,6 +181,156 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id1").alias("v1"), F.col("id2").alias("v2"), "bucket")
 
 
+# ---------------------------------------------------------------------------
+# Banded-LSH ANN: nearest banded candidate for EVERY vector (the scale path
+# for embedding-based dedup/retrieval, fully oracle-checked)
+# ---------------------------------------------------------------------------
+
+ANN_BANDS = 4
+ANN_BAND_BITS = 8
+ANN_PLANES = ANN_BANDS * ANN_BAND_BITS  # 32 hyperplanes, j = 0..31
+# Chosen ABOVE the measured sf0.1 maximum band-bucket (27 members with
+# 8-bit bands over 2 000 vectors), so every testdata scale takes the exact
+# per-bucket join and the oracle-checked semantics are unchanged; a
+# degenerate corpus degrades to bounded star+chain pairs exactly as the
+# simhash pipeline does (see operators/buckets.py).
+ANN_BUCKET_CAP = 512
+
+_ANN_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), plane AS (
+      -- same deterministic md5 hyperplanes as the Spark side (_plane(j))
+      SELECT j, list((CAST(('0x' || substring(md5(j || ':' || i), 1, 8))
+                           AS BIGINT) % 20001 - 10000) / 10000.0
+                     ORDER BY i) AS p
+      FROM generate_series(0, {ANN_PLANES - 1}) s1(j),
+           generate_series(0, {_DIM - 1}) s2(i)
+      GROUP BY j
+    ), bits AS (
+      SELECT n.vec_id, plane.j,
+             CASE WHEN list_dot_product(n.v, plane.p) > 0 THEN 1 ELSE 0 END AS bit
+      FROM n CROSS JOIN plane
+    ), bkts AS MATERIALIZED (
+      SELECT vec_id, j // {ANN_BAND_BITS} AS band,
+             CAST(SUM(bit * (1 << ({ANN_BAND_BITS - 1} - (j % {ANN_BAND_BITS}))))
+                  AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, j // {ANN_BAND_BITS}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM bkts a JOIN bkts b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), scored AS (
+      SELECT c.src, c.dst,
+             ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+      FROM cand c
+      JOIN n x ON x.vec_id = c.src
+      JOIN n y ON y.vec_id = c.dst
+    )
+    SELECT src AS vec_id, dst AS neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                   ORDER BY cosine DESC, dst) AS rn
+      FROM scored
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "embedding_ann_top1",
+    oracle=_ANN_ORACLE,
+    tags=("similarity", "ann-lsh", "dedup-neardup"),
+)
+def embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest banded-LSH candidate for EVERY vector — the ANN scale path
+    with per-row output, fully oracle-checked (the existing
+    ``lsh_bucket_candidates`` is rows-only and ``embedding_neardup`` is the
+    literal-bounded exact form; this op is the unbounded-safe one a 100 TB
+    corpus dedup/retrieval would actually run).
+
+    Shape: ONE embeddings scan carries (v, nrm) through the signature
+    projection; 32 deterministic hyperplane dots stage as an array column
+    (CollapseProject keeps the multiply-referenced array materialized — the
+    winnowing staging lesson), fold into ANN_BANDS band buckets, and
+    explode to (band, bucket) membership. Candidates come only from
+    bounded band buckets (``bounded_bucket_pairs``, vectors threaded as
+    payload — no join-back, no second scan), so the pair volume is
+    O(n·bands·cap) and the per-vector candidate set is bounded by
+    2·bands·cap — the top-1 window can never see an unbounded group.
+    Ranking is on the ROUNDED cosine with a neighbor-id tie-break, so the
+    cross-engine 1-ulp transcendental trap cannot flip the winner.
+
+    Semantics (and the oracle re-derivation) are banding-AWARE: top-1 among
+    LSH candidates, not global top-1 — recall vs. the brute-force neighbor
+    is the measured property (tests/test_similarity.py), exactly how a
+    production ANN index is evaluated."""
+    from .buckets import bounded_bucket_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    base = e.select("vec_id", v.alias("v"))
+    planes = F.array(*[_plane(j) for j in range(ANN_PLANES)])
+    staged = base.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        F.transform(planes, lambda p: dot(F.col("v"), p)).alias("dots"),
+    )
+
+    def band_bucket(b: int) -> F.Column:
+        return F.aggregate(
+            F.slice("dots", b * ANN_BAND_BITS + 1, ANN_BAND_BITS),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0),
+        )
+
+    members = staged.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.posexplode(F.array(*[band_bucket(b) for b in range(ANN_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    pairs = bounded_bucket_pairs(
+        members,
+        ["band", "bucket"],
+        "vec_id",
+        cap=ANN_BUCKET_CAP,
+        payload_cols=["v", "nrm"],
+    )
+    cos = F.round(
+        dot(F.col("v1"), F.col("v2")) / (F.col("nrm1") * F.col("nrm2")), 6
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("src"),
+                    F.col("id2").alias("dst"),
+                    cos.alias("cosine"),
+                ),
+                F.struct(
+                    F.col("id2").alias("src"),
+                    F.col("id1").alias("dst"),
+                    cos.alias("cosine"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.src", "c.dst", "c.cosine")
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            F.col("cosine"),
+        )
+    )
+
+
 @query(
     "label_centroids",
     oracle="""

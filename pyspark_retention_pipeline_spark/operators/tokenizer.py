@@ -1,0 +1,123 @@
+"""Tokenizer-training and intra-document rewrite ops over ``documents``.
+
+Two corpus-scale text primitives a training-data pipeline runs besides the
+inter-document dedup family (reference has no tokenizer tier; this extends
+SURVEY.md §2's text-analysis group):
+
+* :func:`bpe_pair_counts` — the inner loop of BPE/WordPiece tokenizer
+  training: adjacent-symbol pair frequencies. The 100 TB-shape insight is
+  that the quadratic-ish explode runs over the VOCABULARY, not the corpus:
+  one corpus scan reduces to (word, count) — a map-side-combine hash
+  aggregate whose output is vocabulary-sized — and only then does each
+  distinct word explode into its character pairs weighted by the count.
+  A naive per-document character explode would shuffle ~|corpus chars|
+  rows; this shuffles |vocab| + |pair types|.
+
+* :func:`intradoc_dedup_rewrite` — remove repeated tokens inside each
+  document, keep first occurrence, rebuild the cleaned text (the intra-doc
+  twin of line/paragraph dedup in C4/RefinedWeb-style cleaning; this
+  corpus is single-line so the unit is the token). Entirely narrow: a
+  per-row higher-order filter over the split array — zero shuffles, which
+  is exactly the plan you want for a rewrite touching every one of 100 TB
+  of documents. The token array is staged as its own projection so the
+  keep-first lambda references a materialized column instead of
+  re-evaluating the split per element (the winnowing staging lesson,
+  operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+TOP_PAIRS = 50
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS wn FROM words WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      -- scalar range() (exclusive end) instead of generate_series:
+      -- DuckDB 1.0 can't lateral-join a table function on a column arg
+      SELECT substring(w, i, 2) AS pair, wn
+      FROM (SELECT w, wn, unnest(range(1, length(w))) AS i FROM wc)
+    )
+    SELECT pair, CAST(SUM(wn) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {TOP_PAIRS}
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent character-pair frequencies, corpus-weighted — the BPE
+    merge-candidate statistic. Corpus scan → (word, count) hash aggregate
+    (map-side combine; output is vocabulary-sized) → per-WORD pair explode
+    weighted by the word count → pair aggregate → top-k under a Limit
+    (TakeOrdered, no global sort). Ties rank deterministically on the pair
+    string so the k-th cut is stable across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pair_idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pairs = wc.select(
+        F.explode(
+            F.transform(pair_idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(TOP_PAIRS)
+    )
+
+
+@query(
+    "intradoc_dedup_rewrite",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(toks, (x, i) -> list_position(toks, x) = i), ' '
+           ) AS text_dedup,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, (x, i) -> list_position(toks, x) = i))
+                AS BIGINT) AS n_kept
+    FROM staged
+    """,
+    tags=("text", "dedup-intradoc", "rewrite"),
+)
+def intradoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first token dedup inside each document, rebuilt as text.
+
+    ``array_position`` returns the FIRST 1-based index of an element, so
+    ``position(toks, x) == i+1`` keeps exactly the first occurrence
+    (Spark lambda indexes are 0-based; DuckDB's are 1-based — the oracle
+    compares ``= i``). O(L²) element comparisons per document, all inside
+    one codegen projection: no shuffle, no window, no join — each of the
+    100 TB worth of documents is rewritten where it sits."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.split("text", " ").alias("toks"))
+    kept = F.filter(
+        "toks",
+        lambda x, i: F.array_position("toks", x) == (i + F.lit(1)).cast("long"),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_dedup"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

@@ -59,6 +59,11 @@ PROBE_QUERIES = [
     "heavy_hitter_tokens",
     "tfidf_top_terms",
     "lsh_bucket_candidates",
+    # round 9: the tokenizer tier + the banded-ANN top-1 — the explode-
+    # over-vocab, zero-shuffle-rewrite, and payload-threaded-bucket shapes
+    "bpe_pair_counts",
+    "intradoc_dedup_rewrite",
+    "embedding_ann_top1",
 ]
 
 

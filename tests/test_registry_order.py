@@ -36,15 +36,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHANGED_R9: set[str] = set()
 
 # (b) never-driver-verified backlog: ZERO at rotation time (round 8 seated
-# all of it). New round-9 queries enter here as they are registered.
-BACKLOG_R9: set[str] = set()
+# all of it); the round-9 additions enter here as they are registered.
+BACKLOG_R9 = {
+    "bpe_pair_counts",  # new in round 9 (tokenizer tier)
+    "intradoc_dedup_rewrite",  # new in round 9 (tokenizer tier)
+    "embedding_ann_top1",  # new in round 9 (banded-ANN scale path)
+}
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 10: the window cut falls inside
-# the r3-verified tier; these 9 r3 names are the tier's remainder (the
-# r5+ tiers are simply fresher, not "deferred").
+# the r3-verified tier; these 12 r3 names are the tier's remainder (the
+# r5+ tiers are simply fresher, not "deferred"). The last three were
+# displaced by the round-9 never-verified seats.
 DEFERRED_TO_R10 = {
     "promo_revenue_share",
     "quality_score",
@@ -55,6 +60,9 @@ DEFERRED_TO_R10 = {
     "sql_api_revenue",
     "token_topk",
     "volume_shipping",
+    "order_count_distribution",
+    "orders_per_weekday",
+    "pricing_summary",
 }
 
 
