@@ -120,6 +120,11 @@ NOT_LIKE_FOR_LIKE: dict[str, str] = {
         "round-8 plan change: degraded-bucket chain pairs added "
         "(output identical below the cap; plan gains a lag-window branch)"
     ),
+    "lsh_bucket_candidates": (
+        "round-9 check upgrade (rows-only -> md5-plane oracle); the PLAN is "
+        "unchanged so the ratio is actually comparable — excluded "
+        "conservatively for the round the CHANGED seat covers"
+    ),
 }
 
 

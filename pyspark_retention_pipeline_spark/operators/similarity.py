@@ -161,13 +161,56 @@ def lsh_signature_frame(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", bits.alias("lsh_bits"))
 
 
-@query("lsh_bucket_candidates", tags=("similarity", "ann-lsh"))
+def _planes_sql(n_planes: int) -> str:
+    """DuckDB CTE body re-deriving :func:`_plane`'s md5 components —
+    bit-for-bit the literals the Spark side folds, so bucket ids and
+    candidate sets hash-match across engines."""
+    return f"""
+      SELECT j, list((CAST(('0x' || substring(md5(j || ':' || i), 1, 8))
+                           AS BIGINT) % 20001 - 10000) / 10000.0
+                     ORDER BY i) AS p
+      FROM generate_series(0, {n_planes - 1}) s1(j),
+           generate_series(0, {_DIM - 1}) s2(i)
+      GROUP BY j"""
+
+
+_LSH_BUCKET_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), plane AS ({_planes_sql(N_PLANES)}
+    ), bits AS (
+      SELECT e.vec_id, plane.j,
+             CASE WHEN list_dot_product(e.v, plane.p) > 0 THEN 1 ELSE 0 END AS bit
+      FROM e CROSS JOIN plane
+    ), bkt AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(bit * (1 << ({N_PLANES - 1} - j))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.bucket AS bucket
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+@query(
+    "lsh_bucket_candidates",
+    oracle=_LSH_BUCKET_ORACLE,
+    tags=("similarity", "ann-lsh", "headline"),
+)
 def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN candidate generation: random-hyperplane signatures → bucket id →
     bounded self-equi-join on bucket. Linear bucketing pass + per-bucket joins
     replace the quadratic scan; recall vs. brute force is property-tested at
     sf0.001, and hot buckets degrade to star pairs so a degenerate corpus
-    stays O(n) (see :mod:`.buckets`)."""
+    stays O(n) (see :mod:`.buckets`).
+
+    Oracle-backed since round 9 (was rows-only): the hyperplanes are
+    deterministic md5 literals, so DuckDB re-derives signature buckets and
+    the per-bucket pair set exactly (``_planes_sql``); the oracle covers the
+    all-pairs path only — the 64-member cap sits far above the measured
+    sf0.1 maximum bucket (≤ 8 of 4 096), and the degraded star+chain path
+    is property-tested in tests/test_properties.py via the shared
+    ``bounded_bucket_pairs``."""
     from .buckets import bounded_bucket_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -187,6 +230,13 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ANN_BANDS = 4
+# Band width is the n-dependent knob of any fixed-grid LSH: expected
+# bucket size is n / 2^bits, so in-bucket pair volume grows QUADRATICALLY
+# in n while the grid is fixed (measured: 10× rows → 109× band pairs,
+# docs/SCALE.md round-9 curve). On a real corpus set
+# bits ≈ log2(n / target_bucket_size) to keep per-vector candidate counts
+# constant and total candidate volume linear; ANN_BUCKET_CAP bounds the
+# worst case regardless. 8 bits is sized for the testdata SFs.
 ANN_BAND_BITS = 8
 ANN_PLANES = ANN_BANDS * ANN_BAND_BITS  # 32 hyperplanes, j = 0..31
 # Chosen ABOVE the measured sf0.1 maximum band-bucket (27 members with
@@ -203,12 +253,7 @@ _ANN_ORACLE = f"""
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), plane AS (
       -- same deterministic md5 hyperplanes as the Spark side (_plane(j))
-      SELECT j, list((CAST(('0x' || substring(md5(j || ':' || i), 1, 8))
-                           AS BIGINT) % 20001 - 10000) / 10000.0
-                     ORDER BY i) AS p
-      FROM generate_series(0, {ANN_PLANES - 1}) s1(j),
-           generate_series(0, {_DIM - 1}) s2(i)
-      GROUP BY j
+      {_planes_sql(ANN_PLANES)}
     ), bits AS (
       SELECT n.vec_id, plane.j,
              CASE WHEN list_dot_product(n.v, plane.p) > 0 THEN 1 ELSE 0 END AS bit

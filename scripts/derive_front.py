@@ -51,10 +51,11 @@ WINDOW = 50
 # Update each round; everything else is derived from committed artifacts.
 ROUND = 9
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 9: none yet — update this tuple the moment
-# a registered query's plan changes (round-5 lesson; the derivation and
-# docs/ROUND9_ROTATION.md re-run together).
-CHANGED: tuple[str, ...] = ()
+# listed in change order. Round 9: lsh_bucket_candidates' PLAN is
+# unchanged but its check upgraded from rows-only to an md5-plane DuckDB
+# oracle — it seats so the first hash-gated driver row lands this round
+# (the same upgrade-seat rationale as the round-7 fingerprint upgrades).
+CHANGED: tuple[str, ...] = ("lsh_bucket_candidates",)
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()

@@ -33,7 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (a) implementation changed in round 9 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-CHANGED_R9: set[str] = set()
+# lsh_bucket_candidates: plan unchanged, check upgraded rows-only → oracle
+# (the upgrade-seat rationale from the round-7 fingerprint upgrades).
+CHANGED_R9 = {"lsh_bucket_candidates"}
 
 # (b) never-driver-verified backlog: ZERO at rotation time (round 8 seated
 # all of it); the round-9 additions enter here as they are registered.
@@ -47,9 +49,9 @@ BACKLOG_R9 = {
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 10: the window cut falls inside
-# the r3-verified tier; these 12 r3 names are the tier's remainder (the
-# r5+ tiers are simply fresher, not "deferred"). The last three were
-# displaced by the round-9 never-verified seats.
+# the r3-verified tier; these 13 r3 names are the tier's remainder (the
+# r5+ tiers are simply fresher, not "deferred"). The last four were
+# displaced by the round-9 never-verified + changed seats.
 DEFERRED_TO_R10 = {
     "promo_revenue_share",
     "quality_score",
@@ -63,6 +65,7 @@ DEFERRED_TO_R10 = {
     "order_count_distribution",
     "orders_per_weekday",
     "pricing_summary",
+    "moving_avg_order_value",
 }
 
 
