@@ -184,10 +184,12 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spreads.sort()
-    # Nearest-rank p90 (round-8 ADVICE item 4): int(n*0.9) under-shoots the
-    # rank (n=24 picks index 21 ≈ p88; small n lands near the median),
-    # understating the advertised noise floor. ceil(0.9n)-1 is the standard
-    # nearest-rank index.
+    # Standard nearest-rank p90 index, ceil(0.9n)-1 (round-8 ADVICE item 4).
+    # The old int(n*0.9) differs only when 0.9n is integral (e.g. n=20:
+    # index 18 vs 17), where it sat one rank HIGH — a slight overstatement
+    # of the noise floor, not the understatement the advice described; the
+    # nearest-rank form is used because it is the convention, not because
+    # the old value was dangerously wrong.
     import math
 
     p90_idx = min(len(spreads) - 1, max(0, math.ceil(0.9 * len(spreads)) - 1))
@@ -206,7 +208,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
-    baseline = _load_baseline()
+    baseline, baseline_round = _load_baseline()
     if baseline:
         base_q = baseline.get("queries", {})
         overlap = [
@@ -218,6 +220,11 @@ def main() -> None:
         # rounds; additions are listed, not silently folded into the total,
         # and plan-changed queries are excluded with their reason.
         result["vs_baseline"] = {
+            # Which round the comparison is against — load-bearing since
+            # the loader can fall back PAST an unusable artifact (r08's
+            # parsed: null): a ratio silently computed vs two rounds ago
+            # would otherwise read as one round of drift (review finding).
+            "baseline_round": baseline_round,
             "baseline_total": baseline.get("value"),
             "total_ratio": round(
                 sum(timings[q] for q in overlap) / sum(base_q[q] for q in overlap),
@@ -288,28 +295,33 @@ def emit_line(result: dict) -> str:
         vs["regressions_truncated_to_worst_10"] = True
         line = dump()
     if len(line) > budget:
-        line_result.pop("vs_baseline", None)
-        line = dump()
-    if len(line) > budget:
-        # Final resort: 2-dp per-query timings (noise floor is ~10% anyway).
+        # 2-dp per-query timings before dropping anything else: ~1 char per
+        # query, well inside the ~10% noise floor — strictly cheaper than
+        # losing the whole baseline comparison (review finding).
         line_result["queries"] = {
             q: round(t, 2) for q, t in line_result["queries"].items()
         }
         line = dump()
+    if len(line) > budget:
+        # Final resort: the driver contract keys alone always fit.
+        line_result.pop("vs_baseline", None)
+        line = dump()
     return line
 
 
-def _load_baseline() -> dict | None:
-    """Most recent USABLE BENCH_r{N}.json next to this script — the
-    driver's record of a previous round, used to self-flag per-query
-    regressions.
+def _load_baseline() -> tuple[dict | None, int | None]:
+    """``(payload, round)`` of the most recent USABLE BENCH_r{N}.json next
+    to this script — the driver's record of a previous round, used to
+    self-flag per-query regressions.
 
     Newest-first, skipping artifacts whose payload is unusable: the driver
     wraps the bench's JSON line under ``parsed``, and records
     ``parsed: null`` when the line outgrew its stdout tail capture (the
     round-8 artifact — see ``emit_line``). Falling back to the newest
     parseable round keeps the regression guard alive instead of silently
-    dropping ``vs_baseline`` (round-8 ADVICE item 2)."""
+    dropping ``vs_baseline`` (round-8 ADVICE item 2); the returned round
+    number rides the emitted line as ``baseline_round`` so a comparison
+    against an older-than-previous round is self-identifying."""
     import glob
     import re
 
@@ -319,7 +331,7 @@ def _load_baseline() -> dict | None:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    for _, path in sorted(rounds, reverse=True):
+    for rnd, path in sorted(rounds, reverse=True):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -327,8 +339,8 @@ def _load_baseline() -> dict | None:
             continue
         payload = data.get("parsed") or data
         if isinstance(payload, dict) and payload.get("queries"):
-            return payload
-    return None
+            return payload, rnd
+    return None, None
 
 
 if __name__ == "__main__":

@@ -300,11 +300,23 @@ def embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing staging lesson), fold into ANN_BANDS band buckets, and
     explode to (band, bucket) membership. Candidates come only from
     bounded band buckets (``bounded_bucket_pairs``, vectors threaded as
-    payload — no join-back, no second scan), so the pair volume is
-    O(n·bands·cap) and the per-vector candidate set is bounded by
-    2·bands·cap — the top-1 window can never see an unbounded group.
-    Ranking is on the ROUNDED cosine with a neighbor-id tie-break, so the
-    cross-engine 1-ulp transcendental trap cannot flip the winner.
+    payload — no join-back, no second scan), so total pair volume is
+    O(n·bands·cap). Per-vector top-1 window groups: on the exact path
+    (every bucket ≤ cap) a vector sees at most 2·bands·cap candidate rows;
+    in a DEGRADED (over-cap) bucket the star form still emits one row per
+    member, so the HUB's window partition is O(bucket size) — a bounded
+    straggler (one task reads the degenerate cluster), not a corpus-wide
+    cliff, and every non-hub member stays O(bands·cap). Ranking is on the
+    ROUNDED cosine with a neighbor-id tie-break, so the cross-engine 1-ulp
+    transcendental trap cannot flip the winner.
+
+    Oracle contract mirrors the simhash precedent: ``ANN_BUCKET_CAP`` sits
+    far above the measured maximum band bucket at every testdata SF
+    (512 vs 27 at sf0.1), so both engines take the exact all-pairs-within-
+    bucket path and hash-match; the degraded star path is NOT SQL-mirrored
+    — it is property-tested through the shared ``bounded_bucket_pairs``
+    (tests/test_properties.py), and a corpus dense enough to trip it needs
+    the documented band-width scaling anyway (see ANN_BAND_BITS).
 
     Semantics (and the oracle re-derivation) are banding-AWARE: top-1 among
     LSH candidates, not global top-1 — recall vs. the brute-force neighbor

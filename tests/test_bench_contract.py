@@ -42,6 +42,7 @@ def _result(bench, *, new, nlfl, regressed, t=9999.999) -> dict:
         "queries": timings,
         "sf": 0.001,
         "vs_baseline": {
+            "baseline_round": 99,
             "baseline_total": 99999.999,
             "total_ratio": 99.999,
             "new_queries": sorted(new),
@@ -105,8 +106,10 @@ def test_load_baseline_skips_null_parsed():
     """The loader must fall back past artifacts whose parsed payload is
     null (the round-8 truncation) to the newest usable round."""
     bench = _bench()
-    baseline = bench._load_baseline()
+    baseline, rnd = bench._load_baseline()
     # BENCH_r08.json has parsed: null, BENCH_r07.json is usable — the
-    # loader must return SOME usable payload, never None/null here.
+    # loader must return SOME usable payload, never None/null here, and
+    # must say WHICH round it fell back to.
     assert baseline is not None
     assert baseline.get("queries"), "baseline payload has no queries map"
+    assert isinstance(rnd, int) and rnd >= 1

@@ -184,7 +184,7 @@ def test_changed_headline_queries_marked_not_like_for_like():
     # artifact's truncated-line case — data.get("parsed", data) returned
     # None here and this test crashed with AttributeError, round-8 ADVICE
     # item 2) and falls back to the newest parseable round.
-    baseline = bench._load_baseline()
+    baseline, _baseline_round = bench._load_baseline()
     if baseline is None:
         return
     base_q = baseline.get("queries", {})

@@ -95,6 +95,11 @@ def test_ann_top1_output_invariants(spark, sf_dir):
     rows = QUERIES["embedding_ann_top1"](spark, sf_dir).collect()
     ids = [r["vec_id"] for r in rows]
     assert len(ids) == len(set(ids))
+    # "EVERY vector": pin coverage to the table cardinality, not just
+    # uniqueness — a regression that silently drops candidate-less vectors
+    # would otherwise pass (review finding).
+    n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(ids) == n_vectors
     assert all(r["neighbor_id"] != r["vec_id"] for r in rows)
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
     emb = {
