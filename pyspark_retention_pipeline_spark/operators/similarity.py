@@ -388,6 +388,122 @@ def embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# How many vectors form the evaluated query slice of ann_recall_report.
+# Bounded and deterministic (vec_id < N) so the exact side stays a
+# broadcast-slice × corpus scan — linear in n with a 200-row build side.
+ANN_EVAL_QUERIES = 200
+
+_ANN_RECALL_ORACLE = f"""
+    WITH xn AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ), exact AS (
+      SELECT src, dst, cosine FROM (
+        SELECT q.vec_id AS src, c.vec_id AS dst,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                            DESC, c.vec_id) AS rn
+        FROM xn q JOIN xn c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {ANN_EVAL_QUERIES}
+      ) WHERE rn = 1
+    ), ann AS ({_ANN_ORACLE}
+    ), joined AS (
+      SELECT e.src, e.dst AS exact_dst, e.cosine AS exact_cos,
+             a.neighbor_id AS ann_dst, a.cosine AS ann_cos
+      FROM exact e LEFT JOIN ann a ON a.vec_id = e.src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(ann_dst) AS BIGINT) AS ann_covered,
+           CAST(SUM(CASE WHEN ann_dst = exact_dst THEN 1 ELSE 0 END)
+                AS BIGINT) AS top1_matches,
+           ROUND(SUM(CASE WHEN ann_dst = exact_dst THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS top1_agreement,
+           ROUND(SUM(CAST(ROUND((exact_cos - ann_cos) * 1000000)
+                          AS BIGINT)) * 1.0
+                 / (COUNT(ann_dst) * 1000000), 6) AS mean_cos_gap
+    FROM joined
+"""
+
+
+@query(
+    "ann_recall_report",
+    oracle=_ANN_RECALL_ORACLE,
+    tags=("similarity", "ann-lsh", "index-quality"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality scorecard for the banded-ANN path: top-1 agreement and
+    mean cosine gap vs the EXACT neighbor, over a deterministic bounded
+    query slice (vec_id < ANN_EVAL_QUERIES) — the recall measurement a
+    production ANN deployment runs continuously, as a queryable operator
+    rather than only a pytest property.
+
+    Shapes: the exact side broadcasts the 200-vector slice against one
+    full scan (linear in n, bounded build side — the knn_bruteforce
+    shape); the banded side IS :func:`embedding_ann_top1`'s plan. The mean
+    gap is computed from 6-dp-rounded cosines scaled to integer
+    micro-units and summed EXACTLY (BIGINT), so the order-dependent
+    float-sum trap cannot flake the hash; the final division is the same
+    IEEE op on identical integers in both engines. On this uncorrelated
+    synthetic corpus agreement is low (~0.1 — exact top-1 cosines sit
+    ~0.4, far below the high-similarity regime hyperplane LSH retrieves;
+    docs/SCALE.md round-9 notes) — the REPORT is the product, the planted
+    -twin recall property (tests/test_similarity.py) is the guarantee."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    xn = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = xn.filter(F.col("vec_id") < ANN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = xn.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("src") != F.col("dst"))
+        .withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("dst").alias("exact_dst"),
+            F.col("cosine").alias("exact_cos"),
+        )
+    )
+    ann = (
+        embedding_ann_top1(spark, sf_dir)
+        .filter(F.col("vec_id") < ANN_EVAL_QUERIES)
+        .select(
+            F.col("vec_id").alias("a_src"),
+            F.col("neighbor_id").alias("ann_dst"),
+            F.col("cosine").alias("ann_cos"),
+        )
+    )
+    joined = exact.join(ann, exact.src == ann.a_src, "left")
+    match = F.when(F.col("ann_dst") == F.col("exact_dst"), 1).otherwise(0)
+    gap_micro = F.round(
+        (F.col("exact_cos") - F.col("ann_cos")) * 1_000_000
+    ).cast("long")
+    return joined.agg(
+        F.count("*").alias("n_queries"),
+        F.count("ann_dst").alias("ann_covered"),
+        F.sum(match).cast("long").alias("top1_matches"),
+        F.round(F.sum(match) / F.count("*"), 6).alias("top1_agreement"),
+        F.round(
+            F.sum(gap_micro) / (F.count("ann_dst") * F.lit(1_000_000)), 6
+        ).alias("mean_cos_gap"),
+    )
+
+
 @query(
     "label_centroids",
     oracle="""

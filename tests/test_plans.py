@@ -48,6 +48,21 @@ def test_customer_rfm_prunes_unused_columns(spark, sf_dir):
     assert "o_orderpriority" not in cols and "o_orderstatus" not in cols, cols
 
 
+def _clear_cached_plan_state(spark) -> None:
+    """Make a registry-wide plan walk hermetic: building ml_churn_scores
+    (e.g. in the scan-budget sweep) caches the churn feature frame
+    (operators/mlops.py _MODEL_CACHE + .cache()), and Spark's cache manager
+    then SUBSTITUTES the InMemoryRelation into any later plan containing
+    the same subtree — churn_features' exchange census measured 3 fresh
+    but 6 after an ML build in the same session (bisected in round 9).
+    Plan-shape invariants must pin the canonical uncached plans, so drop
+    the model cache and the catalog cache before walking."""
+    from pyspark_retention_pipeline_spark.operators import mlops
+
+    mlops._MODEL_CACHE.clear()
+    spark.catalog.clearCache()
+
+
 def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     """A forced F.broadcast on a table that grows with SF is an OOM at 100×
     (round-1 verdict flagged six such sites on customer). Sweep every
@@ -55,6 +70,7 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     (nation/region) or aggregate-reduced sides only. ML/clustering queries
     that train models at plan-construction time are skipped — their plans
     are model scoring, not relational joins."""
+    _clear_cached_plan_state(spark)
     from pyspark_retention_pipeline_spark.plans import (
         SCALING_TABLES,
         forced_broadcast_tables,
@@ -67,10 +83,12 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
         "ml_threshold_from_scores",
         "ivf_knn",
         "kmeans_lloyd_curve",  # bounded driver loop; builds run jobs
-        # knn_bruteforce broadcasts its query side — a literal-bounded
-        # <=10-row slice of embeddings (the broadcast-the-queries ANN
-        # pattern). Bounded by a Filter, which the inspector can't prove.
+        # knn_bruteforce / ann_recall_report broadcast their query side — a
+        # literal-bounded slice of embeddings (<=10 / <=200 rows; the
+        # broadcast-the-queries ANN pattern). Bounded by a Filter, which
+        # the inspector can't prove.
         "knn_bruteforce",
+        "ann_recall_report",
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -100,6 +118,7 @@ def test_no_unpartitioned_corpus_windows(spark, sf_dir):
     per-group frame — e.g. token_budget_select's bin window), with named
     exemptions only. ML/clustering queries whose construction trains models
     or iterates are skipped, as in the broadcast sweep."""
+    _clear_cached_plan_state(spark)
     from pyspark_retention_pipeline_spark.plans import (
         unpartitioned_corpus_windows,
     )
@@ -526,6 +545,10 @@ CROSS_JOIN_EXEMPT = {
     # misread as an equi-key (the ADVICE r7 masked-true-positive case).
     "knn_bruteforce",
     "media_embed_knn",
+    # ann_recall_report's exact side is the same broadcast-query shape with
+    # a vec_id < 200 literal slice (ANN_EVAL_QUERIES); the banded side is
+    # embedding_ann_top1's bounded bucket pipeline
+    "ann_recall_report",
     # day-grain self-join over a checkpointed aggregate: the localCheckpoint
     # (round-6 recompute fix) erases the Aggregate from the lineage; the
     # frame is calendar-bounded by construction (see its docstring)
@@ -577,6 +600,7 @@ def test_no_unbounded_cross_joins(spark, sf_dir):
     broadcast-scalar crossJoin pattern always has a 1-row aggregate side and
     passes structurally. Named exemptions carry documented boundedness
     arguments above."""
+    _clear_cached_plan_state(spark)
     from pyspark_retention_pipeline_spark.plans import unbounded_cross_joins
 
     skip = {
@@ -652,6 +676,7 @@ def test_registry_scan_budget(spark, sf_dir):
     last three offenders (word_jaccard_pairs 4× documents → pinned token
     frame; curate_corpus 3× → pinned dedup frame; ivf_knn 3× embeddings →
     cell assignment carries its vector)."""
+    _clear_cached_plan_state(spark)
     import re
 
     from pyspark_retention_pipeline_spark.plans.inspect import explain_str
@@ -677,6 +702,7 @@ def test_no_unbounded_global_sorts(spark, sf_dir):
     frame, waste otherwise. The one wild instance (Spark's decorrelation of
     lateral_recent_orders' correlated LIMIT) was rewritten to the explicit
     partitioned-window form this round."""
+    _clear_cached_plan_state(spark)
     from pyspark_retention_pipeline_spark.plans import unbounded_global_sorts
 
     skip = {
@@ -731,6 +757,7 @@ def test_shuffle_census_no_regression(spark, sf_dir):
     stream to disk + network at 100 TB — the #1 silent scale regression a
     refactor can introduce. Improvements don't fail; regenerate the census
     alongside any deliberate plan change."""
+    _clear_cached_plan_state(spark)
     import importlib.util
     import json
     import os

@@ -43,14 +43,15 @@ BACKLOG_R9 = {
     "bpe_pair_counts",  # new in round 9 (tokenizer tier)
     "intradoc_dedup_rewrite",  # new in round 9 (tokenizer tier)
     "embedding_ann_top1",  # new in round 9 (banded-ANN scale path)
+    "ann_recall_report",  # new in round 9 (ANN index-quality scorecard)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 10: the window cut falls inside
-# the r3-verified tier; these 13 r3 names are the tier's remainder (the
-# r5+ tiers are simply fresher, not "deferred"). The last four were
+# the r3-verified tier; these 14 r3 names are the tier's remainder (the
+# r5+ tiers are simply fresher, not "deferred"). The last five were
 # displaced by the round-9 never-verified + changed seats.
 DEFERRED_TO_R10 = {
     "promo_revenue_share",
@@ -66,6 +67,7 @@ DEFERRED_TO_R10 = {
     "orders_per_weekday",
     "pricing_summary",
     "moving_avg_order_value",
+    "median_order_value",
 }
 
 
