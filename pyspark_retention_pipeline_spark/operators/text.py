@@ -504,6 +504,106 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-position weights combining a band's BAND_SIZE mins into ONE portable
+# band value (Σ (min % _PORT_M)·w % _PORT_P — max term 2^30·2^20, sum of 4
+# < 2^52, exact in signed BIGINT on both engines). Distinct from _PORT_C so
+# band values and k-gram hashes live in unrelated streams.
+_BAND_C = (1000033, 1000037, 1000039, 1000081)
+# Hot-band cap for the PORTABLE banded join — far above the measured sf0.1
+# maximum band bucket (20 docs), so every testdata scale takes the exact
+# all-pairs path and the oracle semantics are unchanged (the simhash
+# precedent); a boilerplate-collapsed corpus degrades to bounded star
+# pairs through the shared bounded_bucket_pairs.
+MINHASH_PORT_CAP = 4096
+
+_MINHASH_BANDED_ORACLE = f"""
+    WITH {_PORT_TH_CTE}, sh AS (
+      SELECT doc_id, unnest(list_transform(
+          range(0, greatest(len(th) - {SHINGLE}, 0) + 1),
+          i -> {_port_kgram_sql(SHINGLE)})) AS s
+      FROM th
+    ), perms(j, a, b) AS (VALUES {", ".join(f"({j}, {_MINHASH_A[j]}, {_MINHASH_B[j]})" for j in range(N_HASHES))}),
+    mins AS MATERIALIZED (
+      SELECT doc_id, j, MIN((a * (s % {_PORT_M}) + b) % {_PORT_P}) AS mh
+      FROM sh CROSS JOIN perms GROUP BY doc_id, j
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, j // {BAND_SIZE} AS band,
+             CAST(SUM((mh % {_PORT_M}) * (CASE j % {BAND_SIZE}
+                    {" ".join(f"WHEN {i} THEN {_BAND_C[i]}" for i in range(BAND_SIZE - 1))}
+                    ELSE {_BAND_C[BAND_SIZE - 1]} END)) % {_PORT_P}
+                  AS BIGINT) AS bv
+      FROM mins GROUP BY doc_id, j // {BAND_SIZE}
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(COUNT(*) AS BIGINT) AS bands_shared
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query(
+    "minhash_banded_candidates",
+    oracle=_MINHASH_BANDED_ORACLE,
+    tags=("dedup-neardup", "minhash-lsh", "portable-hash"),
+)
+def minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded candidates in the PORTABLE form, hash-checked end
+    to end — completing the oracle matrix: simhash has oracle-backed
+    signatures AND candidates, minhash previously only signatures (the
+    xxhash64 scale path :func:`minhash_candidates` stays rows-only — one
+    cheap JVM hash per token vs md5+conv — and its recall is
+    property-tested; THIS form proves the banding pipeline's semantics
+    against an independent engine).
+
+    One documents scan → portable 16-min signature aggregate (one shuffle,
+    partial MIN combine) → each band's four mins fold into ONE BIGINT band
+    value (exact ≤ 2^52 arithmetic, no float, no engine hash) → bounded
+    band-bucket self-join → per-pair band count. ``bands_shared`` (1..4)
+    is the LSH collision multiplicity — the quantity the banding S-curve
+    is parameterized by."""
+    from .buckets import bounded_bucket_pairs
+
+    staged = _portable_token_hash_frame(load_table(spark, sf_dir, "documents"))
+    sh = staged.select(
+        "doc_id", F.explode(_portable_kgram_array(SHINGLE)).alias("s")
+    )
+    s_mod = F.col("s") % F.lit(_PORT_M)
+    aggs = [
+        F.min(
+            (F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)
+        ).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    g = sh.groupBy("doc_id").agg(*aggs)
+
+    def band_value(b: int) -> F.Column:
+        total = None
+        for i in range(BAND_SIZE):
+            term = (F.col(f"m{b * BAND_SIZE + i}") % F.lit(_PORT_M)) * F.lit(
+                _BAND_C[i]
+            )
+            total = term if total is None else total + term
+        return total % F.lit(_PORT_P)
+
+    n_bands = N_HASHES // BAND_SIZE
+    members = g.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_value(b) for b in range(n_bands)])).alias(
+            "band", "bv"
+        ),
+    )
+    pairs = bounded_bucket_pairs(
+        members, ["band", "bv"], "doc_id", cap=MINHASH_PORT_CAP
+    )
+    return (
+        pairs.groupBy(
+            F.col("id1").alias("doc_id_a"), F.col("id2").alias("doc_id_b")
+        )
+        .agg(F.count("*").cast("long").alias("bands_shared"))
+    )
+
+
 @query("minhash_candidates", tags=("dedup-neardup", "minhash-lsh"))
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding (scale path; recall

@@ -49,15 +49,17 @@ _REGISTRY: dict[str, Query] = {}
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
 # script's output. Round-9 composition: lsh_bucket_candidates seats
 # first (check upgraded rows-only → md5-plane oracle; plan unchanged),
-# the four NEW round-9 queries (tokenizer tier, the banded-ANN top-1,
-# and its ann_recall_report scorecard) enter via the never-verified
-# tier, then the flagship, then 44 stalest-green backfill seats — the 20
-# r1-verified deferrals, the full r2 tier, and the front of the r3 tier,
-# their first re-verification since they were first gated. Further new
-# or plan-changed queries re-derive this window (update CHANGED in the
+# the five NEW round-9 queries (portable banded minhash candidates, the
+# tokenizer tier, the banded-ANN top-1, and its ann_recall_report
+# scorecard) enter via the never-verified tier, then the flagship, then
+# 43 stalest-green backfill seats — the 20 r1-verified deferrals, the
+# full r2 tier, and the front of the r3 tier, their first
+# re-verification since they were first gated. Further new or
+# plan-changed queries re-derive this window (update CHANGED in the
 # script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
     "lsh_bucket_candidates",
+    "minhash_banded_candidates",
     "bpe_pair_counts",
     "intradoc_dedup_rewrite",
     "embedding_ann_top1",
@@ -106,7 +108,6 @@ _FRONT: tuple[str, ...] = (
     "grouping_sets_revenue",
     "idle_wealthy_customers",
     "lang_stats",
-    "market_share",
 )
 
 

@@ -386,3 +386,29 @@ def test_bounded_bucket_pairs_chain_connects_hub_distant_twins(spark):
     # Payload sides follow their ids after chain normalization.
     for id1, id2, s1, s2 in pairs:
         assert id1 < id2
+
+
+def test_minhash_banded_portable_duplicates_share_all_bands(spark, monkeypatch):
+    """The portable banded form (oracle-backed registry query): identical
+    documents collide in ALL four bands (bands_shared = 4); unrelated
+    documents collide in none. Documents need lang/source columns only for
+    load_table parity — the query reads doc_id/text."""
+    import pyspark_retention_pipeline_spark.operators.text as text_mod
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    text = "spark engine scan filter join aggregate window shuffle partition broadcast"
+    docs = spark.createDataFrame(
+        [
+            (1, text, "en", "s0"),
+            (2, text, "en", "s0"),
+            (3, "unrelated tokens entirely different words over here today", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(text_mod, "load_table", lambda *_: docs)
+    rows = {
+        (r["doc_id_a"], r["doc_id_b"]): r["bands_shared"]
+        for r in all_queries()["minhash_banded_candidates"](spark, "x").collect()
+    }
+    assert rows.get((1, 2)) == 4
+    assert (1, 3) not in rows and (2, 3) not in rows

@@ -44,14 +44,15 @@ BACKLOG_R9 = {
     "intradoc_dedup_rewrite",  # new in round 9 (tokenizer tier)
     "embedding_ann_top1",  # new in round 9 (banded-ANN scale path)
     "ann_recall_report",  # new in round 9 (ANN index-quality scorecard)
+    "minhash_banded_candidates",  # new in round 9 (portable banded minhash)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 10: the window cut falls inside
-# the r3-verified tier; these 14 r3 names are the tier's remainder (the
-# r5+ tiers are simply fresher, not "deferred"). The last five were
+# the r3-verified tier; these 15 r3 names are the tier's remainder (the
+# r5+ tiers are simply fresher, not "deferred"). The last six were
 # displaced by the round-9 never-verified + changed seats.
 DEFERRED_TO_R10 = {
     "promo_revenue_share",
@@ -68,6 +69,7 @@ DEFERRED_TO_R10 = {
     "pricing_summary",
     "moving_avg_order_value",
     "median_order_value",
+    "market_share",
 }
 
 
