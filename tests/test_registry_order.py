@@ -10,11 +10,11 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-9 policy (docs/ROUND9_ROTATION.md): the never-verified backlog is
-ZERO after round 8 and no plans have changed yet, so the window is (a)
-any round-9 plan-changed queries (none at rotation time — re-derive when
-changes land), (b) new round-9 queries (auto-enter the never-verified
-tier), (c) the flagship, and (d) stalest-green backfill: the 20
+Round-9 policy (docs/ROUND9_ROTATION.md): (a) the changed tier —
+lsh_bucket_candidates' check upgraded rows-only → oracle (plan
+unchanged); (b) the five new round-9 queries via the never-verified
+tier (tokenizer tier, banded-ANN top-1 + its recall scorecard, portable
+banded minhash); (c) the flagship; (d) stalest-green backfill: the 20
 r1-verified deferrals, the full r2 tier, and the front of the r3 tier —
 their first re-verification since first gated.
 """
