@@ -453,18 +453,46 @@ def _portable_kgram_array(k: int) -> F.Column:
     return F.transform(starts, combine)
 
 
-_MINHASH_ORACLE = f"""
-    WITH {_PORT_TH_CTE}, sh AS (
+# Shared CTE chain: token hashes → shingles → 16 affine permutations →
+# per-(doc, permutation) minimum. BOTH portable minhash oracles build on
+# this single definition of "the signature" (round-9 review: the banded
+# oracle first duplicated the block — a drift risk where each query still
+# passes its own oracle while the two disagree about the signature).
+_PORT_MINS_CTE = f"""{_PORT_TH_CTE}, sh AS (
       SELECT doc_id, unnest(list_transform(
           range(0, greatest(len(th) - {SHINGLE}, 0) + 1),
           i -> {_port_kgram_sql(SHINGLE)})) AS s
       FROM th
-    ), perms(j, a, b) AS (VALUES {", ".join(f"({j}, {_MINHASH_A[j]}, {_MINHASH_B[j]})" for j in range(N_HASHES))})
-    SELECT doc_id, CAST(j AS BIGINT) AS hash_idx,
-           MIN((a * (s % {_PORT_M}) + b) % {_PORT_P}) AS min_h
-    FROM sh CROSS JOIN perms
-    GROUP BY doc_id, j
+    ), perms(j, a, b) AS (VALUES {", ".join(f"({j}, {_MINHASH_A[j]}, {_MINHASH_B[j]})" for j in range(N_HASHES))}),
+    mins AS (
+      SELECT doc_id, j, MIN((a * (s % {_PORT_M}) + b) % {_PORT_P}) AS mh
+      FROM sh CROSS JOIN perms GROUP BY doc_id, j
+    )"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_PORT_MINS_CTE}
+    SELECT doc_id, CAST(j AS BIGINT) AS hash_idx, mh AS min_h FROM mins
 """
+
+
+def _portable_min_frame(docs: DataFrame) -> DataFrame:
+    """``doc_id, m0..m{N_HASHES-1}`` — the portable 16-min signature
+    aggregate (one shuffle, partial MIN combine). The single Spark-side
+    definition of the portable signature, mirrored by ``_PORT_MINS_CTE``;
+    both portable minhash queries build on it (round-9 review: the banded
+    form first duplicated the whole pipeline)."""
+    staged = _portable_token_hash_frame(docs)
+    sh = staged.select(
+        "doc_id", F.explode(_portable_kgram_array(SHINGLE)).alias("s")
+    )
+    s_mod = F.col("s") % F.lit(_PORT_M)
+    aggs = [
+        F.min(
+            (F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)
+        ).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 @query("minhash_signatures", oracle=_MINHASH_ORACLE, tags=("dedup-neardup", "minhash"))
@@ -480,16 +508,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`minhash_signature_frame`) remains the scale path feeding
     :func:`minhash_candidates`: same staged-hash plan shape, one cheap JVM
     hash per token instead of md5+conv, signatures as a packed array."""
-    staged = _portable_token_hash_frame(load_table(spark, sf_dir, "documents"))
-    sh = staged.select(
-        "doc_id", F.explode(_portable_kgram_array(SHINGLE)).alias("s")
-    )
-    s_mod = F.col("s") % F.lit(_PORT_M)
-    aggs = [
-        F.min((F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)).alias(f"m{j}")
-        for j in range(N_HASHES)
-    ]
-    g = sh.groupBy("doc_id").agg(*aggs)
+    g = _portable_min_frame(load_table(spark, sf_dir, "documents"))
     packed = F.array(
         *[
             F.struct(
@@ -517,16 +536,7 @@ _BAND_C = (1000033, 1000037, 1000039, 1000081)
 MINHASH_PORT_CAP = 4096
 
 _MINHASH_BANDED_ORACLE = f"""
-    WITH {_PORT_TH_CTE}, sh AS (
-      SELECT doc_id, unnest(list_transform(
-          range(0, greatest(len(th) - {SHINGLE}, 0) + 1),
-          i -> {_port_kgram_sql(SHINGLE)})) AS s
-      FROM th
-    ), perms(j, a, b) AS (VALUES {", ".join(f"({j}, {_MINHASH_A[j]}, {_MINHASH_B[j]})" for j in range(N_HASHES))}),
-    mins AS MATERIALIZED (
-      SELECT doc_id, j, MIN((a * (s % {_PORT_M}) + b) % {_PORT_P}) AS mh
-      FROM sh CROSS JOIN perms GROUP BY doc_id, j
-    ), bands AS MATERIALIZED (
+    WITH {_PORT_MINS_CTE}, bands AS MATERIALIZED (
       SELECT doc_id, j // {BAND_SIZE} AS band,
              CAST(SUM((mh % {_PORT_M}) * (CASE j % {BAND_SIZE}
                     {" ".join(f"WHEN {i} THEN {_BAND_C[i]}" for i in range(BAND_SIZE - 1))}
@@ -564,18 +574,7 @@ def minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     is parameterized by."""
     from .buckets import bounded_bucket_pairs
 
-    staged = _portable_token_hash_frame(load_table(spark, sf_dir, "documents"))
-    sh = staged.select(
-        "doc_id", F.explode(_portable_kgram_array(SHINGLE)).alias("s")
-    )
-    s_mod = F.col("s") % F.lit(_PORT_M)
-    aggs = [
-        F.min(
-            (F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)
-        ).alias(f"m{j}")
-        for j in range(N_HASHES)
-    ]
-    g = sh.groupBy("doc_id").agg(*aggs)
+    g = _portable_min_frame(load_table(spark, sf_dir, "documents"))
 
     def band_value(b: int) -> F.Column:
         total = None

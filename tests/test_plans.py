@@ -202,11 +202,9 @@ def test_shuffle_budgets(spark, sf_dir):
     single group-by query, bounded budgets for multi-stage DAGs."""
     from pyspark_retention_pipeline_spark.plans import shuffle_count
 
-    # Other suites may have cached shared frames (the ML tier caches churn
-    # features); a cached subtree's InMemoryRelation section repeats its
-    # exchanges in the formatted explain and skews the count. Measure fresh
-    # plans.
-    spark.catalog.clearCache()
+    # One idiom for one invariant: the shared hermetic-walk prologue (the
+    # older inline clearCache here predated it and missed _MODEL_CACHE).
+    _clear_cached_plan_state(spark)
     budgets = {
         "pricing_summary": 1,
         "returned_items_top_customers": 2,
@@ -681,11 +679,24 @@ def test_registry_scan_budget(spark, sf_dir):
 
     from pyspark_retention_pipeline_spark.plans.inspect import explain_str
 
+    # The loop itself BUILDS the ML queries (this sweep has no ML skip set
+    # on purpose — their scoring plans obey the budget too), and building
+    # them caches the churn feature frame: one clear at loop start is a
+    # level too shallow, because any query ordered after the ML family
+    # whose plan contains that subtree would get the InMemoryRelation
+    # substituted and its parquet scans HIDDEN from the regex — a silent
+    # false pass on a recompute regression (round-9 review finding).
+    # Re-clear after any iteration that left cached relations behind.
     offenders: dict[str, dict[str, int]] = {}
     for name, fn in QUERIES.items():
         if name in SCAN_BUDGET_EXEMPT:
             continue
         plan = explain_str(fn(spark, sf_dir))
+        # CacheManager is exactly the substitution source — probe it, not
+        # the RDD persistence list (a .cache() registers before any job
+        # materializes it).
+        if not spark._jsparkSession.sharedState().cacheManager().isEmpty():
+            _clear_cached_plan_state(spark)
         counts: dict[str, int] = {}
         for m in re.finditer(r"(\w+)\.parquet", plan):
             counts[m.group(1)] = counts.get(m.group(1), 0) + 1
