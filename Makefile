@@ -18,7 +18,7 @@ sweep:
 	python scripts/oracle_sweep.py --sf-dir /root/testdata/sf0.1
 
 # Mirror of the driver's correctness gate at its exact scale (sf0.01):
-# all 231 registry queries, oracle-backed ones hash-compared to DuckDB.
+# every registry query, oracle-backed ones hash-compared to DuckDB.
 parity-gate:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
 	  python -m pytest tests/test_oracle_parity.py -q

@@ -309,7 +309,7 @@ def emit_line(result: dict) -> str:
     return line
 
 
-def _load_baseline() -> tuple[dict | None, int | None]:
+def _load_baseline(root: str | None = None) -> tuple[dict | None, int | None]:
     """``(payload, round)`` of the most recent USABLE BENCH_r{N}.json next
     to this script — the driver's record of a previous round, used to
     self-flag per-query regressions.
@@ -321,11 +321,20 @@ def _load_baseline() -> tuple[dict | None, int | None]:
     parseable round keeps the regression guard alive instead of silently
     dropping ``vs_baseline`` (round-8 ADVICE item 2); the returned round
     number rides the emitted line as ``baseline_round`` so a comparison
-    against an older-than-previous round is self-identifying."""
+    against an older-than-previous round is self-identifying.
+
+    The two artifact layouts are distinguished EXPLICITLY: a driver wrapper
+    carries a ``parsed`` key (possibly null) and only its value is ever a
+    candidate payload — the wrapper object itself is never promoted, even
+    if it happened to grow a ``queries`` key (round-9 ADVICE item 1). A
+    bare payload (no ``parsed`` key — e.g. a locally saved line) is used
+    as-is. Either way the candidate must carry the bench contract keys
+    (``metric`` identifying this emitter, plus a non-empty ``queries``
+    map) before it is accepted."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -337,8 +346,14 @@ def _load_baseline() -> tuple[dict | None, int | None]:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        payload = data.get("parsed") or data
-        if isinstance(payload, dict) and payload.get("queries"):
+        if not isinstance(data, dict):
+            continue
+        payload = data["parsed"] if "parsed" in data else data
+        if (
+            isinstance(payload, dict)
+            and payload.get("metric") == "headline_queries_total_wall"
+            and payload.get("queries")
+        ):
             return payload, rnd
     return None, None
 

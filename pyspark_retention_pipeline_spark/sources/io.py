@@ -90,13 +90,22 @@ def read_csv_transactions_permissive(
     schema = T.StructType(
         TRANSACTIONS_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
     )
+    from pyspark import StorageLevel
+
+    # The pin is required (corrupt-record queries must not re-parse per
+    # action — Spark drops _corrupt_record on a second scan unless the first
+    # materialized it), but DISK_ONLY, not MEMORY: this frame is the RAW
+    # corpus, and at 100 TB a memory cache is pure eviction churn that
+    # steals executor memory from the shuffles downstream. One disk
+    # materialization is the same bytes a write-then-read quarantine would
+    # pay, without the extra job.
     raw = (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema)
         .csv(path)
-    ).cache()  # required: corrupt-record queries must not re-infer per action
+    ).persist(StorageLevel.DISK_ONLY)
     clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"

@@ -102,14 +102,74 @@ def test_realistic_round_fits_without_degradation():
     assert isinstance(result["vs_baseline"]["not_like_for_like"], dict)
 
 
-def test_load_baseline_skips_null_parsed():
-    """The loader must fall back past artifacts whose parsed payload is
-    null (the round-8 truncation) to the newest usable round."""
+def _write_artifact(tmp_path, rnd: int, obj: dict) -> None:
+    with open(os.path.join(tmp_path, f"BENCH_r{rnd:02d}.json"), "w") as f:
+        json.dump(obj, f)
+
+
+def _payload(rnd: int) -> dict:
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": float(rnd),
+        "unit": "sec",
+        "queries": {"q": float(rnd)},
+        "sf": 0.1,
+    }
+
+
+def test_load_baseline_skips_null_parsed(tmp_path):
+    """The loader must fall back past a driver wrapper whose parsed payload
+    is null (the round-8 truncation) to the newest usable round — exercised
+    against synthetic artifacts so the contract doesn't depend on which
+    historical round files stay committed (round-9 ADVICE item 4)."""
+    bench = _bench()
+    root = str(tmp_path)
+    _write_artifact(tmp_path, 7, {"n": 7, "parsed": _payload(7)})
+    _write_artifact(tmp_path, 8, {"n": 8, "parsed": None, "tail": "..."})
+    baseline, rnd = bench._load_baseline(root=root)
+    assert rnd == 7
+    assert baseline["value"] == 7.0
+
+
+def test_load_baseline_never_promotes_wrapper(tmp_path):
+    """A wrapper with ``parsed: null`` is unusable even if the wrapper
+    object itself carries a queries-like key — only the parsed value is a
+    candidate payload (round-9 ADVICE item 1)."""
+    bench = _bench()
+    _write_artifact(
+        tmp_path,
+        9,
+        {"n": 9, "parsed": None, "queries": {"bogus": 1.0}, "tail": "..."},
+    )
+    _write_artifact(tmp_path, 8, {"n": 8, "parsed": _payload(8)})
+    baseline, rnd = bench._load_baseline(root=str(tmp_path))
+    assert rnd == 8
+    assert baseline["queries"] == {"q": 8.0}
+
+
+def test_load_baseline_validates_contract_keys(tmp_path):
+    """A parsed payload missing the bench ``metric`` contract key (some
+    other JSON line the driver happened to capture) is skipped."""
+    bench = _bench()
+    _write_artifact(
+        tmp_path, 5, {"n": 5, "parsed": {"queries": {"q": 1.0}, "value": 1}}
+    )
+    _write_artifact(tmp_path, 4, {"n": 4, "parsed": _payload(4)})
+    baseline, rnd = bench._load_baseline(root=str(tmp_path))
+    assert rnd == 4
+
+
+def test_load_baseline_none_when_nothing_usable(tmp_path):
+    bench = _bench()
+    _write_artifact(tmp_path, 3, {"n": 3, "parsed": None})
+    assert bench._load_baseline(root=str(tmp_path)) == (None, None)
+
+
+def test_load_baseline_reads_committed_artifacts():
+    """Against the real repo artifacts the loader must still find SOME
+    usable round (BENCH_r09 parses; earlier rounds back it up)."""
     bench = _bench()
     baseline, rnd = bench._load_baseline()
-    # BENCH_r08.json has parsed: null, BENCH_r07.json is usable — the
-    # loader must return SOME usable payload, never None/null here, and
-    # must say WHICH round it fell back to.
     assert baseline is not None
     assert baseline.get("queries"), "baseline payload has no queries map"
     assert isinstance(rnd, int) and rnd >= 1
