@@ -233,10 +233,13 @@ ANN_BANDS = 4
 # Band width is the n-dependent knob of any fixed-grid LSH: expected
 # bucket size is n / 2^bits, so in-bucket pair volume grows QUADRATICALLY
 # in n while the grid is fixed (measured: 10× rows → 109× band pairs,
-# docs/SCALE.md round-9 curve). On a real corpus set
-# bits ≈ log2(n / target_bucket_size) to keep per-vector candidate counts
-# constant and total candidate volume linear; ANN_BUCKET_CAP bounds the
-# worst case regardless. 8 bits is sized for the testdata SFs.
+# docs/SCALE.md round-9 curve). The executable sizing rule is
+# :func:`ann_band_bits` (bits ≈ log2(n / target_bucket)); the LIBRARY
+# entry point :func:`banded_ann_top1` applies it automatically from a
+# cheap count (or caller-supplied n). The REGISTERED oracle queries keep
+# this fixed 8-bit grid so DuckDB hashes don't move across rounds — 8 is
+# what the rule yields for the testdata SFs anyway (2 000 vectors /
+# target 8 → 7.97 → 8).
 ANN_BAND_BITS = 8
 ANN_PLANES = ANN_BANDS * ANN_BAND_BITS  # 32 hyperplanes, j = 0..31
 # Chosen ABOVE the measured sf0.1 maximum band-bucket (27 members with
@@ -245,6 +248,36 @@ ANN_PLANES = ANN_BANDS * ANN_BAND_BITS  # 32 hyperplanes, j = 0..31
 # degenerate corpus degrades to bounded star+chain pairs exactly as the
 # simhash pipeline does (see operators/buckets.py).
 ANN_BUCKET_CAP = 512
+# Expected bucket size the adaptive grid aims for. Per-vector candidate
+# work is O(bands · target) and total candidate volume is O(n · bands ·
+# target) — constant per vector, linear overall, by construction.
+ANN_TARGET_BUCKET = 8
+
+
+def ann_band_bits(
+    n_vectors: int,
+    target_bucket: int = ANN_TARGET_BUCKET,
+    min_bits: int = 4,
+    max_bits: int = 30,
+) -> int:
+    """Band width for a corpus of ``n_vectors``: the round-9 verdict's
+    documented rule (bits ≈ log2(n / target_bucket)), made executable
+    (round-9 verdict item 2 — the fixed 8-bit grid saturated at the
+    measured 100× probe: 660/1011 buckets over cap).
+
+    Expected bucket size under random hyperplanes is n / 2^bits, so
+    solving for ``target_bucket`` keeps per-vector candidate counts
+    constant and total candidate volume LINEAR in n as the corpus grows.
+    Clamped to [min_bits, max_bits]: below 4 bits the grid stops
+    discriminating on tiny corpora (recall is what matters there, and the
+    bucket cap bounds the work anyway); 30 bits covers n ≈ 8·10⁹ vectors
+    per band at the default target before the clamp binds."""
+    import math
+
+    if n_vectors <= 0:
+        return min_bits
+    bits = round(math.log2(max(1.0, n_vectors / target_bucket)))
+    return max(min_bits, min(max_bits, int(bits)))
 
 _ANN_ORACLE = f"""
     WITH e AS (
@@ -322,12 +355,23 @@ def embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates, not global top-1 — recall vs. the brute-force neighbor
     is the measured property (tests/test_similarity.py), exactly how a
     production ANN index is evaluated."""
-    from .buckets import bounded_bucket_pairs
-
     e = load_table(spark, sf_dir, "embeddings")
+    # Fixed 8-bit grid so the DuckDB oracle's plane set never moves; the
+    # self-sizing library entry point is banded_ann_top1 (band_bits=None).
+    return banded_ann_top1(e, band_bits=ANN_BAND_BITS)
+
+
+def banded_members_frame(
+    emb: DataFrame, bands: int = ANN_BANDS, band_bits: int = ANN_BAND_BITS
+) -> DataFrame:
+    """(vec_id, v, nrm, band, bucket) membership rows — one per (vector,
+    band) — for a ``bands`` × ``band_bits`` hyperplane grid. The plane
+    dots stage as ONE array column (CollapseProject keeps the
+    multiply-referenced array materialized — the winnowing staging
+    lesson) before the per-band bucket folds."""
     v = as_double_array(F.col("embedding"))
-    base = e.select("vec_id", v.alias("v"))
-    planes = F.array(*[_plane(j) for j in range(ANN_PLANES)])
+    base = emb.select("vec_id", v.alias("v"))
+    planes = F.array(*[_plane(j) for j in range(bands * band_bits)])
     staged = base.select(
         "vec_id",
         "v",
@@ -337,24 +381,56 @@ def embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def band_bucket(b: int) -> F.Column:
         return F.aggregate(
-            F.slice("dots", b * ANN_BAND_BITS + 1, ANN_BAND_BITS),
+            F.slice("dots", b * band_bits + 1, band_bits),
             F.lit(0).cast("long"),
             lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0),
         )
 
-    members = staged.select(
+    return staged.select(
         "vec_id",
         "v",
         "nrm",
-        F.posexplode(F.array(*[band_bucket(b) for b in range(ANN_BANDS)])).alias(
+        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
             "band", "bucket"
         ),
     )
+
+
+def banded_ann_top1(
+    emb: DataFrame,
+    bands: int = ANN_BANDS,
+    band_bits: int | None = None,
+    bucket_cap: int = ANN_BUCKET_CAP,
+    n_vectors: int | None = None,
+    src_bound: int | None = None,
+) -> DataFrame:
+    """Nearest banded-LSH candidate per vector — the library entry point
+    behind :func:`embedding_ann_top1`.
+
+    ``band_bits=None`` (the default) makes the grid CORPUS-ADAPTIVE:
+    width = :func:`ann_band_bits` of ``n_vectors`` (caller-supplied, or one
+    cheap ``count()`` — parquet-metadata-only on a plain scan), so candidate
+    volume stays linear in n instead of saturating a fixed grid (round-9
+    verdict item 2; the registered oracle queries pass an explicit 8 to
+    keep cross-engine hashes stable). ``src_bound`` restricts the DIRECTED
+    candidate frame to ``src < src_bound`` BEFORE the per-source top-1
+    window — for a bounded query slice (ann_recall_report's 200-vector
+    scorecard) this preserves semantics exactly (each src partition keeps
+    its full candidate set; dst stays unrestricted) while the window and
+    its exchange shrink from corpus volume to slice volume (round-9 ADVICE
+    item 3: the post-window filter could not push through the window
+    partition)."""
+    from .buckets import bounded_bucket_pairs
+
+    if band_bits is None:
+        n = n_vectors if n_vectors is not None else emb.count()
+        band_bits = ann_band_bits(n)
+    members = banded_members_frame(emb, bands=bands, band_bits=band_bits)
     pairs = bounded_bucket_pairs(
         members,
         ["band", "bucket"],
         "vec_id",
-        cap=ANN_BUCKET_CAP,
+        cap=bucket_cap,
         payload_cols=["v", "nrm"],
     )
     cos = F.round(
@@ -376,6 +452,8 @@ def embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.src", "c.dst", "c.cosine")
+    if src_bound is not None:
+        directed = directed.filter(F.col("src") < src_bound)
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
         directed.withColumn("rn", F.row_number().over(w))
@@ -441,7 +519,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes: the exact side broadcasts the 200-vector slice against one
     full scan (linear in n, bounded build side — the knn_bruteforce
-    shape); the banded side IS :func:`embedding_ann_top1`'s plan. The mean
+    shape); the banded side is :func:`embedding_ann_top1`'s plan with the
+    query-slice restriction applied to the DIRECTED candidate frame BEFORE
+    the per-source window (``banded_ann_top1(src_bound=...)``) — same
+    per-source candidate sets, so byte-identical output, but the window
+    and its exchange carry only the 200-query slice instead of the whole
+    corpus (round-9 ADVICE item 3: the old post-window filter could not
+    push through the window partition, so the scorecard paid the full ANN
+    top-1 computation to evaluate a 200-query slice). The mean
     gap is computed from 6-dp-rounded cosines scaled to integer
     micro-units and summed EXACTLY (BIGINT), so the order-dependent
     float-sum trap cannot flake the hash; the final division is the same
@@ -480,8 +565,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ann = (
-        embedding_ann_top1(spark, sf_dir)
-        .filter(F.col("vec_id") < ANN_EVAL_QUERIES)
+        banded_ann_top1(
+            load_table(spark, sf_dir, "embeddings"),
+            band_bits=ANN_BAND_BITS,
+            src_bound=ANN_EVAL_QUERIES,
+        )
         .select(
             F.col("vec_id").alias("a_src"),
             F.col("neighbor_id").alias("ann_dst"),

@@ -36,7 +36,6 @@ SKIP = {
     "ml_churn_coefficients",
     "ml_churn_metrics",
     "ml_threshold_from_scores",
-    "ivf_knn",
     "kmeans_lloyd_curve",
     "dedup_clusters",
     "curate_corpus_neardup",

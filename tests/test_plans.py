@@ -81,7 +81,6 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
         "ml_churn_coefficients",
         "ml_churn_metrics",
         "ml_threshold_from_scores",
-        "ivf_knn",
         "kmeans_lloyd_curve",  # bounded driver loop; builds run jobs
         # knn_bruteforce / ann_recall_report broadcast their query side — a
         # literal-bounded slice of embeddings (<=10 / <=200 rows; the
@@ -128,7 +127,6 @@ def test_no_unpartitioned_corpus_windows(spark, sf_dir):
         "ml_churn_coefficients",
         "ml_churn_metrics",
         "ml_threshold_from_scores",
-        "ivf_knn",
         "kmeans_lloyd_curve",
         "dedup_clusters",
         "curate_corpus_neardup",
@@ -606,7 +604,6 @@ def test_no_unbounded_cross_joins(spark, sf_dir):
         "ml_churn_coefficients",
         "ml_churn_metrics",
         "ml_threshold_from_scores",
-        "ivf_knn",
         "kmeans_lloyd_curve",
         "dedup_clusters",
         "curate_corpus_neardup",
@@ -721,7 +718,6 @@ def test_no_unbounded_global_sorts(spark, sf_dir):
         "ml_churn_coefficients",
         "ml_churn_metrics",
         "ml_threshold_from_scores",
-        "ivf_knn",
         "kmeans_lloyd_curve",
         "dedup_clusters",
         "curate_corpus_neardup",

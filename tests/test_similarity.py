@@ -88,6 +88,91 @@ def test_ann_top1_finds_planted_twins(spark, monkeypatch):
     assert twin_cos and all(c >= 0.999 for c in twin_cos)
 
 
+def test_ann_band_bits_sizing_rule():
+    """The executable form of the documented grid-sizing rule
+    (bits ≈ log2(n / target_bucket), clamped) — pins the values the
+    round-9 saturation analysis derived (round-9 verdict item 2)."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ann_band_bits,
+    )
+
+    # Testdata scales: the rule lands ON the pinned oracle grid at sf0.1.
+    assert ann_band_bits(2_000) == 8  # sf0.1: log2(250) = 7.97
+    assert ann_band_bits(500) == 6  # sf0.01
+    # The measured saturation regime: 100× sf0.1 = 200k vectors wants ~15
+    # bits, not the fixed 8 that saturated (660/1011 buckets over cap).
+    assert ann_band_bits(200_000) == 15
+    # Expected bucket size stays ~target across 6 orders of magnitude.
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8):
+        bits = ann_band_bits(n)
+        expected_bucket = n / 2**bits
+        assert 4 <= expected_bucket <= 16, (n, bits, expected_bucket)
+    # Clamps: tiny corpora keep a discriminating minimum; the ceiling
+    # covers any realistic n without overflowing the bucket fold.
+    assert ann_band_bits(0) == 4
+    assert ann_band_bits(50) == 4
+    assert ann_band_bits(10**12) == 30
+    assert ann_band_bits(10**12, max_bits=20) == 20
+
+
+def test_banded_ann_adaptive_grid_still_finds_twins(spark):
+    """The self-sizing library path (band_bits=None -> ann_band_bits(n))
+    must keep the planted-twin property: at cosine >= 0.999 twins collide
+    in some band at any clamped width."""
+    import numpy as np
+
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ann_band_bits,
+        banded_ann_top1,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 64)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        twin = v + rng.normal(scale=1e-3, size=64).astype("float32")
+        rows.append((1000 + i, [float(x) for x in twin], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # 80 vectors -> the min-bits clamp (4); the function must have sized
+    # itself without a caller-supplied n.
+    assert ann_band_bits(80) == 4
+    top1 = {
+        r["vec_id"]: r["neighbor_id"] for r in banded_ann_top1(emb).collect()
+    }
+    hits = sum(
+        1
+        for i in range(40)
+        if top1.get(i) == 1000 + i and top1.get(1000 + i) == i
+    )
+    assert hits >= 38, f"adaptive-grid planted-twin recall {hits}/40"
+
+
+def test_banded_ann_src_bound_matches_post_filter(spark, sf_dir):
+    """The pre-window src restriction (ann_recall_report's shape) must be
+    byte-identical to filtering embedding_ann_top1's output — the
+    semantics-preservation claim behind the round-9 ADVICE item 3 fix."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ANN_BAND_BITS,
+        banded_ann_top1,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bound = 50
+    fast = banded_ann_top1(emb, band_bits=ANN_BAND_BITS, src_bound=bound)
+    slow = QUERIES["embedding_ann_top1"](spark, sf_dir).filter(
+        F.col("vec_id") < bound
+    )
+    f_rows = {r["vec_id"]: (r["neighbor_id"], r["cosine"]) for r in fast.collect()}
+    s_rows = {r["vec_id"]: (r["neighbor_id"], r["cosine"]) for r in slow.collect()}
+    assert f_rows == s_rows and len(f_rows) == bound
+
+
 def test_ann_top1_output_invariants(spark, sf_dir):
     """One row per vector (every vector has >= 1 banded candidate on this
     data), neighbor is never self, cosine in [-1, 1] and equals the exact
@@ -190,7 +275,8 @@ def test_cv_defaults_match_reference():
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with 4-of-16 probed cells must recover most of the exact top-5
     (recall@5 >= 0.5 on random-ish data; clustered data does far better —
-    the point is the candidate set shrank ~4x)."""
+    the point is the candidate set shrank ~4x). Runs the REGISTERED
+    ivf_knn (deterministic md5 codebook — the oracle-checked path)."""
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in QUERIES["knn_bruteforce"](spark, sf_dir).collect()
@@ -201,6 +287,41 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall@{len(exact)} = {recall}"
+
+
+def test_ivf_kmeans_trained_index_recall(spark, sf_dir):
+    """The PRODUCTION quantizer — seeded MLlib KMeans via build_ivf_index +
+    ivf_search — stays exercised now that the registered ivf_knn query uses
+    the deterministic codebook (round-10 oracle upgrade). Same recall bar,
+    plus output-shape invariants."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.ivf import (
+        N_QUERIES,
+        TOP_K,
+        build_ivf_index,
+        ivf_search,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(emb)
+    rows = ivf_search(
+        assigned, emb.filter(F.col("vec_id") < N_QUERIES), centroids
+    ).collect()
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+        per_query.setdefault(r["query_id"], []).append(r["cosine"])
+    assert all(len(v) <= TOP_K for v in per_query.values())
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["knn_bruteforce"](spark, sf_dir).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"KMeans-IVF recall = {recall}"
 
 
 def test_quantization_bounds_and_error(spark, sf_dir):
