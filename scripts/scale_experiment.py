@@ -67,16 +67,20 @@ PROBE_QUERIES = [
 ]
 
 
-def generate(spark, src: str, dst: str, k: int) -> None:
+def generate(spark, src: str, dst: str, k: int, only: set[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from pyspark_retention_pipeline_spark.tables import load_table
 
     for t in FIXED_DIMS:
+        if only is not None and t not in only:
+            continue
         load_table(spark, src, t).write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
     for t, keys in OFFSET_KEYS.items():
+        if only is not None and t not in only:
+            continue
         base = load_table(spark, src, t)
         parts = []
         for i in range(k):
@@ -88,6 +92,28 @@ def generate(spark, src: str, dst: str, k: int) -> None:
                 df = df.withColumn("text", F.concat(F.col("text"), suffix))
                 df = df.withColumn(
                     "n_chars", (F.col("n_chars") + F.length(suffix)).cast("long")
+                )
+            if t == "embeddings" and i > 0:
+                # Verbatim copies would plant k exact duplicates per vector
+                # — every LSH bucket then carries an irreducible m >= k
+                # duplicate floor and candidate volume measures the
+                # planted dups, not the scale-up. Rotate each copy by a
+                # copy-dependent stride and negate a copy-dependent prefix:
+                # deterministic, norm-preserving, distribution-faithful,
+                # and no two copies coincide (the rotation has period 64;
+                # the negated prefix length breaks the i vs i+64 tie).
+                rot = (i * 7) % 64
+                neg = i // 64 + 1
+                v = F.col("embedding")
+                rotated = F.concat(
+                    F.slice(v, rot + 1, 64 - rot), F.slice(v, 1, rot)
+                ) if rot else v
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        rotated,
+                        lambda x, idx: F.when(idx < neg, -x).otherwise(x),
+                    ),
                 )
             parts.append(df)
         out = parts[0]
@@ -120,23 +146,176 @@ def probe(spark, src: str, dst: str, reps: int) -> None:
         print(f"| {name} | {a:.3f} | {b:.3f} | {b / a:.1f} |")
 
 
+def _idonly_ann_top1(emb, band_bits: int):
+    """The id-only candidate shape: bucket pairs carry ONLY ids, vectors
+    join back afterwards — the alternative to banded_ann_top1's
+    payload-threading (round-9 ADVICE item 2 asked for the measured
+    comparison; --ann prints it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.exprs import as_double_array, dot
+    from pyspark_retention_pipeline_spark.operators.buckets import (
+        bounded_bucket_pairs,
+    )
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ANN_BUCKET_CAP,
+        banded_members_frame,
+    )
+
+    members = banded_members_frame(emb, band_bits=band_bits).select(
+        "vec_id", "band", "bucket"
+    )
+    pairs = bounded_bucket_pairs(
+        members, ["band", "bucket"], "vec_id", cap=ANN_BUCKET_CAP
+    )
+    vecs = (
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)  # fair: one materialization, 2 readers
+    )
+    joined = pairs.join(
+        vecs.select(
+            F.col("vec_id").alias("id1"),
+            F.col("v").alias("v1"),
+            F.col("nrm").alias("nrm1"),
+        ),
+        "id1",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("id2"),
+            F.col("v").alias("v2"),
+            F.col("nrm").alias("nrm2"),
+        ),
+        "id2",
+    )
+    cos = F.round(
+        dot(F.col("v1"), F.col("v2")) / (F.col("nrm1") * F.col("nrm2")), 6
+    )
+    directed = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("src"),
+                    F.col("id2").alias("dst"),
+                    cos.alias("cosine"),
+                ),
+                F.struct(
+                    F.col("id2").alias("src"),
+                    F.col("id1").alias("dst"),
+                    cos.alias("cosine"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.src", "c.dst", "c.cosine")
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            F.col("cosine"),
+        )
+    )
+
+
+def ann_probe(spark, dirs: list[str], reps: int) -> None:
+    """Grid-saturation + candidate-shape report for the banded-ANN path.
+
+    For each dir: bucket stats and bounded candidate volume under the
+    FIXED oracle grid vs the ADAPTIVE ann_band_bits grid (round-9 verdict
+    item 2's done-criterion: adaptive candidate growth stays near-linear,
+    over-cap buckets ~0), then wall time of the payload-threaded plan vs
+    the id-only + join-back shape at the adaptive width (ADVICE item 2)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ANN_BAND_BITS,
+        ANN_BUCKET_CAP,
+        ann_band_bits,
+        banded_ann_top1,
+        banded_members_frame,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    print("| dir | n | grid | bits | buckets | over_cap | cand_pairs |")
+    print("|---|---|---|---|---|---|---|")
+    grids: dict[str, int] = {}
+    for d in dirs:
+        emb = load_table(spark, d, "embeddings")
+        n = emb.count()
+        grids[d] = ann_band_bits(n)
+        for label, bits in (
+            ("fixed", ANN_BAND_BITS),
+            ("adaptive", grids[d]),
+        ):
+            sizes = (
+                banded_members_frame(emb, band_bits=bits)
+                .groupBy("band", "bucket")
+                .agg(F.count("*").alias("m"))
+            )
+            m = F.col("m")
+            row = sizes.agg(
+                F.count("*").alias("buckets"),
+                F.sum(F.when(m > ANN_BUCKET_CAP, 1).otherwise(0)).alias("oc"),
+                F.sum(
+                    F.when(m <= ANN_BUCKET_CAP, m * (m - 1) / 2).otherwise(
+                        2 * (m - 1)
+                    )
+                )
+                .cast("long")
+                .alias("pairs"),
+            ).collect()[0]
+            print(
+                f"| {d} | {n} | {label} | {bits} | {row['buckets']} "
+                f"| {row['oc']} | {row['pairs']} |"
+            )
+    print()
+    print("| dir | shape | bits | wall s |")
+    print("|---|---|---|---|")
+    for d in dirs:
+        emb = load_table(spark, d, "embeddings")
+        bits = grids[d]
+        for label, df_fn in (
+            ("payload", lambda: banded_ann_top1(emb, band_bits=bits)),
+            ("id-only+joinback", lambda: _idonly_ann_top1(emb, bits)),
+        ):
+            runs = []
+            for _ in range(reps):
+                df = df_fn()
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+            print(f"| {d} | {label} | {bits} | {min(runs):.3f} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=SRC_DEFAULT)
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--probe", action="store_true")
+    ap.add_argument("--ann", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="generate only these comma-separated tables (e.g. embeddings)",
+    )
     args = ap.parse_args()
 
     from pyspark_retention_pipeline_spark.session import get_spark
 
     spark = get_spark("scale-experiment", shuffle_partitions=32)
     if not args.skip_generate:
-        generate(spark, args.src, args.out, args.k)
+        only = set(args.only.split(",")) if args.only else None
+        generate(spark, args.src, args.out, args.k, only=only)
     if args.probe:
         probe(spark, args.src, args.out, args.reps)
+    if args.ann:
+        ann_probe(spark, [args.src, args.out], args.reps)
     spark.stop()
 
 
