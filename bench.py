@@ -115,15 +115,15 @@ HEADLINE = [
 # already in the headline set with a baseline row; the three pin fixes are
 # NEW to the set and surface under new_queries instead).
 NOT_LIKE_FOR_LIKE: dict[str, str] = {
-    "curate_corpus": "round-8 plan change: dedup frame pinned (was 3 documents scans)",
-    "simhash_candidates": (
-        "round-8 plan change: degraded-bucket chain pairs added "
-        "(output identical below the cap; plan gains a lag-window branch)"
-    ),
-    "lsh_bucket_candidates": (
-        "round-9 check upgrade (rows-only -> md5-plane oracle); the PLAN is "
-        "unchanged so the ratio is actually comparable — excluded "
-        "conservatively for the round the CHANGED seat covers"
+    # Round-9 entries retired: BENCH_r09 parses, so the round-10 baseline
+    # already times curate_corpus / simhash_candidates /
+    # lsh_bucket_candidates on their current plans — those ratios are
+    # like-for-like again (rotation doc said to drop them once a usable
+    # driver artifact became the baseline).
+    "intradoc_dedup_rewrite": (
+        "round-10 plan change: keep-first filter went O(L^2) "
+        "array_position scan -> O(L) array_distinct (identical output; "
+        "measured 214x on a long-doc synthetic)"
     ),
 }
 

@@ -40,74 +40,74 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-9 rotation (docs/ROUND9_ROTATION.md) — GENERATED:
+# Round-10 rotation (docs/ROUND10_ROTATION.md) — GENERATED:
 # ``scripts/derive_front.py`` derives this window mechanically from the
 # committed CORRECTNESS_r0*.json driver artifacts (rounds BEFORE the
 # configured one only, so the derivation is stable whenever the current
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-9 composition: lsh_bucket_candidates seats
-# first (check upgraded rows-only → md5-plane oracle; plan unchanged),
-# the five NEW round-9 queries (portable banded minhash candidates, the
-# tokenizer tier, the banded-ANN top-1, and its ann_recall_report
-# scorecard) enter via the never-verified tier, then the flagship, then
-# 43 stalest-green backfill seats — the 20 r1-verified deferrals, the
-# full r2 tier, and the front of the r3 tier, their first
-# re-verification since they were first gated. Further new or
-# plan-changed queries re-derive this window (update CHANGED in the
-# script config, re-run, re-paste).
+# script's output. Round-10 composition: the three plan-changed queries
+# seat first (intradoc_dedup_rewrite O(L²)→O(L); ivf_knn deterministic
+# codebook + rows-only→oracle upgrade; ann_recall_report pre-window slice
+# restriction), the two NEW adaptive-grid ANN queries enter via the
+# never-verified tier, then the flagship, then 44 stalest-green backfill
+# seats — the full 15-name r3-tier remainder (the round-9
+# DEFERRED_TO_R10 set, retiring the pre-r5 staleness tail completely)
+# and the front 29 names of the r5 tier. Further new or plan-changed
+# queries re-derive this window (update CHANGED in the script config,
+# re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "lsh_bucket_candidates",
-    "minhash_banded_candidates",
-    "bpe_pair_counts",
     "intradoc_dedup_rewrite",
-    "embedding_ann_top1",
+    "ivf_knn",
     "ann_recall_report",
+    "embedding_ann_top1_adaptive",
+    "ann_grid_report",
     "churn_features",
-    "customer_spend_stats",
-    "label_antijoin",
-    "large_volume_orders",
-    "late_shipping_priority_check",
-    "latest_order_per_customer",
-    "left_join_enrich",
-    "not_cancelled",
-    "order_key_list",
-    "priority_line_distribution",
-    "recent90_agg",
-    "recent_window",
-    "returned_parts_distinct",
-    "running_total",
-    "segment_case",
-    "sql_expr_filter",
-    "supplier_balance_by_nation",
-    "threshold_pred",
-    "threshold_sweep",
-    "top_customers",
-    "union_by_name",
-    "cube_status_priority",
-    "dedup_keep_first",
-    "event_type_map_summary",
-    "inactive_customers_except",
-    "json_typed_parse",
-    "label_centroids",
-    "lang_id_heuristic",
-    "order_value_bounds",
-    "regex_token_count",
-    "retained_buyers_intersect",
-    "revenue_by_nation",
-    "revenue_share",
-    "salted_supplier_agg",
-    "segment_metrics_unpivot",
-    "string_ops",
-    "token_classes",
-    "acctbal_histogram",
-    "disjunctive_part_predicates",
-    "doc_fingerprint",
-    "embedding_norms",
-    "grouping_sets_revenue",
-    "idle_wealthy_customers",
-    "lang_stats",
+    "market_share",
+    "median_order_value",
+    "moving_avg_order_value",
+    "order_count_distribution",
+    "orders_per_weekday",
+    "pricing_summary",
+    "promo_revenue_share",
+    "quality_score",
+    "returned_items_top_customers",
+    "segments_by_revenue",
+    "shipping_priority",
+    "small_qty_part_revenue",
+    "sql_api_revenue",
+    "token_topk",
+    "volume_shipping",
+    "binary_meta",
+    "c4_quality_filter",
+    "chunk_documents",
+    "class_counts",
+    "confusion_matrix",
+    "customer_profile",
+    "customer_rfm",
+    "dedup_exact",
+    "distinct_customers",
+    "distinct_products",
+    "embedding_neardup",
+    "embedding_quantize_stats",
+    "epoch_shuffle",
+    "forecast_revenue_discount",
+    "hash_sample",
+    "incremental_dedup",
+    "json_props",
+    "knn_bruteforce",
+    "lang_mix_sample",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "media_embed_knn",
+    "monthly_revenue",
+    "ngram_contamination",
+    "order_rollup",
+    "p99_quantile",
+    "pack_documents",
+    "parquet_roundtrip_revenue",
+    "pii_scrub",
 )
 
 

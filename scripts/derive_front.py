@@ -49,13 +49,18 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 9
+ROUND = 10
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 9: lsh_bucket_candidates' PLAN is
-# unchanged but its check upgraded from rows-only to an md5-plane DuckDB
-# oracle — it seats so the first hash-gated driver row lands this round
-# (the same upgrade-seat rationale as the round-7 fingerprint upgrades).
-CHANGED: tuple[str, ...] = ("lsh_bucket_candidates",)
+# listed in change order. Round 10: intradoc_dedup_rewrite's keep-first
+# filter went O(L²) → O(L) array_distinct; ivf_knn swapped the MLlib
+# quantizer for the deterministic md5 codebook AND upgraded rows-only →
+# full oracle; ann_recall_report moved the query-slice restriction before
+# the top-1 window (identical output, smaller exchange).
+CHANGED: tuple[str, ...] = (
+    "intradoc_dedup_rewrite",
+    "ivf_knn",
+    "ann_recall_report",
+)
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()

@@ -10,13 +10,14 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-9 policy (docs/ROUND9_ROTATION.md): (a) the changed tier —
-lsh_bucket_candidates' check upgraded rows-only → oracle (plan
-unchanged); (b) the five new round-9 queries via the never-verified
-tier (tokenizer tier, banded-ANN top-1 + its recall scorecard, portable
-banded minhash); (c) the flagship; (d) stalest-green backfill: the 20
-r1-verified deferrals, the full r2 tier, and the front of the r3 tier —
-their first re-verification since first gated.
+Round-10 policy (docs/ROUND10_ROTATION.md): (a) the changed tier — the
+three plan-changed queries (intradoc_dedup_rewrite O(L²)→O(L) rewrite,
+ivf_knn deterministic-codebook + rows-only→oracle upgrade,
+ann_recall_report pre-window slice restriction); (b) the two new
+adaptive-grid ANN queries via the never-verified tier; (c) the
+flagship; (d) stalest-green backfill: the full 15-name r3-tier
+remainder (round 9's DEFERRED_TO_R10 — the pre-r5 staleness tail is
+now fully retired) plus the front 29 names of the r5 tier.
 """
 
 import importlib.util
@@ -31,45 +32,47 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 9 — plan-change rule makes seating
+# (a) implementation changed in round 10 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-# lsh_bucket_candidates: plan unchanged, check upgraded rows-only → oracle
-# (the upgrade-seat rationale from the round-7 fingerprint upgrades).
-CHANGED_R9 = {"lsh_bucket_candidates"}
+# intradoc_dedup_rewrite: keep-first filter O(L²) → O(L) array_distinct.
+# ivf_knn: deterministic md5 codebook replaces the MLlib quantizer in the
+# registered plan AND the check upgraded rows-only → full oracle.
+# ann_recall_report: query-slice restriction moved BEFORE the top-1
+# window (identical output, slice-sized exchange).
+CHANGED_R10 = {
+    "intradoc_dedup_rewrite",
+    "ivf_knn",
+    "ann_recall_report",
+}
 
-# (b) never-driver-verified backlog: ZERO at rotation time (round 8 seated
-# all of it); the round-9 additions enter here as they are registered.
-BACKLOG_R9 = {
-    "bpe_pair_counts",  # new in round 9 (tokenizer tier)
-    "intradoc_dedup_rewrite",  # new in round 9 (tokenizer tier)
-    "embedding_ann_top1",  # new in round 9 (banded-ANN scale path)
-    "ann_recall_report",  # new in round 9 (ANN index-quality scorecard)
-    "minhash_banded_candidates",  # new in round 9 (portable banded minhash)
+# (b) never-driver-verified backlog: ZERO at rotation time (round 9 seated
+# all of it); the round-10 additions enter here as they are registered.
+BACKLOG_R10 = {
+    "embedding_ann_top1_adaptive",  # new in round 10 (self-sized grid)
+    "ann_grid_report",  # new in round 10 (saturation scorecard)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 10: the window cut falls inside
-# the r3-verified tier; these 15 r3 names are the tier's remainder (the
-# r5+ tiers are simply fresher, not "deferred"). The last six were
-# displaced by the round-9 never-verified + changed seats.
-DEFERRED_TO_R10 = {
-    "promo_revenue_share",
-    "quality_score",
-    "returned_items_top_customers",
-    "segments_by_revenue",
-    "shipping_priority",
-    "small_qty_part_revenue",
-    "sql_api_revenue",
-    "token_topk",
-    "volume_shipping",
-    "order_count_distribution",
-    "orders_per_weekday",
-    "pricing_summary",
-    "moving_avg_order_value",
-    "median_order_value",
-    "market_share",
+# Boundary-tier backfill deferred to round 11: the window cut falls inside
+# the r5-verified tier; these 14 r5 names are the tier's remainder (the
+# r6+ tiers are simply fresher, not "deferred").
+DEFERRED_TO_R11 = {
+    "product_type_profit",
+    "purchase_gaps",
+    "quality_budget_select",
+    "repetition_stats",
+    "rollup_revenue",
+    "skew_salted_segment_counts",
+    "source_mix_report",
+    "text_stats",
+    "threshold_curve",
+    "token_budget_select",
+    "token_len_histogram",
+    "train_val_test_split",
+    "valid_lines",
+    "waiting_suppliers",
 }
 
 
@@ -101,22 +104,22 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R9 | BACKLOG_R9 | FLAGSHIP) - window
+    missing = (CHANGED_R10 | BACKLOG_R10 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
     """The whole backlog must carry oracles — a rows-only seat would burn a
     slot on a weaker check (rows-only ops re-seat only on change)."""
-    missing = BACKLOG_R9 - set(all_oracle_sql())
+    missing = BACKLOG_R10 - set(all_oracle_sql())
     assert not missing, f"backlog entries missing oracles: {missing}"
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R10 <= set(qs)
+    assert DEFERRED_TO_R11 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R10 & window
+    overlap = DEFERRED_TO_R11 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
