@@ -26,13 +26,17 @@ SURVEY.md §2's text-analysis group):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
 
 TOP_PAIRS = 50
+
+# Coverage targets for vocab_coverage_curve, integer percents so the
+# threshold comparison stays in exact BIGINT arithmetic on both engines.
+COVERAGE_PCTS = (50, 75, 90, 95, 99)
 
 
 @query(
@@ -123,4 +127,69 @@ def intradoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("kept", " ").alias("text_dedup"),
         F.size("toks").cast("long").alias("n_tokens"),
         F.size("kept").cast("long").alias("n_kept"),
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM words GROUP BY w
+    ), ranked AS MATERIALIZED (
+      SELECT w, wn,
+             ROW_NUMBER() OVER (ORDER BY wn DESC, w) AS rn,
+             CAST(SUM(wn) OVER (ORDER BY wn DESC, w
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(wn) OVER () AS BIGINT) AS total
+      FROM wc
+    ), hit AS (
+      SELECT p.pct, r.rn, r.cum, r.total
+      FROM (SELECT unnest({list(COVERAGE_PCTS)}) AS pct) p
+      JOIN ranked r ON r.cum * 100 >= p.pct * r.total
+    )
+    SELECT CAST(pct AS INT) AS coverage_pct,
+           CAST(MIN(rn) AS BIGINT) AS vocab_size,
+           CAST(arg_min(cum, rn) AS BIGINT) AS covered_tokens,
+           CAST(MIN(total) AS BIGINT) AS total_tokens
+    FROM hit GROUP BY pct
+    """,
+    tags=("text", "tokenizer", "vocab"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum vocabulary size covering {50,75,90,95,99}% of corpus token
+    occurrences — the statistic that sizes a tokenizer vocab / OOV budget
+    before training (the Zipf-curve companion to :func:`bpe_pair_counts`).
+
+    Scale shape: ONE corpus scan reduces to (token, count) — a map-side-
+    combine hash aggregate whose output is vocabulary-sized — and every
+    later stage runs over the VOCAB, not the corpus: the frequency-rank /
+    cumulative-sum window is a single total order over an Aggregate-
+    bounded frame (the sanctioned bounded global window, same argument as
+    bpe_pair_counts' explode-over-vocab), and the five coverage targets
+    join against it as a 5-row literal frame. Exactness: token counts are
+    integers, the threshold test is ``cum·100 ≥ pct·total`` in BIGINT
+    (no float shares anywhere), and rank ties break (count desc, token
+    asc) identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").cast("long").alias("wn"))
+    order = [F.desc("wn"), F.asc("w")]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = wc.select(
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.sum("wn").over(w_cum).cast("long").alias("cum"),
+        F.sum("wn").over(w_all).cast("long").alias("total"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in COVERAGE_PCTS], "pct int")
+    hit = F.broadcast(pcts).join(
+        ranked, F.col("cum") * 100 >= F.col("pct") * F.col("total")
+    )
+    return hit.groupBy(F.col("pct").alias("coverage_pct")).agg(
+        F.min("rn").alias("vocab_size"),
+        F.min_by("cum", "rn").alias("covered_tokens"),
+        F.min("total").alias("total_tokens"),
     )

@@ -56,11 +56,14 @@ _REGISTRY: dict[str, Query] = {}
 # DEFERRED_TO_R10 set, retiring the pre-r5 staleness tail completely)
 # and the front 29 names of the r5 tier. Further new or plan-changed
 # queries re-derive this window (update CHANGED in the script config,
-# re-run, re-paste).
+# re-run, re-paste). Late round-10 re-derivation: vocab_coverage_curve
+# joined the never-verified tier (a third new query), displacing the last
+# backfill seat (pii_scrub → DEFERRED_TO_R11).
 _FRONT: tuple[str, ...] = (
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
+    "vocab_coverage_curve",
     "embedding_ann_top1_adaptive",
     "ann_grid_report",
     "churn_features",
@@ -107,7 +110,6 @@ _FRONT: tuple[str, ...] = (
     "p99_quantile",
     "pack_documents",
     "parquet_roundtrip_revenue",
-    "pii_scrub",
 )
 
 

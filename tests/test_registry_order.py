@@ -13,11 +13,12 @@ that diverges fails loudly (VERDICT r7 item 7).
 Round-10 policy (docs/ROUND10_ROTATION.md): (a) the changed tier — the
 three plan-changed queries (intradoc_dedup_rewrite O(L²)→O(L) rewrite,
 ivf_knn deterministic-codebook + rows-only→oracle upgrade,
-ann_recall_report pre-window slice restriction); (b) the two new
-adaptive-grid ANN queries via the never-verified tier; (c) the
-flagship; (d) stalest-green backfill: the full 15-name r3-tier
-remainder (round 9's DEFERRED_TO_R10 — the pre-r5 staleness tail is
-now fully retired) plus the front 29 names of the r5 tier.
+ann_recall_report pre-window slice restriction); (b) the three new
+round-10 queries via the never-verified tier (the two adaptive-grid ANN
+queries and the vocab-coverage curve); (c) the flagship; (d)
+stalest-green backfill: the full 15-name r3-tier remainder (round 9's
+DEFERRED_TO_R10 — the pre-r5 staleness tail is now fully retired) plus
+the front 28 names of the r5 tier.
 """
 
 import importlib.util
@@ -50,15 +51,18 @@ CHANGED_R10 = {
 BACKLOG_R10 = {
     "embedding_ann_top1_adaptive",  # new in round 10 (self-sized grid)
     "ann_grid_report",  # new in round 10 (saturation scorecard)
+    "vocab_coverage_curve",  # new in round 10 (tokenizer vocab sizing)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 11: the window cut falls inside
-# the r5-verified tier; these 14 r5 names are the tier's remainder (the
-# r6+ tiers are simply fresher, not "deferred").
+# the r5-verified tier; these 15 r5 names are the tier's remainder (the
+# r6+ tiers are simply fresher, not "deferred"). pii_scrub was the last
+# seat until vocab_coverage_curve's never-verified entry displaced it.
 DEFERRED_TO_R11 = {
+    "pii_scrub",
     "product_type_profit",
     "purchase_gaps",
     "quality_budget_select",

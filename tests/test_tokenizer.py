@@ -147,3 +147,22 @@ def test_intradoc_dedup_rewrite_adversarial_token_shapes(spark, monkeypatch):
     assert (rows[0]["n_tokens"], rows[0]["n_kept"]) == (6, 3)
     assert rows[1]["text_dedup"] == "t" * 500 + " x"
     assert (rows[1]["n_tokens"], rows[1]["n_kept"]) == (3, 2)
+
+
+def test_vocab_coverage_curve_hand_checked(spark, monkeypatch):
+    """10 'a' + 5 'b' + 4 'c' + 1 'd' (20 tokens): 50% needs {a} (10/20),
+    75% needs {a,b} (15/20), 90%/95% need {a,b,c} (19/20), 99% needs all
+    four — the rank order and the exact-integer threshold both checked."""
+    import pyspark_retention_pipeline_spark.operators.tokenizer as tok
+
+    docs = _docs(spark, ["a a a a a a a a a a b b b b b c c c c d"])
+    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    rows = {
+        r["coverage_pct"]: r
+        for r in QUERIES["vocab_coverage_curve"](spark, "x").collect()
+    }
+    assert {p: rows[p]["vocab_size"] for p in sorted(rows)} == {
+        50: 1, 75: 2, 90: 3, 95: 3, 99: 4,
+    }
+    assert rows[75]["covered_tokens"] == 15
+    assert all(r["total_tokens"] == 20 for r in rows.values())
