@@ -1007,3 +1007,64 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_identical"),
         F.min("hamming").alias("min_hamming"),
     )
+
+
+# Oracle twin of the end-to-end near-dup clustering: the PORTABLE banded
+# minhash pair set (text._PORT_BANDS_CTE — the same single band-value
+# definition minhash_banded_candidates checks) chained into the unrolled
+# hook+jump CC fixpoint (_cc_fixpoint_sql, the group-split audit's
+# machinery). Both engines derive identical edges, so the component minima
+# and cluster sizes hash-match — upgrading the clustering TIER itself from
+# rows-only to oracle-checked (dedup_clusters stays the xxhash64 scale
+# path; this is its portable semantic twin, the simhash/minhash precedent).
+def _dedup_clusters_oracle() -> str:
+    from .text import _PORT_BANDS_CTE, _PORT_MINS_CTE
+
+    return f"""
+    WITH {_PORT_MINS_CTE}, {_PORT_BANDS_CTE},
+    pairs_m AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), {_cc_fixpoint_sql()}, sizes AS (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM canon GROUP BY canonical_id
+    )
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM canon c JOIN sizes s USING (canonical_id)
+"""
+
+
+@query(
+    "dedup_clusters_portable",
+    oracle=_dedup_clusters_oracle(),
+    tags=("dedup-neardup", "connected-components", "portable-hash"),
+)
+def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with the whole pipeline cross-engine-checked:
+    portable banded-minhash candidate pairs → connected components →
+    (doc_id, canonical_id, cluster_size), hash-compared against DuckDB's
+    independent derivation (portable band values + the unrolled hook+jump
+    min-label fixpoint validated for the leakage audit).
+
+    The iterated Spark components and the unrolled SQL fixpoint are
+    different ALGORITHMS for the same exact answer — component minima are
+    unique — so the check proves the clustering semantics, not a shared
+    implementation. Scale shape is dedup_clusters' (that form keeps the
+    cheaper xxhash64 signatures): bounded band buckets, O(log diameter)
+    label rounds, one lazy pin on the symmetric edge frame."""
+    from .components import connected_components
+    from .text import minhash_banded_candidates
+
+    pairs = minhash_banded_candidates(spark, sf_dir).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )

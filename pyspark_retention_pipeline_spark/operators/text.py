@@ -535,15 +535,21 @@ _BAND_C = (1000033, 1000037, 1000039, 1000081)
 # pairs through the shared bounded_bucket_pairs.
 MINHASH_PORT_CAP = 4096
 
-_MINHASH_BANDED_ORACLE = f"""
-    WITH {_PORT_MINS_CTE}, bands AS MATERIALIZED (
+# Single definition of the portable band-value CTE (the round-9 lesson:
+# never duplicate a signature definition across oracles) — shared by
+# _MINHASH_BANDED_ORACLE here and curation.py's portable dedup-cluster
+# oracle, which chains the same pair set into the CC fixpoint.
+_PORT_BANDS_CTE = f"""bands AS MATERIALIZED (
       SELECT doc_id, j // {BAND_SIZE} AS band,
              CAST(SUM((mh % {_PORT_M}) * (CASE j % {BAND_SIZE}
                     {" ".join(f"WHEN {i} THEN {_BAND_C[i]}" for i in range(BAND_SIZE - 1))}
                     ELSE {_BAND_C[BAND_SIZE - 1]} END)) % {_PORT_P}
                   AS BIGINT) AS bv
       FROM mins GROUP BY doc_id, j // {BAND_SIZE}
-    )
+    )"""
+
+_MINHASH_BANDED_ORACLE = f"""
+    WITH {_PORT_MINS_CTE}, {_PORT_BANDS_CTE}
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            CAST(COUNT(*) AS BIGINT) AS bands_shared
     FROM bands a JOIN bands b

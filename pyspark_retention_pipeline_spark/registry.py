@@ -56,14 +56,16 @@ _REGISTRY: dict[str, Query] = {}
 # DEFERRED_TO_R10 set, retiring the pre-r5 staleness tail completely)
 # and the front 29 names of the r5 tier. Further new or plan-changed
 # queries re-derive this window (update CHANGED in the script config,
-# re-run, re-paste). Late round-10 re-derivation: vocab_coverage_curve
-# joined the never-verified tier (a third new query), displacing the last
-# backfill seat (pii_scrub → DEFERRED_TO_R11).
+# re-run, re-paste). Late round-10 re-derivations: vocab_coverage_curve
+# and dedup_clusters_portable joined the never-verified tier (third and
+# fourth new queries), displacing the last two backfill seats (pii_scrub,
+# parquet_roundtrip_revenue → DEFERRED_TO_R11).
 _FRONT: tuple[str, ...] = (
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
     "vocab_coverage_curve",
+    "dedup_clusters_portable",
     "embedding_ann_top1_adaptive",
     "ann_grid_report",
     "churn_features",
@@ -109,7 +111,6 @@ _FRONT: tuple[str, ...] = (
     "order_rollup",
     "p99_quantile",
     "pack_documents",
-    "parquet_roundtrip_revenue",
 )
 
 

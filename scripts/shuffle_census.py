@@ -38,6 +38,7 @@ SKIP = {
     "ml_threshold_from_scores",
     "kmeans_lloyd_curve",
     "dedup_clusters",
+    "dedup_clusters_portable",
     "curate_corpus_neardup",
     "group_aware_split",
     "group_split_leakage_audit",

@@ -129,6 +129,7 @@ def test_no_unpartitioned_corpus_windows(spark, sf_dir):
         "ml_threshold_from_scores",
         "kmeans_lloyd_curve",
         "dedup_clusters",
+        "dedup_clusters_portable",
         "curate_corpus_neardup",
     }
     offenders = {}
@@ -606,6 +607,7 @@ def test_no_unbounded_cross_joins(spark, sf_dir):
         "ml_threshold_from_scores",
         "kmeans_lloyd_curve",
         "dedup_clusters",
+        "dedup_clusters_portable",
         "curate_corpus_neardup",
     }
     offenders = {}
@@ -720,6 +722,7 @@ def test_no_unbounded_global_sorts(spark, sf_dir):
         "ml_threshold_from_scores",
         "kmeans_lloyd_curve",
         "dedup_clusters",
+        "dedup_clusters_portable",
         "curate_corpus_neardup",
     }
     offenders = {}

@@ -13,12 +13,13 @@ that diverges fails loudly (VERDICT r7 item 7).
 Round-10 policy (docs/ROUND10_ROTATION.md): (a) the changed tier — the
 three plan-changed queries (intradoc_dedup_rewrite O(L²)→O(L) rewrite,
 ivf_knn deterministic-codebook + rows-only→oracle upgrade,
-ann_recall_report pre-window slice restriction); (b) the three new
+ann_recall_report pre-window slice restriction); (b) the four new
 round-10 queries via the never-verified tier (the two adaptive-grid ANN
-queries and the vocab-coverage curve); (c) the flagship; (d)
-stalest-green backfill: the full 15-name r3-tier remainder (round 9's
-DEFERRED_TO_R10 — the pre-r5 staleness tail is now fully retired) plus
-the front 28 names of the r5 tier.
+queries, the vocab-coverage curve, and the oracle-checked portable
+dedup clustering); (c) the flagship; (d) stalest-green backfill: the
+full 15-name r3-tier remainder (round 9's DEFERRED_TO_R10 — the pre-r5
+staleness tail is now fully retired) plus the front 27 names of the r5
+tier.
 """
 
 import importlib.util
@@ -52,16 +53,19 @@ BACKLOG_R10 = {
     "embedding_ann_top1_adaptive",  # new in round 10 (self-sized grid)
     "ann_grid_report",  # new in round 10 (saturation scorecard)
     "vocab_coverage_curve",  # new in round 10 (tokenizer vocab sizing)
+    "dedup_clusters_portable",  # new in round 10 (oracle-checked CC tier)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 11: the window cut falls inside
-# the r5-verified tier; these 15 r5 names are the tier's remainder (the
-# r6+ tiers are simply fresher, not "deferred"). pii_scrub was the last
-# seat until vocab_coverage_curve's never-verified entry displaced it.
+# the r5-verified tier; these 16 r5 names are the tier's remainder (the
+# r6+ tiers are simply fresher, not "deferred"). pii_scrub and
+# parquet_roundtrip_revenue held the last two seats until the late
+# round-10 never-verified entries displaced them.
 DEFERRED_TO_R11 = {
+    "parquet_roundtrip_revenue",
     "pii_scrub",
     "product_type_profit",
     "purchase_gaps",
