@@ -100,6 +100,24 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     )
 
 
+def cluster_assignment_frame(edges: DataFrame) -> DataFrame:
+    """(src, dst) candidate edges → (doc_id, canonical_id, cluster_size):
+    connected components plus the per-component size join — the single
+    definition of the clustering output contract shared by
+    :func:`dedup_clusters` (xxhash64 edges) and
+    ``curation.dedup_clusters_portable`` (portable md5 edges, oracle-
+    checked); round-10 review: the tail was duplicated in both."""
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
 @query("dedup_clusters", tags=("dedup-neardup", "connected-components"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: minhash-LSH candidate pairs →
@@ -111,16 +129,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents")).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
-    comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("vertex").alias("doc_id"),
-            F.col("component").alias("canonical_id"),
-            "cluster_size",
-        )
-    )
+    return cluster_assignment_frame(pairs)
 
 
 def group_assignment_frame(

@@ -1053,18 +1053,10 @@ def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation. Scale shape is dedup_clusters' (that form keeps the
     cheaper xxhash64 signatures): bounded band buckets, O(log diameter)
     label rounds, one lazy pin on the symmetric edge frame."""
-    from .components import connected_components
+    from .components import cluster_assignment_frame
     from .text import minhash_banded_candidates
 
     pairs = minhash_banded_candidates(spark, sf_dir).select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
-    comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(
-        F.count("*").cast("long").alias("cluster_size")
-    )
-    return comp.join(sizes, "component").select(
-        F.col("vertex").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        "cluster_size",
-    )
+    return cluster_assignment_frame(pairs)

@@ -245,8 +245,10 @@ ANN_PLANES = ANN_BANDS * ANN_BAND_BITS  # 32 hyperplanes, j = 0..31
 # Chosen ABOVE the measured sf0.1 maximum band-bucket (27 members with
 # 8-bit bands over 2 000 vectors), so every testdata scale takes the exact
 # per-bucket join and the oracle-checked semantics are unchanged; a
-# degenerate corpus degrades to bounded star+chain pairs exactly as the
-# simhash pipeline does (see operators/buckets.py).
+# degenerate corpus degrades to bounded STAR pairs (hub ↔ member, m−1 per
+# over-cap bucket — no chain pairs: unlike the simhash pipeline there is
+# no downstream distance filter to break hub connectivity, so the chain's
+# job doesn't exist here; see operators/buckets.py).
 ANN_BUCKET_CAP = 512
 # Expected bucket size the adaptive grid aims for. Per-vector candidate
 # work is O(bands · target) and total candidate volume is O(n · bands ·
@@ -537,7 +539,19 @@ def embedding_ann_top1_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 000), so both the rule and the narrower-grid semantics are
     exercised, not just re-pinned. The plan-build ``count()`` is one
     parquet-metadata action — the same cheap-count contract the docstring
-    of :func:`banded_ann_top1` names."""
+    of :func:`banded_ann_top1` names.
+
+    Oracle contract (same as ``embedding_ann_top1``'s, inherited
+    deliberately): the SQL enumerates ALL in-bucket pairs, i.e. the exact
+    path — valid while every band bucket stays ≤ ``ANN_BUCKET_CAP``,
+    which the ADAPTIVE width makes true by construction (expected bucket
+    ≈ ``ANN_TARGET_BUCKET`` = 8 ≪ 512 at any n; the fixed-grid query is
+    the one that could saturate, and even its measured 100× maximum was
+    2 700 only because the width was pinned). The star-degraded over-cap
+    path is NOT SQL-mirrored — it is property-tested through the shared
+    ``bounded_bucket_pairs`` (tests/test_properties.py and the
+    degraded-cap ANN test), the established contract for every LSH
+    oracle in this repo."""
     e = load_table(spark, sf_dir, "embeddings")
     return banded_ann_top1(e)
 
@@ -568,11 +582,47 @@ _ANN_GRID_ORACLE = f"""
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(SUM(CASE WHEN m > {ANN_BUCKET_CAP} THEN 1 ELSE 0 END)
                 AS BIGINT) AS over_cap_buckets,
+           -- within-cap: all pairs; over-cap: the m-1 star pairs
+           -- bounded_bucket_pairs (no chain_cols) actually emits
            CAST(SUM(CASE WHEN m <= {ANN_BUCKET_CAP} THEN m * (m - 1) / 2
-                         ELSE 2 * (m - 1) END) AS BIGINT)
+                         ELSE m - 1 END) AS BIGINT)
              AS bounded_cand_pairs
     FROM sizes GROUP BY grid, bb
 """
+
+
+def ann_grid_stats_frame(
+    emb: DataFrame, label: str, band_bits: int, cap: int = ANN_BUCKET_CAP
+) -> DataFrame:
+    """ONE-row saturation stats for a band grid: bucket count, over-cap
+    bucket count, and the bounded candidate volume the ANN pipeline would
+    actually generate — m(m−1)/2 for a within-cap bucket (all pairs),
+    m−1 for an over-cap bucket (the star pairs ``bounded_bucket_pairs``
+    without ``chain_cols`` emits; round-10 review fixed an earlier
+    2(m−1) star+chain formula that described the simhash pipeline, not
+    this one). Single definition shared by :func:`ann_grid_report` and
+    ``scripts/scale_experiment.py``'s ``--ann`` probe."""
+    sizes = (
+        banded_members_frame(emb, band_bits=band_bits)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("m"))
+    )
+    m = F.col("m")
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(m > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("over_cap_buckets"),
+        F.sum(F.when(m <= cap, m * (m - 1) / 2).otherwise(m - 1))
+        .cast("long")
+        .alias("bounded_cand_pairs"),
+    ).select(
+        F.lit(label).alias("grid"),
+        F.lit(band_bits).cast("int").alias("band_bits"),
+        "n_buckets",
+        "over_cap_buckets",
+        "bounded_cand_pairs",
+    )
 
 
 @query(
@@ -587,41 +637,13 @@ def ann_grid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturation (660/1011 buckets over cap on the fixed grid), promoted
     from a scripts/scale_experiment.py probe to a first-class queryable
     operator a production index deployment would monitor. The candidate
-    formula mirrors ``bounded_bucket_pairs``: m(m−1)/2 within-cap,
-    2(m−1) star+chain when degraded, so the number IS the work the ANN
+    formula mirrors what ``bounded_bucket_pairs`` emits for this pipeline
+    (see :func:`ann_grid_stats_frame`), so the number IS the work the ANN
     pipeline would do, not a hypothetical all-pairs count."""
     e = load_table(spark, sf_dir, "embeddings")
     abits = ann_band_bits(e.count())
-
-    def grid_stats(label: str, bits: int) -> DataFrame:
-        sizes = (
-            banded_members_frame(e, band_bits=bits)
-            .groupBy("band", "bucket")
-            .agg(F.count("*").alias("m"))
-        )
-        m = F.col("m")
-        return sizes.agg(
-            F.count("*").cast("long").alias("n_buckets"),
-            F.sum(F.when(m > ANN_BUCKET_CAP, 1).otherwise(0))
-            .cast("long")
-            .alias("over_cap_buckets"),
-            F.sum(
-                F.when(m <= ANN_BUCKET_CAP, m * (m - 1) / 2).otherwise(
-                    2 * (m - 1)
-                )
-            )
-            .cast("long")
-            .alias("bounded_cand_pairs"),
-        ).select(
-            F.lit(label).alias("grid"),
-            F.lit(bits).cast("int").alias("band_bits"),
-            "n_buckets",
-            "over_cap_buckets",
-            "bounded_cand_pairs",
-        )
-
-    return grid_stats("fixed8", ANN_BAND_BITS).unionByName(
-        grid_stats("adaptive", abits)
+    return ann_grid_stats_frame(e, "fixed8", ANN_BAND_BITS).unionByName(
+        ann_grid_stats_frame(e, "adaptive", abits)
     )
 
 

@@ -228,14 +228,11 @@ def ann_probe(spark, dirs: list[str], reps: int) -> None:
     item 2's done-criterion: adaptive candidate growth stays near-linear,
     over-cap buckets ~0), then wall time of the payload-threaded plan vs
     the id-only + join-back shape at the adaptive width (ADVICE item 2)."""
-    from pyspark.sql import functions as F
-
     from pyspark_retention_pipeline_spark.operators.similarity import (
         ANN_BAND_BITS,
-        ANN_BUCKET_CAP,
         ann_band_bits,
+        ann_grid_stats_frame,
         banded_ann_top1,
-        banded_members_frame,
     )
     from pyspark_retention_pipeline_spark.tables import load_table
 
@@ -250,26 +247,12 @@ def ann_probe(spark, dirs: list[str], reps: int) -> None:
             ("fixed", ANN_BAND_BITS),
             ("adaptive", grids[d]),
         ):
-            sizes = (
-                banded_members_frame(emb, band_bits=bits)
-                .groupBy("band", "bucket")
-                .agg(F.count("*").alias("m"))
-            )
-            m = F.col("m")
-            row = sizes.agg(
-                F.count("*").alias("buckets"),
-                F.sum(F.when(m > ANN_BUCKET_CAP, 1).otherwise(0)).alias("oc"),
-                F.sum(
-                    F.when(m <= ANN_BUCKET_CAP, m * (m - 1) / 2).otherwise(
-                        2 * (m - 1)
-                    )
-                )
-                .cast("long")
-                .alias("pairs"),
-            ).collect()[0]
+            # Single definition of the stats: the registered ann_grid_report
+            # helper (round-10 review: the probe carried a drifted copy).
+            row = ann_grid_stats_frame(emb, label, bits).collect()[0]
             print(
-                f"| {d} | {n} | {label} | {bits} | {row['buckets']} "
-                f"| {row['oc']} | {row['pairs']} |"
+                f"| {d} | {n} | {label} | {bits} | {row['n_buckets']} "
+                f"| {row['over_cap_buckets']} | {row['bounded_cand_pairs']} |"
             )
     print()
     print("| dir | shape | bits | wall s |")
