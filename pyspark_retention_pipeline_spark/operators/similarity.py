@@ -208,9 +208,11 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 literals, so DuckDB re-derives signature buckets and
     the per-bucket pair set exactly (``_planes_sql``); the oracle covers the
     all-pairs path only — the 64-member cap sits far above the measured
-    sf0.1 maximum bucket (≤ 8 of 4 096), and the degraded star+chain path
-    is property-tested in tests/test_properties.py via the shared
-    ``bounded_bucket_pairs``."""
+    sf0.1 maximum bucket (≤ 8 of 4 096), and the degraded STAR path
+    (m−1 hub pairs per over-cap bucket; no ``chain_cols`` — there is no
+    downstream distance filter here whose hub cutoff a chain would have
+    to survive) is property-tested in tests/test_properties.py via the
+    shared ``bounded_bucket_pairs``."""
     from .buckets import bounded_bucket_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
