@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
+# curation is imported BEFORE components in operators/__init__, so this
+# module-level import neither cycles nor reorders query registration.
+from .curation import GROUP_AWARE_SPLIT_ORACLE
+
 
 def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     """(src, dst) undirected edges → (vertex, component) with component = min
@@ -165,7 +169,11 @@ def group_assignment_frame(
     )
 
 
-@query("group_aware_split", tags=("curation", "split", "leakage", "dedup-neardup"))
+@query(
+    "group_aware_split",
+    oracle=GROUP_AWARE_SPLIT_ORACLE,
+    tags=("curation", "split", "leakage", "dedup-neardup"),
+)
 def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remedy :func:`~.curation.split_leakage_check` prescribes, shipped
     as an operator: assign train/val/test by the md5 bucket of each
@@ -178,8 +186,11 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum; singleton docs are their own canonical (left join + coalesce,
     no densification). The split hash then keys on the canonical id via the
     same :func:`~.sampling.split_assignment_frame` the i.i.d. split uses.
-    Rows-only (iterative components, SURVEY §7 contract); the zero-leakage
-    guarantee — NO hamming-≤3 pair straddles a split — is pinned by
+    Oracle-checked since round 10 (was rows-only): the portable simhash
+    pairs and the leakage audit's unrolled hook+jump fixpoint re-derive
+    every (doc_id, canonical_id, split) row in DuckDB — a pure check
+    upgrade, the plan is unchanged. The zero-leakage guarantee — NO
+    hamming-≤3 pair straddles a split — remains pinned by
     ``tests/test_curation.py::test_group_aware_split_eliminates_leakage``.
     """
     from .text import simhash_candidate_frame

@@ -822,8 +822,12 @@ def _cc_fixpoint_sql(rounds: int = _CC_ROUNDS) -> str:
     return ", ".join(parts)
 
 
-_GROUP_SPLIT_AUDIT_ORACLE = f"""
-    WITH {SIMHASH_SIGS_CTE},
+# Shared CTE chain: simhash pairs → CC fixpoint → canonical assignment →
+# md5 90/5/5 split on the canonical id. ONE definition (round-10: the
+# group_aware_split oracle upgrade would otherwise have duplicated it)
+# ending at ``sp(doc_id, canonical_id, split)`` — exactly
+# components.group_assignment_frame's output contract.
+_GROUP_ASSIGN_CTES = f"""{SIMHASH_SIGS_CTE},
     pairs_m AS MATERIALIZED (
       SELECT doc_id_a, doc_id_b FROM simhash_pairs
     ), {_cc_fixpoint_sql()}, assign AS (
@@ -837,7 +841,19 @@ _GROUP_SPLIT_AUDIT_ORACLE = f"""
                            AS BIGINT) % 100 < 95 THEN 'val'
                   ELSE 'test' END AS split
       FROM assign
-    ), per_split AS (
+    )"""
+
+# Per-row oracle for components.group_aware_split (round-10 check upgrade
+# rows-only → oracle; plan unchanged): the iterated Spark components and
+# the unrolled SQL fixpoint agree on every (doc_id, canonical_id, split)
+# row, not just the audit's aggregates.
+GROUP_AWARE_SPLIT_ORACLE = f"""
+    WITH {_GROUP_ASSIGN_CTES}
+    SELECT doc_id, canonical_id, split FROM sp
+"""
+
+_GROUP_SPLIT_AUDIT_ORACLE = f"""
+    WITH {_GROUP_ASSIGN_CTES}, per_split AS (
       SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters
       FROM sp GROUP BY split

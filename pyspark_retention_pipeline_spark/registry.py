@@ -58,12 +58,15 @@ _REGISTRY: dict[str, Query] = {}
 # queries re-derive this window (update CHANGED in the script config,
 # re-run, re-paste). Late round-10 re-derivations: vocab_coverage_curve
 # and dedup_clusters_portable joined the never-verified tier (third and
-# fourth new queries), displacing the last two backfill seats (pii_scrub,
-# parquet_roundtrip_revenue → DEFERRED_TO_R11).
+# fourth new queries) and group_aware_split joined the CHANGED tier
+# (check upgrade rows-only → per-row oracle), displacing the last three
+# backfill seats (pii_scrub, parquet_roundtrip_revenue, pack_documents
+# → DEFERRED_TO_R11).
 _FRONT: tuple[str, ...] = (
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
+    "group_aware_split",
     "vocab_coverage_curve",
     "dedup_clusters_portable",
     "embedding_ann_top1_adaptive",
@@ -110,7 +113,6 @@ _FRONT: tuple[str, ...] = (
     "ngram_contamination",
     "order_rollup",
     "p99_quantile",
-    "pack_documents",
 )
 
 

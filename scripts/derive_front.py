@@ -55,11 +55,16 @@ ROUND = 10
 # filter went O(L²) → O(L) array_distinct; ivf_knn swapped the MLlib
 # quantizer for the deterministic md5 codebook AND upgraded rows-only →
 # full oracle; ann_recall_report moved the query-slice restriction before
-# the top-1 window (identical output, smaller exchange).
+# the top-1 window (identical output, smaller exchange);
+# group_aware_split's PLAN is unchanged but its check upgraded rows-only →
+# per-row oracle (the leakage-audit fixpoint re-derives every row) — it
+# seats so the first hash-gated driver row lands this round (the
+# round-7/round-9 upgrade-seat rationale).
 CHANGED: tuple[str, ...] = (
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
+    "group_aware_split",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
