@@ -288,25 +288,102 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLOYD_K = 8
 LLOYD_ITERS = 4
+# Fixed-point scale for the two cross-partition reductions (inertia sum,
+# centroid component sums): quantize-to-BIGINT before summing so partial-
+# aggregation order can't move a double (exprs.scaled_sum rule). Σ of
+# round(d2·10⁶) stays far under 2^63 for any corpus this engine targets
+# (d2 ≤ ~4·dim for unit-ish vectors → ~2.6·10⁸ per row → 2^63 at ~3·10¹⁰
+# rows); component sums are even smaller.
+_LLOYD_SCALE = 1_000_000
 
 
-@query("kmeans_lloyd_curve", tags=("similarity", "kmeans", "iterative"))
+def _lloyd_assign_sql(t: int, dim: int = 64) -> str:
+    """One unrolled Lloyd assignment round: argmin over c{t-1}'s centroids
+    (ties → lowest cell), carrying the squared distance."""
+    dv = f"[n.v[i + 1] - c.c[i + 1] FOR i IN range(0, {dim})]"
+    return f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, v, cell, d2 FROM (
+        SELECT n.vec_id, n.v, c.cell,
+               list_dot_product({dv}, {dv}) AS d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product({dv}, {dv}), c.cell) AS rn
+        FROM e n CROSS JOIN c{t - 1} c) WHERE rn = 1
+    )"""
+
+
+def _lloyd_update_sql(t: int) -> str:
+    """Centroid update from a{t}: per-dim EXACT scaled-integer mean (the
+    same quantization the Spark side applies), rebuilt as a list."""
+    return f"""c{t} AS MATERIALIZED (
+      SELECT cell, list(m ORDER BY dim) AS c FROM (
+        SELECT cell, dim,
+               SUM(CAST(ROUND(val * {_LLOYD_SCALE}) AS BIGINT))
+                 / (COUNT(*) * {_LLOYD_SCALE}.0) AS m
+        FROM (SELECT cell, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a{t})
+        GROUP BY cell, dim) GROUP BY cell
+    )"""
+
+
+def _lloyd_oracle(iters: int = LLOYD_ITERS, k: int = LLOYD_K) -> str:
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < {k}
+    )"""
+    ]
+    stats = []
+    for t in range(1, iters + 1):
+        parts.append(_lloyd_assign_sql(t))
+        if t < iters:
+            parts.append(_lloyd_update_sql(t))
+        stats.append(
+            f"""SELECT {t} AS iteration,
+           SUM(CAST(ROUND(d2 * {_LLOYD_SCALE}) AS BIGINT))
+             / (COUNT(*) * {_LLOYD_SCALE}.0) AS inertia,
+           CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+    FROM a{t}"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(stats)
+    )
+
+
+@query(
+    "kmeans_lloyd_curve",
+    oracle=_lloyd_oracle(),
+    tags=("similarity", "kmeans", "iterative"),
+)
 def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means expressed in pure DataFrame operators — the
     iterative-algorithm pattern (bounded driver loop, all per-row work
     declarative) that :mod:`.components`' label propagation uses for
     graphs, applied to clustering: per iteration, assignment is an argmin
     over a broadcast centroid frame (struct-MIN, no window) and the update
-    is a posexplode-avg per cluster; the convergence curve (per-iteration
-    mean squared distance) is the output. Deterministic: seeds are the
-    first {LLOYD_K} vec_ids, and every reduction is an exact avg over a
-    fixed grouping — no RNG anywhere. Rows-only: {LLOYD_ITERS} chained
-    shuffles have no single-query SQL twin (DuckDB would need the same
-    loop); the per-step math is pinned against numpy in
-    tests/test_similarity.py. MLlib's KMeans (build_ivf_index) remains the
-    production trainer; this is the engine-level form that scales each
-    step as ordinary joins/aggs — corpus × K distance rows per iteration,
-    centroid frame always K rows."""
+    is a posexplode mean per cluster; the convergence curve (per-iteration
+    mean squared distance) is the output. Deterministic end to end: seeds
+    are the first {LLOYD_K} vec_ids, in-row distance folds are sequential
+    (engine-identical doubles), and BOTH cross-partition reductions — the
+    inertia sum and the centroid component sums — quantize to BIGINT at
+    1e-6 before summing, so partial-agg order cannot move a bit.
+
+    Oracle-backed since round 10 (was rows-only, "DuckDB would need the
+    same loop"): DuckDB runs the loop UNROLLED — {LLOYD_ITERS}
+    assignment/update CTE rounds (the hook+jump CC precedent from the
+    leakage-audit oracle, applied to Lloyd) — and every iteration's
+    inertia and cell count hash-match. With this upgrade every remaining
+    rows-only query is rows-only for an engine-fundamental reason
+    (MLlib, BLAS/LAPACK, HLL/KLL sketches, xxhash64 scale paths, sampleBy
+    RNG, stub decoders), not expressibility. MLlib's KMeans
+    (build_ivf_index) remains the production trainer; this is the
+    engine-level form that scales each step as ordinary joins/aggs —
+    corpus × K distance rows per iteration, centroid frame always K
+    rows."""
     from ..exprs import as_double_array
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -329,19 +406,37 @@ def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = scored.groupBy("vec_id").agg(
             F.min("dc").alias("best"), F.first("v").alias("v")
         ).localCheckpoint(eager=False)  # one materialization for stats + update
+        qd = F.round(F.col("best.d2") * _LLOYD_SCALE).cast("long")
         stats = assigned.agg(
-            F.round(F.avg("best.d2"), 6).alias("inertia"),
+            F.sum(qd).alias("s"),
+            F.count("*").alias("n"),
             F.count_distinct("best.cell").alias("n_cells"),
         ).collect()[0]
-        curve.append((it, float(stats.inertia), int(stats.n_cells)))
+        # Identical BIGINTs divided by an identical double on both engines
+        # → bit-identical inertia; no cross-engine rounding step needed.
+        curve.append(
+            (it, stats.s / (stats.n * float(_LLOYD_SCALE)), int(stats.n_cells))
+        )
         cent = (
             assigned.select(
                 F.col("best.cell").alias("cell"), F.posexplode("v").alias("pos", "val")
             )
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.round(F.col("val") * _LLOYD_SCALE).cast("long")).alias("cq"),
+                F.count("*").alias("cn"),
+            )
             .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("cq") / (F.col("cn") * float(_LLOYD_SCALE))).alias("m"),
+                        )
+                    )
+                ).alias("pm")
+            )
             .select(
                 "cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("c")
             )

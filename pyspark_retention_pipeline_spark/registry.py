@@ -59,14 +59,16 @@ _REGISTRY: dict[str, Query] = {}
 # re-run, re-paste). Late round-10 re-derivations: vocab_coverage_curve
 # and dedup_clusters_portable joined the never-verified tier (third and
 # fourth new queries) and group_aware_split joined the CHANGED tier
-# (check upgrade rows-only → per-row oracle), displacing the last three
-# backfill seats (pii_scrub, parquet_roundtrip_revenue, pack_documents
-# → DEFERRED_TO_R11).
+# (check upgrade rows-only → per-row oracle) and kmeans_lloyd_curve
+# (exact scaled-int reductions + unrolled-CTE oracle upgrade), displacing
+# the last four backfill seats (pii_scrub, parquet_roundtrip_revenue,
+# pack_documents, p99_quantile → DEFERRED_TO_R11).
 _FRONT: tuple[str, ...] = (
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
     "group_aware_split",
+    "kmeans_lloyd_curve",
     "vocab_coverage_curve",
     "dedup_clusters_portable",
     "embedding_ann_top1_adaptive",
@@ -112,7 +114,6 @@ _FRONT: tuple[str, ...] = (
     "monthly_revenue",
     "ngram_contamination",
     "order_rollup",
-    "p99_quantile",
 )
 
 

@@ -60,11 +60,15 @@ ROUND = 10
 # per-row oracle (the leakage-audit fixpoint re-derives every row) — it
 # seats so the first hash-gated driver row lands this round (the
 # round-7/round-9 upgrade-seat rationale).
+# kmeans_lloyd_curve: cross-partition reductions switched to exact
+# scaled-integer sums (plan change) AND the check upgraded rows-only →
+# unrolled-CTE oracle.
 CHANGED: tuple[str, ...] = (
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
     "group_aware_split",
+    "kmeans_lloyd_curve",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

@@ -14,13 +14,13 @@ Round-10 policy (docs/ROUND10_ROTATION.md): (a) the changed tier — the
 three plan-changed queries (intradoc_dedup_rewrite O(L²)→O(L) rewrite,
 ivf_knn deterministic-codebook + rows-only→oracle upgrade,
 ann_recall_report pre-window slice restriction) plus the
-group_aware_split check upgrade (plan unchanged, rows-only → per-row
-oracle); (b) the four new
+group_aware_split and kmeans_lloyd_curve check upgrades; (b) the four
+new
 round-10 queries via the never-verified tier (the two adaptive-grid ANN
 queries, the vocab-coverage curve, and the oracle-checked portable
 dedup clustering); (c) the flagship; (d) stalest-green backfill: the
 full 15-name r3-tier remainder (round 9's DEFERRED_TO_R10 — the pre-r5
-staleness tail is now fully retired) plus the front 26 names of the r5
+staleness tail is now fully retired) plus the front 25 names of the r5
 tier.
 """
 
@@ -45,11 +45,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # window (identical output, slice-sized exchange).
 # group_aware_split: plan unchanged, check upgraded rows-only → per-row
 # oracle (the round-7/round-9 upgrade-seat rationale).
+# kmeans_lloyd_curve: cross-partition reductions went exact scaled-int
+# (plan change) + rows-only → unrolled-CTE oracle upgrade.
 CHANGED_R10 = {
     "intradoc_dedup_rewrite",
     "ivf_knn",
     "ann_recall_report",
     "group_aware_split",
+    "kmeans_lloyd_curve",
 }
 
 # (b) never-driver-verified backlog: ZERO at rotation time (round 9 seated
@@ -65,11 +68,13 @@ BACKLOG_R10 = {
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 11: the window cut falls inside
-# the r5-verified tier; these 17 r5 names are the tier's remainder (the
+# the r5-verified tier; these 18 r5 names are the tier's remainder (the
 # r6+ tiers are simply fresher, not "deferred"). pii_scrub,
-# parquet_roundtrip_revenue and pack_documents held the last seats until
-# the late round-10 never-verified/upgrade entries displaced them.
+# parquet_roundtrip_revenue, pack_documents and p99_quantile held the
+# last seats until the late round-10 never-verified/upgrade entries
+# displaced them.
 DEFERRED_TO_R11 = {
+    "p99_quantile",
     "pack_documents",
     "parquet_roundtrip_revenue",
     "pii_scrub",
