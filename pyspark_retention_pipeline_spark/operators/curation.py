@@ -888,8 +888,9 @@ _GROUP_SPLIT_AUDIT_ORACLE = f"""
     tags=("curation", "split", "leakage", "dedup-neardup"),
 )
 def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-backed PROOF frame for :func:`~.components.group_aware_split`
-    (whose own output is rows-only — iterative components): one row per
+    """Leakage PROOF frame for :func:`~.components.group_aware_split`
+    (itself per-row oracle-checked since round 10 via the same shared CTE
+    chain; this audit states the INVARIANT the rows imply): one row per
     split with its doc count, cluster count, the number of near-dup pairs
     fully inside the split (non-zero, so the pair join is provably not
     vacuously empty), and the number of near-dup pairs straddling the

@@ -297,18 +297,24 @@ LLOYD_ITERS = 4
 _LLOYD_SCALE = 1_000_000
 
 
-def _lloyd_assign_sql(t: int, dim: int = 64) -> str:
+def _lloyd_assign_sql(t: int, dim: int | None = None) -> str:
     """One unrolled Lloyd assignment round: argmin over c{t-1}'s centroids
-    (ties → lowest cell), carrying the squared distance."""
+    (ties → lowest cell), carrying the squared distance. d2 is computed
+    ONCE in an inner projection and the window orders by the alias —
+    DuckDB is not guaranteed to CSE the 64-term fold across the
+    projection and the sort key (round-10 review)."""
+    from .similarity import _EMB_DIMS
+
+    dim = _EMB_DIMS if dim is None else dim
     dv = f"[n.v[i + 1] - c.c[i + 1] FOR i IN range(0, {dim})]"
     return f"""a{t} AS MATERIALIZED (
       SELECT vec_id, v, cell, d2 FROM (
-        SELECT n.vec_id, n.v, c.cell,
-               list_dot_product({dv}, {dv}) AS d2,
-               ROW_NUMBER() OVER (
-                 PARTITION BY n.vec_id
-                 ORDER BY list_dot_product({dv}, {dv}), c.cell) AS rn
-        FROM e n CROSS JOIN c{t - 1} c) WHERE rn = 1
+        SELECT vec_id, v, cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM (SELECT n.vec_id, n.v, c.cell,
+                     list_dot_product({dv}, {dv}) AS d2
+              FROM e n CROSS JOIN c{t - 1} c)) WHERE rn = 1
     )"""
 
 
