@@ -461,3 +461,108 @@ def test_scd2_apply_matches_python_reference(spark, n_rows, change_keys, closed_
         for r in scd2_apply(current, changes, "id", "changed_at").collect()
     ]
     assert sorted(got, key=str) == sorted(expected, key=str)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cluster_assignment_matches_union_find(spark, edges):
+    """cluster_assignment_frame (the tail shared by dedup_clusters and the
+    oracle-checked dedup_clusters_portable) must equal a reference
+    union-find on ARBITRARY edge sets — including self-loops, duplicates,
+    and long chains (hypothesis shrinks toward them)."""
+    from pyspark_retention_pipeline_spark.operators.components import (
+        cluster_assignment_frame,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_canon = {v: find(v) for v in parent}
+    sizes: dict[int, int] = {}
+    for v, c in want_canon.items():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in cluster_assignment_frame(df).collect()
+    }
+    assert got == {v: (c, sizes[c]) for v, c in want_canon.items()}
+
+
+def test_cluster_assignment_long_chain(spark):
+    """A 200-vertex path graph (diameter ≫ one-hop budget) converges via
+    pointer jumping to a single component with the minimum label."""
+    from pyspark_retention_pipeline_spark.operators.components import (
+        cluster_assignment_frame,
+    )
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    rows = cluster_assignment_frame(df).collect()
+    assert len(rows) == n
+    assert all(r["canonical_id"] == 0 and r["cluster_size"] == n for r in rows)
+
+
+def test_vocab_coverage_curve_monotone(spark, sf_dir):
+    """Higher coverage targets need monotonically non-decreasing vocab
+    sizes and covered-token counts; every row shares one total; the top
+    target's coverage is actually reached (cum*100 >= pct*total)."""
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["vocab_coverage_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["coverage_pct"],
+    )
+    assert [r["coverage_pct"] for r in rows] == [50, 75, 90, 95, 99]
+    sizes = [r["vocab_size"] for r in rows]
+    covered = [r["covered_tokens"] for r in rows]
+    assert sizes == sorted(sizes) and covered == sorted(covered)
+    totals = {r["total_tokens"] for r in rows}
+    assert len(totals) == 1
+    total = totals.pop()
+    for r in rows:
+        assert r["covered_tokens"] * 100 >= r["coverage_pct"] * total
+        assert 1 <= r["vocab_size"] and r["covered_tokens"] <= total
+
+
+def test_ann_band_bits_monotone_in_n():
+    """The grid-sizing rule is monotone non-decreasing in corpus size and
+    non-increasing in target bucket size across its whole useful range."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ann_band_bits,
+    )
+
+    prev = 0
+    for n in [1, 10, 100, 1_000, 10_000, 10**5, 10**6, 10**7, 10**9, 10**12]:
+        bits = ann_band_bits(n)
+        assert bits >= prev
+        prev = bits
+    for n in (1_000, 1_000_000):
+        assert ann_band_bits(n, target_bucket=4) >= ann_band_bits(
+            n, target_bucket=64
+        )
