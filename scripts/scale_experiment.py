@@ -64,6 +64,14 @@ PROBE_QUERIES = [
     "bpe_pair_counts",
     "intradoc_dedup_rewrite",
     "embedding_ann_top1",
+    # round 10: the deterministic-codebook IVF (in-row argmax fold) and
+    # the vocab-sized coverage windows. Iterative queries that run jobs at
+    # BUILD time (dedup_clusters_portable, kmeans_lloyd_curve) are
+    # deliberately absent — the noop-write methodology times only the
+    # final action, same reason the ML tier is measured separately in
+    # bench.py.
+    "ivf_knn",
+    "vocab_coverage_curve",
 ]
 
 
