@@ -315,10 +315,37 @@ def emit_line(result: dict) -> str:
     return line
 
 
-def _load_baseline(root: str | None = None) -> tuple[dict | None, int | None]:
+def _config_round(root: str | None = None) -> int | None:
+    """The per-round ``ROUND`` from ``scripts/derive_front.py`` — the single
+    hand-maintained round config. ``None`` when the script is absent (a
+    standalone copy of bench.py), which disables the round bound below."""
+    import importlib.util
+
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "scripts", "derive_front.py")
+    try:
+        spec = importlib.util.spec_from_file_location("_derive_front_cfg", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return int(mod.ROUND)
+    except (OSError, AttributeError, TypeError, ValueError, ImportError):
+        return None
+
+
+def _load_baseline(
+    root: str | None = None, before_round: int | None = None
+) -> tuple[dict | None, int | None]:
     """``(payload, round)`` of the most recent USABLE BENCH_r{N}.json next
     to this script — the driver's record of a previous round, used to
     self-flag per-query regressions.
+
+    Only rounds BEFORE the configured round count (``before_round``,
+    defaulting to ``scripts/derive_front.py``'s ``ROUND`` — the same bound
+    ``last_green_rounds`` applies to CORRECTNESS artifacts): the driver
+    writes ``BENCH_r{ROUND}.json`` mid-round, and letting the current
+    round's own artifact become the baseline makes every round-N
+    plan-change self-compare and trip the NOT_LIKE_FOR_LIKE invariant the
+    moment the artifact lands (round-10 verdict item 1 — ``ivf_knn``).
 
     Newest-first, skipping artifacts whose payload is unusable: the driver
     wraps the bench's JSON line under ``parsed``, and records
@@ -341,11 +368,16 @@ def _load_baseline(root: str | None = None) -> tuple[dict | None, int | None]:
     import re
 
     here = root or os.path.dirname(os.path.abspath(__file__))
+    if before_round is None:
+        before_round = _config_round(root)
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
-            rounds.append((int(m.group(1)), path))
+            rnd = int(m.group(1))
+            if before_round is not None and rnd >= before_round:
+                continue
+            rounds.append((rnd, path))
     for rnd, path in sorted(rounds, reverse=True):
         try:
             with open(path) as f:

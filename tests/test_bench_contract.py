@@ -176,3 +176,41 @@ def test_load_baseline_reads_committed_artifacts():
     assert baseline is not None
     assert baseline.get("queries"), "baseline payload has no queries map"
     assert isinstance(rnd, int) and rnd >= 1
+
+
+def test_load_baseline_skips_current_round_artifact(tmp_path):
+    """The current round's own BENCH artifact must never become its
+    baseline: the driver writes BENCH_r{ROUND}.json mid-round, and
+    promoting it makes every round-N plan-change self-compare and trip the
+    NOT_LIKE_FOR_LIKE invariant the moment the artifact lands (round-10
+    verdict item 1 — ivf_knn). Plant a current-round artifact next to an
+    older one and assert the loader takes the older."""
+    bench = _bench()
+    _write_artifact(tmp_path, 11, {"n": 11, "parsed": _payload(11)})
+    _write_artifact(tmp_path, 10, {"n": 10, "parsed": _payload(10)})
+    baseline, rnd = bench._load_baseline(root=str(tmp_path), before_round=11)
+    assert rnd == 10
+    assert baseline["value"] == 10.0
+    # Nothing older than the bound → no baseline, never the current round.
+    assert bench._load_baseline(root=str(tmp_path), before_round=10) == (
+        None,
+        None,
+    )
+
+
+def test_load_baseline_round_bound_defaults_to_config_round():
+    """In the real repo the bound comes from scripts/derive_front.py's
+    ROUND — the same rule last_green_rounds applies to CORRECTNESS
+    artifacts — so a freshly landed BENCH_r{ROUND}.json is invisible to
+    the loader without any test plumbing."""
+    import importlib.util
+
+    bench = _bench()
+    spec = importlib.util.spec_from_file_location(
+        "derive_front", os.path.join(REPO, "scripts", "derive_front.py")
+    )
+    front = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(front)
+    assert bench._config_round() == front.ROUND
+    _baseline, rnd = bench._load_baseline()
+    assert rnd is not None and rnd < front.ROUND
