@@ -26,7 +26,7 @@ SURVEY.md §2's text-analysis group):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -164,27 +164,43 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus scan reduces to (token, count) — a map-side-
     combine hash aggregate whose output is vocabulary-sized — and every
-    later stage runs over the VOCAB, not the corpus: the frequency-rank /
-    cumulative-sum window is a single total order over an Aggregate-
-    bounded frame (the sanctioned bounded global window, same argument as
-    bpe_pair_counts' explode-over-vocab), and the five coverage targets
-    join against it as a 5-row literal frame. Exactness: token counts are
-    integers, the threshold test is ``cum·100 ≥ pct·total`` in BIGINT
-    (no float shares anywhere), and rank ties break (count desc, token
-    asc) identically on both engines."""
+    later stage runs over the VOCAB, not the corpus. The frequency-rank /
+    cumulative-sum pair is the TWO-PHASE distributed form
+    (:func:`..analytics.with_global_cumsum`: range shuffle on (count desc,
+    token) → per-partition row_number + running sum → broadcast prefix
+    offsets), not a single unpartitioned ``WindowExec`` — a 100 TB web
+    corpus has a heavy-tailed type vocabulary of 10⁸-10⁹ rows, and the
+    original ``Window.orderBy`` form funneled all of it through one task
+    (round-10 verdict item 3; the driver's own bench tail showed the
+    ``WindowExec: No Partition Defined`` warning). The five coverage
+    targets join against the ranked frame as a 5-row literal broadcast.
+    Exactness: token counts are integers, the threshold test is
+    ``cum·100 ≥ pct·total`` in BIGINT (no float shares anywhere), and rank
+    ties break (count desc, token asc) identically on both engines — the
+    unique total order makes the two-phase rank hash-identical to the
+    single-window form (the :func:`customer_rank_family` argument)."""
+    from .analytics import with_global_cumsum
+
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split("text", " ")).alias("w"))
     wc = words.groupBy("w").agg(F.count("*").cast("long").alias("wn"))
-    order = [F.desc("wn"), F.asc("w")]
-    w_rank = Window.orderBy(*order)
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = wc.select(
-        F.row_number().over(w_rank).cast("long").alias("rn"),
-        F.sum("wn").over(w_cum).cast("long").alias("cum"),
-        F.sum("wn").over(w_all).cast("long").alias("total"),
+    cs = with_global_cumsum(wc, [F.desc("wn"), F.asc("w")], "wn", "cum")
+    ranked = cs.select(
+        F.col("_rn").alias("rn"),
+        F.col("cum"),
+        F.col("_total").alias("total"),
     )
-    pcts = spark.createDataFrame([(p,) for p in COVERAGE_PCTS], "pct int")
+    # Plan-time literal frame (Range(1) + explode-of-literal-array), not
+    # createDataFrame: a parallelized local list is a LogicalRDD leaf whose
+    # row count the plan invariants can't see, and the theta-join below is
+    # sanctioned precisely because THIS side is literal-bounded.
+    pcts = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(p) for p in COVERAGE_PCTS])).alias("p")
+        )
+        .select(F.col("p").cast("int").alias("pct"))
+    )
     hit = F.broadcast(pcts).join(
         ranked, F.col("cum") * 100 >= F.col("pct") * F.col("total")
     )
