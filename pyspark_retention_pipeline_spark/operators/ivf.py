@@ -299,22 +299,32 @@ _LLOYD_SCALE = 1_000_000
 
 def _lloyd_assign_sql(t: int, dim: int | None = None) -> str:
     """One unrolled Lloyd assignment round: argmin over c{t-1}'s centroids
-    (ties → lowest cell), carrying the squared distance. d2 is computed
-    ONCE in an inner projection and the window orders by the alias —
-    DuckDB is not guaranteed to CSE the 64-term fold across the
+    (ties → lowest cell), carrying the QUANTIZED squared distance
+    (``qd2 = ROUND(d2·10⁶)`` as BIGINT). The argmin compares qd2, not the
+    raw double: ranking raw d2 relied on bit-identical sequential FP
+    between Spark's zip_with fold and DuckDB's list_dot_product — a step
+    beyond the round-before-compare rule; an FMA/vectorization change in
+    either engine could flip one assignment and cascade through every
+    later iteration (round-10 ADVICE item 4). Quantizing first makes the
+    comparison exact integer on both sides, and the inertia sum reuses the
+    SAME qd2, so assignment and statistic can never disagree. d2 is
+    computed ONCE in an inner projection and the window orders by the
+    alias — DuckDB is not guaranteed to CSE the 64-term fold across the
     projection and the sort key (round-10 review)."""
     from .similarity import _EMB_DIMS
 
     dim = _EMB_DIMS if dim is None else dim
     dv = f"[n.v[i + 1] - c.c[i + 1] FOR i IN range(0, {dim})]"
     return f"""a{t} AS MATERIALIZED (
-      SELECT vec_id, v, cell, d2 FROM (
-        SELECT vec_id, v, cell, d2,
+      SELECT vec_id, v, cell, qd2 FROM (
+        SELECT vec_id, v, cell, qd2,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d2, cell) AS rn
-        FROM (SELECT n.vec_id, n.v, c.cell,
-                     list_dot_product({dv}, {dv}) AS d2
-              FROM e n CROSS JOIN c{t - 1} c)) WHERE rn = 1
+                                  ORDER BY qd2, cell) AS rn
+        FROM (SELECT vec_id, v, cell,
+                     CAST(ROUND(d2 * {_LLOYD_SCALE}) AS BIGINT) AS qd2
+              FROM (SELECT n.vec_id, n.v, c.cell,
+                           list_dot_product({dv}, {dv}) AS d2
+                    FROM e n CROSS JOIN c{t - 1} c))) WHERE rn = 1
     )"""
 
 
@@ -347,8 +357,7 @@ def _lloyd_oracle(iters: int = LLOYD_ITERS, k: int = LLOYD_K) -> str:
             parts.append(_lloyd_update_sql(t))
         stats.append(
             f"""SELECT {t} AS iteration,
-           SUM(CAST(ROUND(d2 * {_LLOYD_SCALE}) AS BIGINT))
-             / (COUNT(*) * {_LLOYD_SCALE}.0) AS inertia,
+           SUM(qd2) / (COUNT(*) * {_LLOYD_SCALE}.0) AS inertia,
            CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
     FROM a{t}"""
         )
@@ -373,10 +382,15 @@ def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a broadcast centroid frame (struct-MIN, no window) and the update
     is a posexplode mean per cluster; the convergence curve (per-iteration
     mean squared distance) is the output. Deterministic end to end: seeds
-    are the first {LLOYD_K} vec_ids, in-row distance folds are sequential
-    (engine-identical doubles), and BOTH cross-partition reductions — the
-    inertia sum and the centroid component sums — quantize to BIGINT at
-    1e-6 before summing, so partial-agg order cannot move a bit.
+    are the first {LLOYD_K} vec_ids, the per-vector ARGMIN compares the
+    1e-6-quantized squared distance (BIGINT) rather than the raw double —
+    raw-d2 comparison relied on bit-identical sequential FP across
+    engines, which an FMA/vectorization change could flip, cascading
+    through every later iteration (round-10 ADVICE item 4; ties still
+    break on lowest cell) — and BOTH cross-partition reductions — the
+    inertia sum (over the SAME quantized qd2 the argmin ranked) and the
+    centroid component sums — are BIGINT, so partial-agg order cannot
+    move a bit.
 
     Oracle-backed since round 10 (was rows-only, "DuckDB would need the
     same loop"): DuckDB runs the loop UNROLLED — {LLOYD_ITERS}
@@ -404,17 +418,17 @@ def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    qd2 = F.round(dist2 * _LLOYD_SCALE).cast("long")
     curve = []
     for it in range(1, LLOYD_ITERS + 1):
         scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", F.struct(dist2.alias("d2"), F.col("cell")).alias("dc")
+            "vec_id", "v", F.struct(qd2.alias("qd2"), F.col("cell")).alias("dc")
         )
         assigned = scored.groupBy("vec_id").agg(
             F.min("dc").alias("best"), F.first("v").alias("v")
         ).localCheckpoint(eager=False)  # one materialization for stats + update
-        qd = F.round(F.col("best.d2") * _LLOYD_SCALE).cast("long")
         stats = assigned.agg(
-            F.sum(qd).alias("s"),
+            F.sum("best.qd2").alias("s"),
             F.count("*").alias("n"),
             F.count_distinct("best.cell").alias("n_cells"),
         ).collect()[0]

@@ -585,8 +585,13 @@ _ANN_GRID_ORACLE = f"""
            CAST(SUM(CASE WHEN m > {ANN_BUCKET_CAP} THEN 1 ELSE 0 END)
                 AS BIGINT) AS over_cap_buckets,
            -- within-cap: all pairs; over-cap: the m-1 star pairs
-           -- bounded_bucket_pairs (no chain_cols) actually emits
-           CAST(SUM(CASE WHEN m <= {ANN_BUCKET_CAP} THEN m * (m - 1) / 2
+           -- bounded_bucket_pairs (no chain_cols) actually emits.
+           -- Integer arithmetic throughout: m*(m-1)/2 as float division
+           -- sums doubles and the final cast diverges across engines
+           -- (Spark truncates, DuckDB rounds) once the sum passes 2^53
+           -- (round-10 ADVICE item 2); m(m-1) is always even so // is
+           -- exact.
+           CAST(SUM(CASE WHEN m <= {ANN_BUCKET_CAP} THEN (m * (m - 1)) // 2
                          ELSE m - 1 END) AS BIGINT)
              AS bounded_cand_pairs
     FROM sizes GROUP BY grid, bb
@@ -603,7 +608,14 @@ def ann_grid_stats_frame(
     without ``chain_cols`` emits; round-10 review fixed an earlier
     2(m−1) star+chain formula that described the simhash pipeline, not
     this one). Single definition shared by :func:`ann_grid_report` and
-    ``scripts/scale_experiment.py``'s ``--ann`` probe."""
+    ``scripts/scale_experiment.py``'s ``--ann`` probe.
+
+    The pair count is INTEGER end to end — ``m*(m-1) DIV 2`` summed as
+    BIGINT, never ``/2`` float division (a double SUM then a long cast is
+    exact only under 2^53, and Spark's cast truncates where DuckDB's
+    rounds — the repo's exact-BIGINT reduction rule for hash-gated
+    outputs; round-10 ADVICE item 2). ``m(m-1)`` is even, so DIV is
+    lossless."""
     sizes = (
         banded_members_frame(emb, band_bits=band_bits)
         .groupBy("band", "bucket")
@@ -615,7 +627,9 @@ def ann_grid_stats_frame(
         F.sum(F.when(m > cap, 1).otherwise(0))
         .cast("long")
         .alias("over_cap_buckets"),
-        F.sum(F.when(m <= cap, m * (m - 1) / 2).otherwise(m - 1))
+        F.sum(
+            F.when(m <= cap, F.expr("(m * (m - 1)) DIV 2")).otherwise(m - 1)
+        )
         .cast("long")
         .alias("bounded_cand_pairs"),
     ).select(

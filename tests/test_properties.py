@@ -566,3 +566,66 @@ def test_ann_band_bits_monotone_in_n():
         assert ann_band_bits(n, target_bucket=4) >= ann_band_bits(
             n, target_bucket=64
         )
+
+
+def test_ann_band_bits_matches_duckdb_round_log2_rule():
+    """The adaptive oracle re-derives the band width in SQL as
+    GREATEST(4, LEAST(30, CAST(ROUND(LOG2(GREATEST(1.0, n/8.0))) AS INT)))
+    while the Spark side calls the Python rule (round(log2(n/8))). Python
+    rounds half-to-even, DuckDB half-away-from-zero — the docstring's
+    number-theory argument is that they can never see an exact .5 because
+    log2(n/8) is irrational unless n/8 is a power of two (where no
+    rounding happens). Pin that argument as a checked invariant
+    (round-10 verdict item 6): sweep every boundary-adjacent n — a window
+    around 8*2^(k+1/2) for every k in range, the exact powers, the clamps
+    — plus a seeded random sample up to 10^7, and compare the two rules
+    value-for-value through DuckDB itself."""
+    import math
+    import random
+
+    import duckdb
+
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ANN_TARGET_BUCKET,
+        ann_band_bits,
+    )
+
+    t = ANN_TARGET_BUCKET
+    ns: set[int] = set()
+    for k in range(0, 21):
+        half = t * (2 ** (k + 0.5))  # the rounding boundary
+        center = int(round(half))
+        ns.update(range(max(1, center - 4), center + 5))
+        exact = t * (2**k)  # no-rounding anchor
+        ns.update(range(max(1, exact - 2), exact + 3))
+    rng = random.Random(11)
+    ns.update(rng.randrange(1, 10**7) for _ in range(2_000))
+    ns.update((1, 2, t - 1, t, t + 1, 10**7))
+
+    batch = sorted(ns)
+    rows = duckdb.sql(
+        f"""
+        SELECT n, GREATEST(4, LEAST(30,
+                 CAST(ROUND(LOG2(GREATEST(1.0, n / {t}.0))) AS INT))) AS bb
+        FROM (SELECT unnest(?) AS n)
+        """,
+        params=[batch],
+    ).fetchall()
+    assert len(rows) == len(batch)
+    diverged = [
+        (n, ann_band_bits(n), bb) for n, bb in rows if ann_band_bits(n) != bb
+    ]
+    assert not diverged, (
+        f"Python round() and DuckDB ROUND(LOG2()) disagree at "
+        f"{diverged[:10]} (of {len(diverged)})"
+    )
+    # Sanity on the sweep itself: it actually straddles boundaries (both
+    # neighbors of some center differ by one bit).
+    width = dict(rows)
+    assert any(
+        width.get(n) is not None
+        and width.get(n + 1) is not None
+        and width[n + 1] == width[n] + 1
+        for n in batch
+        if n + 1 in width
+    )

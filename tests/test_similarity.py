@@ -150,6 +150,32 @@ def test_banded_ann_adaptive_grid_still_finds_twins(spark):
     assert hits >= 38, f"adaptive-grid planted-twin recall {hits}/40"
 
 
+def test_adaptive_grid_unsaturated_on_testdata(spark, sf_dir):
+    """Saturation guard for embedding_ann_top1_adaptive's oracle contract
+    (round-10 ADVICE item 3): the adaptive oracle enumerates ALL in-bucket
+    pairs, valid only while every bucket stays <= ANN_BUCKET_CAP. A
+    duplicate-heavy corpus (>cap identical vectors, common pre-dedup)
+    lands them in one bucket at ANY band width and silently flips the
+    driver's correctness gate to an undiagnosable hash mismatch — this
+    test makes that condition a NAMED failure instead. Checked at the
+    suite SF via the same ann_grid_stats_frame the grid report queries."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        ann_band_bits,
+        ann_grid_stats_frame,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bits = ann_band_bits(e.count())
+    row = ann_grid_stats_frame(e, "adaptive", bits).collect()[0]
+    assert row["over_cap_buckets"] == 0, (
+        f"adaptive grid saturated ({row['over_cap_buckets']} over-cap "
+        f"buckets at {bits} bits): embedding_ann_top1_adaptive's all-pairs "
+        "oracle no longer matches the star-degraded pipeline — fix the "
+        "corpus (pre-dedup) or the grid before trusting the hash gate"
+    )
+
+
 def test_banded_ann_src_bound_matches_post_filter(spark, sf_dir):
     """The pre-window src restriction (ann_recall_report's shape) must be
     byte-identical to filtering embedding_ann_top1's output — the
