@@ -1080,3 +1080,135 @@ def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
     return cluster_assignment_frame(pairs)
+
+
+# --- DSIR-style importance selection (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling", arXiv:2302.03169) -------
+# Hashed-feature space size. The paper hashes character n-grams into 10^4
+# buckets; this corpus's unit is the whitespace token, hashed portably
+# (md5 prefix, the repo's cross-engine bucket rule) into DSIR_BUCKETS.
+DSIR_BUCKETS = 1024
+# Deterministic target-distribution proxy: English documents (the "formal
+# text" slice of this corpus). A real deployment points this at a curated
+# target corpus; the estimator below is unchanged.
+DSIR_TARGET_LANG = "en"
+# Selected sample size (top-k by importance weight; the paper resamples
+# with Gumbel noise — the deterministic top-k twin keeps the driver gate
+# hash-stable).
+DSIR_TOP_K = 200
+# Fixed-point scale for the per-bucket log-ratio (the unigram_logprob_score
+# LP_SCALE rule: quantize each ln to BIGINT once, sum integers).
+_DSIR_SCALE = 1_000_000
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ), stats AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct
+      FROM tok GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+      FROM stats
+    ), lr AS (
+      SELECT b, CAST(ROUND((ln((ct + 1) / (tt + {DSIR_BUCKETS}.0))
+                            - ln((cr + 1) / (tr + {DSIR_BUCKETS}.0)))
+                           * {_DSIR_SCALE}) AS BIGINT) AS qlr
+      FROM stats CROSS JOIN tot
+    ), doc AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(qlr) AS BIGINT) AS s
+      FROM tok t JOIN lr USING (b) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(s / {_DSIR_SCALE}.0, 6) AS dsir_logratio
+    FROM doc ORDER BY s DESC, doc_id LIMIT {DSIR_TOP_K}
+    """,
+    tags=("curation", "data-selection", "dsir", "portable-hash"),
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every document by its importance
+    weight under two hashed-unigram bag-of-words models — a TARGET
+    distribution (here the deterministic ``lang = '{DSIR_TARGET_LANG}'``
+    slice) vs the RAW corpus — and keep the top-{DSIR_TOP_K}. The weight is
+    ``Σ_tokens log(p_target(bucket) / p_raw(bucket))`` with add-1 smoothing
+    over the {DSIR_BUCKETS}-bucket hashed feature space (Xie et al. 2023;
+    the public recipe behind targeted pre-training corpus selection).
+
+    Shape at 100 TB: ONE token explode feeds both sides. The bucket-stats
+    aggregate is {DSIR_BUCKETS} rows no matter the corpus (map-side
+    combine; both the raw count and the target count come out of the SAME
+    pass as conditional aggregates — no second scan for the target model),
+    pinned once (lazy localCheckpoint) for the totals row and the
+    log-ratio frame. The probe side joins the token stream to the
+    {DSIR_BUCKETS}-row ratio frame (AQE broadcasts it) and reduces
+    per-document — map-side combinable since a document's tokens are
+    co-located. Selection is orderBy+LIMIT = TakeOrdered: no global sort
+    materializes. Exactness: md5-prefix bucketing is engine-portable, each
+    bucket's log-ratio quantizes to BIGINT once (the
+    :func:`.text_quality.unigram_logprob_score` LP_SCALE rule), documents
+    sum INTEGERS, and the top-k cut breaks ties on doc_id — so the k-th
+    boundary is identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    stats = (
+        tok.groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ct"),
+        )
+        .localCheckpoint(eager=False)  # one 1024-row pin: totals + ratios
+    )
+    tot = stats.agg(
+        F.sum("cr").cast("long").alias("tr"), F.sum("ct").cast("long").alias("tt")
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / (F.col("tt") + float(DSIR_BUCKETS)))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + float(DSIR_BUCKETS)))
+            )
+            * _DSIR_SCALE
+        )
+        .cast("long")
+        .alias("qlr"),
+    )
+    doc = (
+        tok.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("qlr").cast("long").alias("s"),
+        )
+    )
+    return (
+        doc.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s") / _DSIR_SCALE, 6).alias("dsir_logratio"),
+        )
+    )

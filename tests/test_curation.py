@@ -349,3 +349,33 @@ def test_group_aware_split_eliminates_leakage(spark, sf_dir):
     assert splits.count() == n_docs
     labels = {r.split for r in splits.select("split").distinct().collect()}
     assert labels == {"train", "val", "test"}
+
+
+def test_dsir_importance_select_prefers_target_like_docs(spark, monkeypatch):
+    """DSIR semantics on a planted corpus: tokens that dominate the TARGET
+    (en) slice carry positive log-ratio, so an off-target doc written in
+    target-typical tokens must outscore one written in raw-only tokens —
+    Also pins add-1 smoothing (raw-only tokens get a finite negative
+    weight, not -inf) and that the weight is a pure function of the token
+    bag (identical text ⇒ identical score regardless of the doc's own
+    lang). Docs are equal-length: the weight is a SUM over tokens, so
+    cross-length comparisons would mix selection signal with length."""
+    rows = [
+        # target slice: 'good'-family tokens
+        (0, "good fine nice good fine nice", "en"),
+        (1, "good good fine fine nice nice", "en"),
+        # candidate A: target-typical tokens, non-target lang (same bag as 0)
+        (2, "good fine nice good fine nice", "de"),
+        # candidate B: tokens the target never uses
+        (3, "spam junk noise spam junk noise", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in cu.dsir_importance_select(spark, "ignored").collect()
+    }
+    assert set(out) == {0, 1, 2, 3}  # top-k >> corpus here
+    assert out[2] > out[3], "target-like doc must outscore raw-only doc"
+    assert out[3] < 0  # raw-only tokens: negative but finite (smoothed)
+    assert out[0] == out[2]  # score depends on the token bag alone
