@@ -465,3 +465,133 @@ def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         curve, "iteration int, inertia double, n_cells long"
     )
+
+
+# --- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", arXiv:2303.09540) -----------
+# Expected cell population: K = n DIV SEMDEDUP_TARGET_CELL cells keeps
+# within-cell pair volume ~(target/2)·n — LINEAR in corpus size. Integer
+# division on both engines (never round(): n/32 can land exactly on .5,
+# where Python rounds half-to-even and DuckDB half-away).
+SEMDEDUP_TARGET_CELL = 32
+# Cosine threshold above which two same-cell vectors are semantic
+# duplicates (compared on the 6-dp ROUNDED cosine on both engines).
+SEMDEDUP_TAU = 0.3
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), kk AS (
+      SELECT GREATEST(2, COUNT(*) // {SEMDEDUP_TARGET_CELL}) AS k FROM n
+    ), code AS MATERIALIZED (
+      -- adaptive-K deterministic codebook: rank by (md5(vec_id), vec_id),
+      -- keep the first k — ROW_NUMBER <= scalar subquery instead of a
+      -- LIMIT (DuckDB 1.0 won't take a subquery LIMIT)
+      SELECT rk AS cell, v AS cv, nrm AS cnrm FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rk, v, nrm
+        FROM n) WHERE rk <= (SELECT k FROM kk)
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT n.vec_id, n.v, n.nrm, code.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, code.cv)
+                                / (n.nrm * code.cnrm), 6) DESC, code.cell
+               ) AS rn
+        FROM n CROSS JOIN code) WHERE rn = 1
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           CAST(COUNT(b.vec_id) AS BIGINT) AS n_dups_before,
+           COUNT(b.vec_id) = 0 AS kept
+    FROM assign a LEFT JOIN assign b
+      ON a.cell = b.cell AND b.vec_id < a.vec_id
+     AND ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+           >= {SEMDEDUP_TAU}
+    GROUP BY a.vec_id, a.cell
+"""
+
+
+@query(
+    "semdedup_keep",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("similarity", "dedup-semantic", "ann-ivf"),
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: corpus-WIDE semantic deduplication — cluster the embedding
+    space, then inside each cluster drop every vector that has a
+    same-cell predecessor above cosine {SEMDEDUP_TAU} (keep-first on
+    vec_id, the repo's dedup convention; the paper keeps the
+    lowest-centroid-similarity member — same set size, different
+    representative). Output is the full per-vector decision frame:
+    (vec_id, cell, n_dups_before, kept).
+
+    This is the scale path :func:`..similarity.embedding_neardup`'s
+    literal-bounded all-pairs form points at: clustering bounds the
+    quadratic term. K adapts to the corpus — ``n DIV
+    {SEMDEDUP_TARGET_CELL}`` cells (integer division, engine-exact; the
+    ann_band_bits precedent) — so the expected cell stays
+    ~{SEMDEDUP_TARGET_CELL} members and within-cell pair volume is
+    ~{SEMDEDUP_TARGET_CELL}/2 · n, LINEAR in n, at ANY corpus size. The
+    codebook is the deterministic md5 ranking (TakeOrdered + one-row
+    collect_list, the :func:`ivf_knn` machinery), assignment is the
+    zero-shuffle in-row argmax over the broadcast codebook, and the
+    within-cell comparison is an equi-join on cell — hash-partitioned,
+    no nested loop. A pathologically clustered corpus can still produce
+    hot cells; the in-repo degrade for that is
+    :func:`..buckets.bounded_bucket_pairs` (the LSH cap machinery), left
+    out here so the oracle stays the exact algorithm. At 100 TB the cell
+    id is a write-time partition column and the self-join becomes
+    partition-local. ONE embeddings scan feeds codebook, assignment, and
+    both join sides (lazy localCheckpoint pins); the assigned frame is
+    pinned so the a/b branches read one materialization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(2, e.count() // SEMDEDUP_TARGET_CELL)
+    staged = (
+        e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)
+    )
+    cb = deterministic_codebook_frame(staged, k)
+    scored_col = F.transform(
+        F.col("cb"),
+        lambda x: F.struct(
+            F.round(
+                dot(F.col("v"), x["cv"]) / (F.col("nrm") * x["cnrm"]), 6
+            ).alias("c"),
+            (-x["cell"]).alias("negcell"),
+        ),
+    )
+    assigned = (
+        staged.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            (-F.array_max(scored_col)["negcell"]).cast("int").alias("cell"),
+        )
+        .localCheckpoint(eager=False)  # one frame for both join sides
+    )
+    a = assigned.select(
+        "vec_id", "cell", F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos6 = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    hits = a.join(
+        b,
+        (F.col("cell") == F.col("b_cell"))
+        & (F.col("b_vec_id") < F.col("vec_id"))
+        & (cos6 >= SEMDEDUP_TAU),
+        "left",
+    )
+    return hits.groupBy("vec_id", "cell").agg(
+        F.count("b_vec_id").cast("long").alias("n_dups_before"),
+        (F.count("b_vec_id") == 0).alias("kept"),
+    )

@@ -421,3 +421,38 @@ def test_kmeans_lloyd_curve_converges_and_matches_numpy(spark, sf_dir):
     d2 = ((x[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
     want = d2.min(axis=1).mean()
     assert abs(rows[0].inertia - want) < 1e-4
+
+
+def test_semdedup_keep_drops_planted_twins(spark, monkeypatch):
+    """SemDeDup semantics on planted twins: a near-identical copy of a
+    vector lands in the SAME cell (argmax over the same centroid cosines)
+    and must be dropped (kept=False, n_dups_before >= 1) while its lower-id
+    original survives; isolated vectors are all kept. Also pins keep-first:
+    the DROPPED member of each twin pair is always the higher vec_id."""
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 10 twins of vectors 0..9 at high ids
+    for i in range(10):
+        twin = base[i] + rng.normal(scale=1e-4, size=64)
+        rows.append((1000 + i, [float(x) for x in twin]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    out = {r["vec_id"]: r for r in ivf_mod.semdedup_keep(spark, "x").collect()}
+    assert len(out) == 90
+    for i in range(10):
+        assert out[1000 + i]["cell"] == out[i]["cell"], "twin split cells"
+        assert not out[1000 + i]["kept"]
+        assert out[1000 + i]["n_dups_before"] >= 1
+        assert out[i]["kept"], "original (lowest id) must survive"
+    # The 10 twins are guaranteed drops; a few random gaussian pairs also
+    # clear cos 0.3 inside a 45-member cell (~0.8%/pair), so pin a band,
+    # not an exact count: most of the corpus survives, every twin dies.
+    kept_n = sum(1 for r in out.values() if r["kept"])
+    assert 55 <= kept_n <= 80, kept_n
