@@ -106,6 +106,11 @@ HEADLINE = [
     # rule) and the vocab-bounded coverage windows
     "ivf_knn",
     "vocab_coverage_curve",
+    # round 11: the two new LLM-data tiers — DSIR importance selection
+    # (hashed-feature log-ratio scoring + TakeOrdered) and SemDeDup
+    # (adaptive-K cells + within-cell equi-join pruning)
+    "dsir_importance_select",
+    "semdedup_keep",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded
@@ -120,15 +125,15 @@ HEADLINE = [
 # already in the headline set with a baseline row; the three pin fixes are
 # NEW to the set and surface under new_queries instead).
 NOT_LIKE_FOR_LIKE: dict[str, str] = {
-    # Round-9 entries retired: BENCH_r09 parses, so the round-10 baseline
-    # already times curate_corpus / simhash_candidates /
-    # lsh_bucket_candidates on their current plans — those ratios are
-    # like-for-like again (rotation doc said to drop them once a usable
-    # driver artifact became the baseline).
-    "intradoc_dedup_rewrite": (
-        "round-10 plan change: keep-first filter went O(L^2) "
-        "array_position scan -> O(L) array_distinct (identical output; "
-        "measured 214x on a long-doc synthetic)"
+    # Round-10 entry (intradoc_dedup_rewrite) retired: BENCH_r10 parses
+    # and becomes the round-11 baseline, so that query is timed on its
+    # current O(L) plan — like-for-like again (rotation doc rule: drop an
+    # entry once a usable driver artifact times the new plan).
+    "vocab_coverage_curve": (
+        "round-11 plan change: vocabulary rank/cumsum went from one "
+        "unpartitioned WindowExec to the two-phase range-partitioned "
+        "with_global_cumsum form (identical output; removes the "
+        "single-task funnel flagged by round-10 verdict item 3)"
     ),
 }
 
@@ -262,13 +267,27 @@ def emit_line(result: dict) -> str:
     Round 8's line measured 2046 chars and the driver recorded
     ``parsed: null`` with a head-truncated ``tail`` — the whole bench
     comparison silently vanished from the round artifact (round-8 ADVICE
-    item 2's root cause). Compact separators + names-only
-    ``not_like_for_like`` (prose reasons live in ``NOT_LIKE_FOR_LIKE`` and
-    ``docs/BENCH_LOCAL.json``) keep the line well under the cap;
-    ``tests/test_bench_contract.py`` pins the worst-case size as the
-    headline set grows."""
+    item 2's root cause). Compact separators + names-only flag lists keep
+    the line under the cap; ``tests/test_bench_contract.py`` pins the
+    worst-case size as the headline set grows.
+
+    LINE-vs-LOCAL key map (round 11: the 58-query set outgrew the budget
+    even at 2-dp, so the line sheds everything derivable or
+    informational; ``docs/BENCH_LOCAL.json`` always carries the full
+    artifact):
+
+    * ``vs_baseline.nlfl`` — names-only ``not_like_for_like`` (prose
+      reasons in ``NOT_LIKE_FOR_LIKE``/the local artifact);
+    * ``vs_baseline.regr_names`` — names of queries with a >1.5×
+      like-for-like ratio; the ratios themselves are derivable from this
+      round's and the baseline round's ``queries`` maps;
+    * ``run_spread_p90_pct`` rides only the local artifact (the median is
+      the primary noise floor and stays on the line);
+    * ``new_queries`` / ``baseline_total`` — derivable, local-only (since
+      round 9)."""
     budget = 1950  # driver tail is 2000; leave newline + margin
     line_result = dict(result)
+    line_result.pop("run_spread_p90_pct", None)
     # 2-dp per-query timings are the LINE's standard precision (round 10:
     # the 56-query headline set outgrew the budget at 3-dp — 1973 chars in
     # the realistic worst case). 10 ms quantization sits below the
@@ -280,15 +299,16 @@ def emit_line(result: dict) -> str:
     }
     vs = result.get("vs_baseline")
     if vs is not None:
-        vs = dict(vs)
-        # Names only; prose reasons live in NOT_LIKE_FOR_LIKE + the local
-        # artifact.
-        vs["not_like_for_like"] = sorted(vs.get("not_like_for_like", {}))
-        # Derivable by any holder of two round artifacts (set-diff of the
-        # queries maps / previous round's value) — full detail in
-        # docs/BENCH_LOCAL.json; the line carries only what isn't.
-        vs.pop("new_queries", None)
-        vs.pop("baseline_total", None)
+        full = vs
+        # Rebuild the line's compact shape (see the key map above); the
+        # input dict is never mutated — the full artifact is dumped to
+        # docs/BENCH_LOCAL.json after the line prints.
+        vs = {
+            "baseline_round": full.get("baseline_round"),
+            "total_ratio": full.get("total_ratio"),
+            "nlfl": sorted(full.get("not_like_for_like", {})),
+            "regr_names": sorted(full.get("regressions_gt_1.5x", {})),
+        }
         line_result["vs_baseline"] = vs
 
     def dump() -> str:
@@ -299,14 +319,11 @@ def emit_line(result: dict) -> str:
     # contract keys. A realistic round never degrades (the size test pins
     # that); this guarantees the line parses even in pathological rounds.
     if len(line) > budget and vs is not None:
-        vs.pop("not_like_for_like", None)
+        vs.pop("nlfl", None)
         line = dump()
-    if len(line) > budget and vs is not None and vs.get("regressions_gt_1.5x"):
-        worst = sorted(
-            vs["regressions_gt_1.5x"].items(), key=lambda kv: -kv[1]
-        )[:10]
-        vs["regressions_gt_1.5x"] = dict(worst)
-        vs["regressions_truncated_to_worst_10"] = True
+    if len(line) > budget and vs is not None and vs.get("regr_names"):
+        vs["regr_names"] = vs["regr_names"][:10]
+        vs["regr_truncated_to_10"] = True
         line = dump()
     if len(line) > budget:
         # Final resort: the driver contract keys alone always fit.

@@ -40,80 +40,74 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-10 rotation (docs/ROUND10_ROTATION.md) — GENERATED:
+# Round-11 rotation (docs/ROUND11_ROTATION.md) — GENERATED:
 # ``scripts/derive_front.py`` derives this window mechanically from the
-# committed CORRECTNESS_r0*.json driver artifacts (rounds BEFORE the
+# committed CORRECTNESS_r*.json driver artifacts (rounds BEFORE the
 # configured one only, so the derivation is stable whenever the current
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-10 composition: the three plan-changed queries
-# seat first (intradoc_dedup_rewrite O(L²)→O(L); ivf_knn deterministic
-# codebook + rows-only→oracle upgrade; ann_recall_report pre-window slice
-# restriction), the two NEW adaptive-grid ANN queries enter via the
-# never-verified tier, then the flagship, then 44 stalest-green backfill
-# seats — the full 15-name r3-tier remainder (the round-9
-# DEFERRED_TO_R10 set, retiring the pre-r5 staleness tail completely)
-# and the front 29 names of the r5 tier. Further new or plan-changed
-# queries re-derive this window (update CHANGED in the script config,
-# re-run, re-paste). Late round-10 re-derivations: vocab_coverage_curve
-# and dedup_clusters_portable joined the never-verified tier (third and
-# fourth new queries) and group_aware_split joined the CHANGED tier
-# (check upgrade rows-only → per-row oracle) and kmeans_lloyd_curve
-# (exact scaled-int reductions + unrolled-CTE oracle upgrade), displacing
-# the last four backfill seats (pii_scrub, parquet_roundtrip_revenue,
-# pack_documents, p99_quantile → DEFERRED_TO_R11).
+# script's output. Round-11 composition: the three plan-changed queries
+# seat first (vocab_coverage_curve two-phase rank/cumsum rewrite;
+# ann_grid_report integer pair counts; kmeans_lloyd_curve quantized
+# argmin), the two NEW queries (dsir_importance_select, semdedup_keep)
+# enter via the never-verified tier, then the flagship, then 44
+# stalest-green backfill seats — the full 18-name r5-tier remainder
+# (round-10's DEFERRED_TO_R11) and 26 of the 27 r6-tier names
+# (tumbling_hourly, last in (round, name) order, defers to round 12).
+# Further new or plan-changed queries re-derive this window (update
+# CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "intradoc_dedup_rewrite",
-    "ivf_knn",
-    "ann_recall_report",
-    "group_aware_split",
-    "kmeans_lloyd_curve",
     "vocab_coverage_curve",
-    "dedup_clusters_portable",
-    "embedding_ann_top1_adaptive",
     "ann_grid_report",
+    "kmeans_lloyd_curve",
+    "dsir_importance_select",
+    "semdedup_keep",
     "churn_features",
-    "market_share",
-    "median_order_value",
-    "moving_avg_order_value",
-    "order_count_distribution",
-    "orders_per_weekday",
-    "pricing_summary",
-    "promo_revenue_share",
-    "quality_score",
-    "returned_items_top_customers",
-    "segments_by_revenue",
-    "shipping_priority",
-    "small_qty_part_revenue",
-    "sql_api_revenue",
-    "token_topk",
-    "volume_shipping",
-    "binary_meta",
-    "c4_quality_filter",
-    "chunk_documents",
-    "class_counts",
-    "confusion_matrix",
-    "customer_profile",
-    "customer_rfm",
-    "dedup_exact",
-    "distinct_customers",
-    "distinct_products",
-    "embedding_neardup",
-    "embedding_quantize_stats",
-    "epoch_shuffle",
-    "forecast_revenue_discount",
-    "hash_sample",
-    "incremental_dedup",
-    "json_props",
-    "knn_bruteforce",
-    "lang_mix_sample",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "media_embed_knn",
-    "monthly_revenue",
-    "ngram_contamination",
-    "order_rollup",
+    "p99_quantile",
+    "pack_documents",
+    "parquet_roundtrip_revenue",
+    "pii_scrub",
+    "product_type_profit",
+    "purchase_gaps",
+    "quality_budget_select",
+    "repetition_stats",
+    "rollup_revenue",
+    "skew_salted_segment_counts",
+    "source_mix_report",
+    "text_stats",
+    "threshold_curve",
+    "token_budget_select",
+    "token_len_histogram",
+    "train_val_test_split",
+    "valid_lines",
+    "waiting_suppliers",
+    "asof_last_purchase",
+    "cohort_ltv",
+    "cohort_retention",
+    "customer_rank_family",
+    "daily_activity_revenue_outer",
+    "daily_rollup_from_hourly",
+    "dn_retention",
+    "doc_len_quartiles_by_lang",
+    "dup_rate_by_source",
+    "event_day_spine_fill",
+    "event_transition_matrix",
+    "event_type_hourly_pivot",
+    "first_touch_attribution",
+    "growth_accounting",
+    "power_user_curve",
+    "range_join_error_context",
+    "rolling_7d_revenue",
+    "session_duration_histogram",
+    "session_funnel",
+    "sessionize",
+    "signup_purchase_funnel",
+    "sliding_hourly",
+    "source_cap_select",
+    "stickiness_ratio",
+    "time_to_conversion",
+    "top_revenue_suppliers",
 )
 
 

@@ -49,25 +49,21 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 10
+ROUND = 11
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 10: intradoc_dedup_rewrite's keep-first
-# filter went O(L²) → O(L) array_distinct; ivf_knn swapped the MLlib
-# quantizer for the deterministic md5 codebook AND upgraded rows-only →
-# full oracle; ann_recall_report moved the query-slice restriction before
-# the top-1 window (identical output, smaller exchange);
-# group_aware_split's PLAN is unchanged but its check upgraded rows-only →
-# per-row oracle (the leakage-audit fixpoint re-derives every row) — it
-# seats so the first hash-gated driver row lands this round (the
-# round-7/round-9 upgrade-seat rationale).
-# kmeans_lloyd_curve: cross-partition reductions switched to exact
-# scaled-integer sums (plan change) AND the check upgraded rows-only →
-# unrolled-CTE oracle.
+# listed in change order. Round 11:
+# vocab_coverage_curve: the vocabulary rank/cumsum went from a single
+# unpartitioned WindowExec to the two-phase with_global_cumsum form
+# (round-10 verdict item 3), plus the coverage-target frame became a
+# plan-time literal (identical output, hash-green all SFs).
+# ann_grid_report: bounded_cand_pairs moved from float m*(m-1)/2 to
+# integer (m*(m-1)) DIV 2 BIGINT sums on both engines (round-10 ADVICE).
+# kmeans_lloyd_curve: the per-vector argmin now compares the
+# 1e-6-quantized BIGINT distance instead of raw doubles, on both engines
+# (round-10 ADVICE item 4); inertia reuses the same quantized value.
 CHANGED: tuple[str, ...] = (
-    "intradoc_dedup_rewrite",
-    "ivf_knn",
-    "ann_recall_report",
-    "group_aware_split",
+    "vocab_coverage_curve",
+    "ann_grid_report",
     "kmeans_lloyd_curve",
 )
 FLAGSHIP = "churn_features"

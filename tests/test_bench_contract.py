@@ -73,9 +73,11 @@ def test_realistic_round_fits_without_degradation():
     """A realistic round (≤8 new, ≤8 nlfl, ≤4 regressions, sub-10s
     timings) must fit WITHOUT shedding any detail. When this fails, the
     headline set has outgrown the driver tail — shrink the emission
-    (precision, split lists) BEFORE the artifact goes dark again (the
-    round-10 response: 2-dp per-query timings became the line's standard
-    precision when the 56-query set overflowed at 3-dp)."""
+    (precision, split lists) BEFORE the artifact goes dark again (round
+    10: 2-dp per-query timings became the line standard at 56 queries;
+    round 11: flag lists went names-only — nlfl / regr_names, ratios
+    derivable from the two artifacts — and the p90 spread moved to the
+    local artifact when the set hit 58)."""
     bench = _bench()
     h = list(bench.HEADLINE)
     result = _result(
@@ -85,24 +87,34 @@ def test_realistic_round_fits_without_degradation():
     assert len(line) <= DRIVER_TAIL_CHARS - 20
     parsed = json.loads(line)
     vs = parsed["vs_baseline"]
-    # Nothing shed: ratio + both flag structures intact; per-query
-    # timings ride the line at the standard 2-dp (3-dp stays in
-    # docs/BENCH_LOCAL.json). (new_queries / baseline_total never ride
-    # the line by design — both are derivable from the two round
-    # artifacts and live in docs/BENCH_LOCAL.json.)
+    # Nothing shed: ratio + both flag lists intact; per-query timings
+    # ride the line at the standard 2-dp (3-dp stays in
+    # docs/BENCH_LOCAL.json). Derivable/informational keys never ride
+    # (new_queries, baseline_total, regression ratios, p90 spread — see
+    # emit_line's key map).
     assert "new_queries" not in vs and "baseline_total" not in vs
+    assert "run_spread_p90_pct" not in parsed
+    assert parsed["run_spread_med_pct"] == 99.9
     assert vs["total_ratio"] == 99.999
-    assert len(vs["not_like_for_like"]) == 8
-    assert len(vs["regressions_gt_1.5x"]) == 4
-    assert "regressions_truncated_to_worst_10" not in vs
+    assert sorted(vs["nlfl"]) == sorted(h[8:16])
+    assert sorted(vs["regr_names"]) == sorted(h[16:20])
+    assert "regr_truncated_to_10" not in vs
     assert parsed["queries"][h[0]] == round(9.999, 2)
-    # Prose reasons never ride the line — names only (full reasons live in
-    # bench.NOT_LIKE_FOR_LIKE and docs/BENCH_LOCAL.json).
-    assert isinstance(vs["not_like_for_like"], list)
+    # Prose reasons and ratios never ride the line — names only (full
+    # detail lives in bench.NOT_LIKE_FOR_LIKE and docs/BENCH_LOCAL.json).
+    assert isinstance(vs["nlfl"], list) and isinstance(vs["regr_names"], list)
     # emit_line must not mutate its input: the full artifact is dumped to
     # docs/BENCH_LOCAL.json AFTER the line is printed.
     assert len(result["vs_baseline"]["new_queries"]) == 8
     assert isinstance(result["vs_baseline"]["not_like_for_like"], dict)
+    assert isinstance(result["vs_baseline"]["regressions_gt_1.5x"], dict)
+    assert result["run_spread_p90_pct"] == 999.9
+    # Headroom guard: fail BEFORE the next 2-3 headline additions push a
+    # realistic line past the tail, not after the artifact goes dark.
+    assert len(line) <= DRIVER_TAIL_CHARS - 80, (
+        f"realistic line is {len(line)} chars — under the tail but out of "
+        "growth headroom; shrink the emission now"
+    )
 
 
 def _write_artifact(tmp_path, rnd: int, obj: dict) -> None:

@@ -10,18 +10,14 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-10 policy (docs/ROUND10_ROTATION.md): (a) the changed tier — the
-three plan-changed queries (intradoc_dedup_rewrite O(L²)→O(L) rewrite,
-ivf_knn deterministic-codebook + rows-only→oracle upgrade,
-ann_recall_report pre-window slice restriction) plus the
-group_aware_split and kmeans_lloyd_curve check upgrades; (b) the four
-new
-round-10 queries via the never-verified tier (the two adaptive-grid ANN
-queries, the vocab-coverage curve, and the oracle-checked portable
-dedup clustering); (c) the flagship; (d) stalest-green backfill: the
-full 15-name r3-tier remainder (round 9's DEFERRED_TO_R10 — the pre-r5
-staleness tail is now fully retired) plus the front 25 names of the r5
-tier.
+Round-11 policy (docs/ROUND11_ROTATION.md): (a) the changed tier — the
+three plan-changed queries (vocab_coverage_curve two-phase rank/cumsum
+rewrite, ann_grid_report integer pair counts, kmeans_lloyd_curve
+quantized argmin); (b) the two new round-11 queries via the
+never-verified tier (dsir_importance_select, semdedup_keep); (c) the
+flagship; (d) stalest-green backfill: the full 18-name r5-tier
+remainder (round 10's DEFERRED_TO_R11) plus 26 of the 27 r6-tier names
+(tumbling_hourly, last in (round, name) order, defers to round 12).
 """
 
 import importlib.util
@@ -36,62 +32,38 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 10 — plan-change rule makes seating
+# (a) implementation changed in round 11 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-# intradoc_dedup_rewrite: keep-first filter O(L²) → O(L) array_distinct.
-# ivf_knn: deterministic md5 codebook replaces the MLlib quantizer in the
-# registered plan AND the check upgraded rows-only → full oracle.
-# ann_recall_report: query-slice restriction moved BEFORE the top-1
-# window (identical output, slice-sized exchange).
-# group_aware_split: plan unchanged, check upgraded rows-only → per-row
-# oracle (the round-7/round-9 upgrade-seat rationale).
-# kmeans_lloyd_curve: cross-partition reductions went exact scaled-int
-# (plan change) + rows-only → unrolled-CTE oracle upgrade.
-CHANGED_R10 = {
-    "intradoc_dedup_rewrite",
-    "ivf_knn",
-    "ann_recall_report",
-    "group_aware_split",
+# vocab_coverage_curve: vocabulary rank/cumsum went from a single
+# unpartitioned WindowExec to the two-phase with_global_cumsum form, and
+# the coverage-target frame became a plan-time literal (round-10 verdict
+# item 3).
+# ann_grid_report: bounded_cand_pairs moved to integer (m*(m-1)) DIV 2
+# BIGINT sums on both engines (round-10 ADVICE item 2).
+# kmeans_lloyd_curve: per-vector argmin now compares the 1e-6-quantized
+# BIGINT distance on both engines (round-10 ADVICE item 4).
+CHANGED_R11 = {
+    "vocab_coverage_curve",
+    "ann_grid_report",
     "kmeans_lloyd_curve",
 }
 
-# (b) never-driver-verified backlog: ZERO at rotation time (round 9 seated
-# all of it); the round-10 additions enter here as they are registered.
-BACKLOG_R10 = {
-    "embedding_ann_top1_adaptive",  # new in round 10 (self-sized grid)
-    "ann_grid_report",  # new in round 10 (saturation scorecard)
-    "vocab_coverage_curve",  # new in round 10 (tokenizer vocab sizing)
-    "dedup_clusters_portable",  # new in round 10 (oracle-checked CC tier)
+# (b) never-driver-verified backlog: ZERO at rotation time (round 10
+# seated all of it); the round-11 additions enter here as registered.
+BACKLOG_R11 = {
+    "dsir_importance_select",  # new in round 11 (DSIR data selection)
+    "semdedup_keep",  # new in round 11 (semantic dedup, adaptive-K cells)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 11: the window cut falls inside
-# the r5-verified tier; these 18 r5 names are the tier's remainder (the
-# r6+ tiers are simply fresher, not "deferred"). pii_scrub,
-# parquet_roundtrip_revenue, pack_documents and p99_quantile held the
-# last seats until the late round-10 never-verified/upgrade entries
-# displaced them.
-DEFERRED_TO_R11 = {
-    "p99_quantile",
-    "pack_documents",
-    "parquet_roundtrip_revenue",
-    "pii_scrub",
-    "product_type_profit",
-    "purchase_gaps",
-    "quality_budget_select",
-    "repetition_stats",
-    "rollup_revenue",
-    "skew_salted_segment_counts",
-    "source_mix_report",
-    "text_stats",
-    "threshold_curve",
-    "token_budget_select",
-    "token_len_histogram",
-    "train_val_test_split",
-    "valid_lines",
-    "waiting_suppliers",
+# Boundary-tier backfill deferred to round 12: the window cut falls one
+# seat short of clearing the r6-verified tier; tumbling_hourly is last in
+# the tier's (last_green, name) order. The r7 tier (42 names) is simply
+# fresher, not "deferred".
+DEFERRED_TO_R12 = {
+    "tumbling_hourly",
 }
 
 
@@ -123,22 +95,22 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R10 | BACKLOG_R10 | FLAGSHIP) - window
+    missing = (CHANGED_R11 | BACKLOG_R11 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
     """The whole backlog must carry oracles — a rows-only seat would burn a
     slot on a weaker check (rows-only ops re-seat only on change)."""
-    missing = BACKLOG_R10 - set(all_oracle_sql())
+    missing = BACKLOG_R11 - set(all_oracle_sql())
     assert not missing, f"backlog entries missing oracles: {missing}"
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R11 <= set(qs)
+    assert DEFERRED_TO_R12 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R11 & window
+    overlap = DEFERRED_TO_R12 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
