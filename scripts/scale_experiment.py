@@ -72,6 +72,12 @@ PROBE_QUERIES = [
     # bench.py.
     "ivf_knn",
     "vocab_coverage_curve",
+    # round 11: DSIR selection (explode → 1024-bucket stats → TakeOrdered)
+    # and SemDeDup (adaptive-K cells + within-cell equi-join). semdedup's
+    # plan-build count() is a parquet-metadata action — not the iterative
+    # build-time-job class excluded above.
+    "dsir_importance_select",
+    "semdedup_keep",
 ]
 
 
