@@ -335,18 +335,24 @@ def emit_line(result: dict) -> str:
 def _config_round(root: str | None = None) -> int | None:
     """The per-round ``ROUND`` from ``scripts/derive_front.py`` — the single
     hand-maintained round config. ``None`` when the script is absent (a
-    standalone copy of bench.py), which disables the round bound below."""
-    import importlib.util
+    standalone copy of bench.py), which disables the round bound below.
+
+    Parsed with a regex, NOT imported/exec'd: this runs at the END of a
+    full timing run, and any exception escaping here (a syntax error in
+    the config script, a side effect of executing it) would kill bench.py
+    after the measurements but before the JSON line prints — the exact
+    artifact-goes-dark mode the round-8 fixes targeted (round-11 review
+    finding)."""
+    import re
 
     here = root or os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "scripts", "derive_front.py")
     try:
-        spec = importlib.util.spec_from_file_location("_derive_front_cfg", path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return int(mod.ROUND)
-    except (OSError, AttributeError, TypeError, ValueError, ImportError):
+        with open(path) as f:
+            m = re.search(r"^ROUND\s*=\s*(\d+)\s*$", f.read(), re.M)
+    except OSError:
         return None
+    return int(m.group(1)) if m else None
 
 
 def _load_baseline(

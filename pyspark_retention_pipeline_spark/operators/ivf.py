@@ -469,11 +469,19 @@ def kmeans_lloyd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
 # web-scale through semantic deduplication", arXiv:2303.09540) -----------
-# Expected cell population: K = n DIV SEMDEDUP_TARGET_CELL cells keeps
-# within-cell pair volume ~(target/2)·n — LINEAR in corpus size. Integer
-# division on both engines (never round(): n/32 can land exactly on .5,
-# where Python rounds half-to-even and DuckDB half-away).
-SEMDEDUP_TARGET_CELL = 32
+# Cell count: K = floor(sqrt(n)) — the balanced blocking rule. Assignment
+# costs O(n·K) folds and within-cell pruning costs O(n · n/K) pairs;
+# K = √n equalizes them at O(n^1.5), the optimum for this two-stage
+# shape (round-11 review finding: the first-cut K = n/32 kept pruning
+# linear but silently moved the quadratic term into an O(n²/32)
+# assignment and an O(n)-sized single-row codebook). floor(sqrt(·)) is
+# engine-exact below 2^52: IEEE sqrt is correctly rounded, and for
+# k < 2^26 the nearest double to sqrt(k²−1) is still < k, so Python's
+# isqrt and SQL FLOOR(SQRT(·)) agree on every integer in range.
+# Codebook ceiling: K clamped so the one-row broadcast codebook stays
+# broadcast-sized (65 536 cells × 65 doubles ≈ 34 MB) — binds only past
+# n ≈ 4·10⁹ vectors per run.
+SEMDEDUP_MAX_CELLS = 65_536
 # Cosine threshold above which two same-cell vectors are semantic
 # duplicates (compared on the 6-dp ROUNDED cosine on both engines).
 SEMDEDUP_TAU = 0.3
@@ -484,7 +492,9 @@ _SEMDEDUP_ORACLE = f"""
     ), n AS MATERIALIZED (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), kk AS (
-      SELECT GREATEST(2, COUNT(*) // {SEMDEDUP_TARGET_CELL}) AS k FROM n
+      SELECT GREATEST(2, LEAST({SEMDEDUP_MAX_CELLS},
+                               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k
+      FROM n
     ), code AS MATERIALIZED (
       -- adaptive-K deterministic codebook: rank by (md5(vec_id), vec_id),
       -- keep the first k — ROW_NUMBER <= scalar subquery instead of a
@@ -530,25 +540,31 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the scale path :func:`..similarity.embedding_neardup`'s
     literal-bounded all-pairs form points at: clustering bounds the
-    quadratic term. K adapts to the corpus — ``n DIV
-    {SEMDEDUP_TARGET_CELL}`` cells (integer division, engine-exact; the
-    ann_band_bits precedent) — so the expected cell stays
-    ~{SEMDEDUP_TARGET_CELL} members and within-cell pair volume is
-    ~{SEMDEDUP_TARGET_CELL}/2 · n, LINEAR in n, at ANY corpus size. The
-    codebook is the deterministic md5 ranking (TakeOrdered + one-row
-    collect_list, the :func:`ivf_knn` machinery), assignment is the
-    zero-shuffle in-row argmax over the broadcast codebook, and the
-    within-cell comparison is an equi-join on cell — hash-partitioned,
-    no nested loop. A pathologically clustered corpus can still produce
-    hot cells; the in-repo degrade for that is
-    :func:`..buckets.bounded_bucket_pairs` (the LSH cap machinery), left
-    out here so the oracle stays the exact algorithm. At 100 TB the cell
-    id is a write-time partition column and the self-join becomes
-    partition-local. ONE embeddings scan feeds codebook, assignment, and
-    both join sides (lazy localCheckpoint pins); the assigned frame is
-    pinned so the a/b branches read one materialization."""
+    quadratic term. K adapts as ``floor(sqrt(n))``, clamped to
+    [2, {SEMDEDUP_MAX_CELLS}] — the balanced blocking rule: assignment
+    is O(n·K) in-row folds, within-cell pruning is O(n·n/K) pairs, and
+    K = √n equalizes both at O(n^1.5) with a √n-sized (always
+    broadcastable) codebook. SCALE ENVELOPE, stated honestly (round-11
+    review finding replaced the first-cut K = n/32, whose assignment was
+    O(n²/32) with an O(n) single-row codebook): n^1.5 exact work is the
+    paper's own per-cluster exact regime, tractable to ~10⁸-10⁹ vectors
+    distributed; beyond that the whole-corpus production path is
+    :func:`build_ivf_index` (MLlib, multi-level cells) + the cell id as
+    a write-time partition column (the self-join becomes
+    partition-local) + :func:`..buckets.bounded_bucket_pairs` as the
+    hot-cell degrade — all in-repo; they are not used here so the oracle
+    stays the exact algorithm. The codebook is the deterministic md5
+    ranking (TakeOrdered + one-row collect_list, the :func:`ivf_knn`
+    machinery), assignment is the zero-shuffle in-row argmax over the
+    broadcast codebook, and the within-cell comparison is an equi-join
+    on cell — hash-partitioned, no nested loop. ONE embeddings scan
+    feeds codebook, assignment, and both join sides (lazy
+    localCheckpoint pins); the assigned frame is pinned so the a/b
+    branches read one materialization."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
-    k = max(2, e.count() // SEMDEDUP_TARGET_CELL)
+    k = max(2, min(SEMDEDUP_MAX_CELLS, math.isqrt(e.count())))
     staged = (
         e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
