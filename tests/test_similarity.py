@@ -456,3 +456,45 @@ def test_semdedup_keep_drops_planted_twins(spark, monkeypatch):
     # not an exact count: most of the corpus survives, every twin dies.
     kept_n = sum(1 for r in out.values() if r["kept"])
     assert 55 <= kept_n <= 80, kept_n
+
+
+def test_semdedup_keep_invariants_on_testdata(spark, sf_dir):
+    """Definition-level invariants on the real corpus: (1) kept ⇔
+    n_dups_before == 0; (2) the lowest-id member of every cell is always
+    kept (it can have no lower-id predecessor); (3) the KEPT set is
+    internally dup-free under the same assignment — recomputed
+    independently from the decision frame's own columns."""
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    out = all_queries()["semdedup_keep"](spark, sf_dir)
+    rows = out.collect()
+    assert all((r["n_dups_before"] == 0) == r["kept"] for r in rows)
+    lowest = {}
+    for r in rows:
+        if r["cell"] not in lowest or r["vec_id"] < lowest[r["cell"]]["vec_id"]:
+            lowest[r["cell"]] = r
+    assert all(r["kept"] for r in lowest.values()), "cell minimum dropped"
+    # (3): join kept pairs within cell and check none clears the bar.
+    from pyspark_retention_pipeline_spark.exprs import as_double_array, dot
+    from pyspark_retention_pipeline_spark.operators.ivf import SEMDEDUP_TAU
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    kept = out.filter("kept").select("vec_id", "cell").join(emb, "vec_id")
+    a = kept.select("cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = kept.select("cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    nrm = lambda c: F.sqrt(dot(F.col(c), F.col(c)))
+    leftovers = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            F.round(dot(F.col("va"), F.col("vb")) / (nrm("va") * nrm("vb")), 6)
+            >= SEMDEDUP_TAU
+        )
+        .count()
+    )
+    assert leftovers == 0, f"{leftovers} duplicate pairs survive in the kept set"
