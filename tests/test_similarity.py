@@ -466,17 +466,17 @@ def test_semdedup_keep_invariants_on_testdata(spark, sf_dir):
     independently from the decision frame's own columns."""
     from pyspark.sql import functions as F
 
-    from pyspark_retention_pipeline_spark.registry import all_queries
-
-    out = all_queries()["semdedup_keep"](spark, sf_dir)
-    rows = out.collect()
+    rows = QUERIES["semdedup_keep"](spark, sf_dir).collect()
     assert all((r["n_dups_before"] == 0) == r["kept"] for r in rows)
     lowest = {}
     for r in rows:
         if r["cell"] not in lowest or r["vec_id"] < lowest[r["cell"]]["vec_id"]:
             lowest[r["cell"]] = r
     assert all(r["kept"] for r in lowest.values()), "cell minimum dropped"
-    # (3): join kept pairs within cell and check none clears the bar.
+    # (3): join kept pairs within cell and check none clears the bar. The
+    # kept set is rebuilt from the already-collected rows — re-filtering
+    # the query frame would re-execute its dominant within-cell self-join
+    # for a second action (pass-2 review finding).
     from pyspark_retention_pipeline_spark.exprs import as_double_array, dot
     from pyspark_retention_pipeline_spark.operators.ivf import SEMDEDUP_TAU
     from pyspark_retention_pipeline_spark.tables import load_table
@@ -484,7 +484,10 @@ def test_semdedup_keep_invariants_on_testdata(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    kept = out.filter("kept").select("vec_id", "cell").join(emb, "vec_id")
+    kept_rows = [(r["vec_id"], r["cell"]) for r in rows if r["kept"]]
+    kept = spark.createDataFrame(
+        kept_rows, "vec_id long, cell int"
+    ).join(emb, "vec_id")
     a = kept.select("cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = kept.select("cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     nrm = lambda c: F.sqrt(dot(F.col(c), F.col(c)))
