@@ -401,13 +401,21 @@ _MINHASH_B = tuple((32452843 * (j + 7)) % _PORT_M for j in range(N_HASHES))
 
 # Shared SQL fragments: portable 60-bit token hash (same md5 parse as
 # SIMHASH_SIGS_CTE) and the k-gram combine over K consecutive token hashes.
-_PORT_TH_CTE = """toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+# ``src`` parameterizes the scanned relation so slice-bounded consumers
+# (minhash_calibration) share the one signature definition instead of
+# duplicating the chain (the round-9 drift lesson); the module constants
+# keep the default rendering so the existing oracles are byte-identical.
+def _port_th_cte(src: str = "documents") -> str:
+    return f"""toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {src}
     ), th AS (
       SELECT doc_id, list_transform(t, x ->
           CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS th
       FROM toks
     )"""
+
+
+_PORT_TH_CTE = _port_th_cte()
 
 
 def _port_kgram_sql(k: int) -> str:
@@ -458,7 +466,8 @@ def _portable_kgram_array(k: int) -> F.Column:
 # this single definition of "the signature" (round-9 review: the banded
 # oracle first duplicated the block — a drift risk where each query still
 # passes its own oracle while the two disagree about the signature).
-_PORT_MINS_CTE = f"""{_PORT_TH_CTE}, sh AS (
+def _port_mins_cte(src: str = "documents") -> str:
+    return f"""{_port_th_cte(src)}, sh AS (
       SELECT doc_id, unnest(list_transform(
           range(0, greatest(len(th) - {SHINGLE}, 0) + 1),
           i -> {_port_kgram_sql(SHINGLE)})) AS s
@@ -469,10 +478,28 @@ _PORT_MINS_CTE = f"""{_PORT_TH_CTE}, sh AS (
       FROM sh CROSS JOIN perms GROUP BY doc_id, j
     )"""
 
+
+_PORT_MINS_CTE = _port_mins_cte()
+
 _MINHASH_ORACLE = f"""
     WITH {_PORT_MINS_CTE}
     SELECT doc_id, CAST(j AS BIGINT) AS hash_idx, mh AS min_h FROM mins
 """
+
+
+def _mins_from_shingles(sh: DataFrame) -> DataFrame:
+    """The 16 affine-permutation MIN aggregates over a ``(doc_id, s)``
+    shingle frame. MIN is duplicate-insensitive, so callers may feed the
+    distinct or the raw shingle stream — identical signatures either way
+    (minhash_calibration reuses its exact-Jaccard distinct frame)."""
+    s_mod = F.col("s") % F.lit(_PORT_M)
+    aggs = [
+        F.min(
+            (F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)
+        ).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _portable_min_frame(docs: DataFrame) -> DataFrame:
@@ -485,14 +512,7 @@ def _portable_min_frame(docs: DataFrame) -> DataFrame:
     sh = staged.select(
         "doc_id", F.explode(_portable_kgram_array(SHINGLE)).alias("s")
     )
-    s_mod = F.col("s") % F.lit(_PORT_M)
-    aggs = [
-        F.min(
-            (F.lit(_MINHASH_A[j]) * s_mod + F.lit(_MINHASH_B[j])) % F.lit(_PORT_P)
-        ).alias(f"m{j}")
-        for j in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _mins_from_shingles(sh)
 
 
 @query("minhash_signatures", oracle=_MINHASH_ORACLE, tags=("dedup-neardup", "minhash"))
@@ -558,6 +578,31 @@ _MINHASH_BANDED_ORACLE = f"""
 """
 
 
+def _portable_band_members(g: DataFrame) -> DataFrame:
+    """``doc_id, band, bv`` from a :func:`_portable_min_frame` output —
+    each band's {BAND_SIZE} mins folded into ONE BIGINT band value (exact
+    ≤ 2^52 arithmetic, no float, no engine hash; the Spark twin of
+    ``_PORT_BANDS_CTE``). Single definition shared by
+    :func:`minhash_banded_candidates` and :func:`minhash_calibration`."""
+
+    def band_value(b: int) -> F.Column:
+        total = None
+        for i in range(BAND_SIZE):
+            term = (F.col(f"m{b * BAND_SIZE + i}") % F.lit(_PORT_M)) * F.lit(
+                _BAND_C[i]
+            )
+            total = term if total is None else total + term
+        return total % F.lit(_PORT_P)
+
+    n_bands = N_HASHES // BAND_SIZE
+    return g.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_value(b) for b in range(n_bands)])).alias(
+            "band", "bv"
+        ),
+    )
+
+
 @query(
     "minhash_banded_candidates",
     oracle=_MINHASH_BANDED_ORACLE,
@@ -581,23 +626,7 @@ def minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .buckets import bounded_bucket_pairs
 
     g = _portable_min_frame(load_table(spark, sf_dir, "documents"))
-
-    def band_value(b: int) -> F.Column:
-        total = None
-        for i in range(BAND_SIZE):
-            term = (F.col(f"m{b * BAND_SIZE + i}") % F.lit(_PORT_M)) * F.lit(
-                _BAND_C[i]
-            )
-            total = term if total is None else total + term
-        return total % F.lit(_PORT_P)
-
-    n_bands = N_HASHES // BAND_SIZE
-    members = g.select(
-        "doc_id",
-        F.posexplode(F.array(*[band_value(b) for b in range(n_bands)])).alias(
-            "band", "bv"
-        ),
-    )
+    members = _portable_band_members(g)
     pairs = bounded_bucket_pairs(
         members, ["band", "bv"], "doc_id", cap=MINHASH_PORT_CAP
     )
@@ -606,6 +635,145 @@ def minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id1").alias("doc_id_a"), F.col("id2").alias("doc_id_b")
         )
         .agg(F.count("*").cast("long").alias("bands_shared"))
+    )
+
+
+# minhash_calibration: slice bound for the exact-Jaccard side (all-pairs
+# within the slice is the exact path's cost, the ann_recall_report
+# precedent) and the minimum exact Jaccard that makes a non-candidate
+# pair worth reporting.
+MH_EVAL_DOCS = 300
+MH_CAL_MIN_JAC = 0.1
+
+_MINHASH_CAL_ORACLE = f"""
+    WITH {_port_mins_cte(f"(SELECT * FROM documents WHERE doc_id < {MH_EVAL_DOCS})")},
+    {_PORT_BANDS_CTE},
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT i.d1, i.d2, i.n_common,
+             ROUND(i.n_common / CAST(s1.n + s2.n - i.n_common AS DOUBLE), 6)
+               AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+    ), cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(COUNT(*) AS BIGINT) AS bands_shared
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT COALESCE(e.d1, c.d1) AS d1, COALESCE(e.d2, c.d2) AS d2,
+           CAST(COALESCE(c.bands_shared, 0) AS BIGINT) AS bands_shared,
+           CAST(COALESCE(e.n_common, 0) AS BIGINT) AS n_common,
+           COALESCE(e.jaccard, 0.0) AS jaccard
+    FROM exact e FULL JOIN cand c ON e.d1 = c.d1 AND e.d2 = c.d2
+    WHERE COALESCE(c.bands_shared, 0) >= 1
+       OR COALESCE(e.jaccard, 0.0) >= {MH_CAL_MIN_JAC}
+"""
+
+
+@query(
+    "minhash_calibration",
+    oracle=_MINHASH_CAL_ORACLE,
+    tags=("dedup-neardup", "minhash-lsh", "index-quality", "portable-hash"),
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve calibration: for a bounded slice
+    (doc_id < {MH_EVAL_DOCS}), every pair that the banded-minhash index
+    proposes OR whose TRUE shingle Jaccard clears {MH_CAL_MIN_JAC} —
+    with both measurements side by side (bands_shared 0..4 vs exact
+    Jaccard). The minhash twin of :func:`..similarity.ann_recall_report`
+    (round-7 one-per-family rule applied to index-quality scorecards):
+    recall = true pairs with bands_shared ≥ 1, precision = candidates
+    with high Jaccard, read directly off the frame. A production index
+    deployment monitors exactly this table on a sampled slice.
+
+    Shape: ONE documents scan (slice filter pushed to the scan) → staged
+    token hashes → the DISTINCT shingle frame, pinned once and feeding
+    THREE consumers — the per-doc set sizes, the exact-intersection
+    self-join, and the 16-min signature aggregate (MIN is
+    duplicate-insensitive, so the distinct stream yields the identical
+    signature; the oracle derives mins from the raw stream and the hash
+    gate proves the equivalence). Bands fold per signature
+    (:func:`_portable_band_members`), candidates are the band-bucket
+    self-join, and the two pair sets meet in a FULL outer equi-join.
+    The exact side is all-pairs WITHIN THE SLICE by construction — the
+    cost that motivates the banded index — so the slice literal is the
+    boundedness argument, same as ann_recall_report's query slice."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MH_EVAL_DOCS
+    )
+    staged = _portable_token_hash_frame(d)
+    sh = staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(_portable_kgram_array(SHINGLE))).alias("s"),
+    ).localCheckpoint(eager=False)  # one pin: sizes + self-join + mins
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    exact = (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    members = _portable_band_members(_mins_from_shingles(sh))
+    x = members.alias("x")
+    y = members.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .agg(F.count("*").cast("long").alias("bands_shared"))
+    )
+    joined = exact.join(cand, ["d1", "d2"], "full")
+    return joined.select(
+        "d1",
+        "d2",
+        F.coalesce(F.col("bands_shared"), F.lit(0)).cast("long").alias(
+            "bands_shared"
+        ),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    ).filter(
+        (F.coalesce(F.col("bands_shared"), F.lit(0)) >= 1)
+        | (F.coalesce(F.col("jaccard"), F.lit(0.0)) >= MH_CAL_MIN_JAC)
     )
 
 

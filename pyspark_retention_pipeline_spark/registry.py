@@ -50,17 +50,19 @@ _REGISTRY: dict[str, Query] = {}
 # script's output. Round-11 composition: the three plan-changed queries
 # seat first (vocab_coverage_curve two-phase rank/cumsum rewrite;
 # ann_grid_report integer pair counts; kmeans_lloyd_curve quantized
-# argmin), the two NEW queries (dsir_importance_select, semdedup_keep)
-# enter via the never-verified tier, then the flagship, then 44
-# stalest-green backfill seats — the full 18-name r5-tier remainder
-# (round-10's DEFERRED_TO_R11) and 26 of the 27 r6-tier names
-# (tumbling_hourly, last in (round, name) order, defers to round 12).
+# argmin), the three NEW queries (minhash_calibration,
+# dsir_importance_select, semdedup_keep) enter via the never-verified
+# tier, then the flagship, then 43 stalest-green backfill seats — the
+# full 18-name r5-tier remainder (round-10's DEFERRED_TO_R11) and 25 of
+# the 27 r6-tier names (tumbling_hourly and top_revenue_suppliers, last
+# in (round, name) order, defer to round 12).
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
     "vocab_coverage_curve",
     "ann_grid_report",
     "kmeans_lloyd_curve",
+    "minhash_calibration",
     "dsir_importance_select",
     "semdedup_keep",
     "churn_features",
@@ -107,7 +109,6 @@ _FRONT: tuple[str, ...] = (
     "source_cap_select",
     "stickiness_ratio",
     "time_to_conversion",
-    "top_revenue_suppliers",
 )
 
 

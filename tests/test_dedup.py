@@ -412,3 +412,28 @@ def test_minhash_banded_portable_duplicates_share_all_bands(spark, monkeypatch):
     }
     assert rows.get((1, 2)) == 4
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_minhash_calibration_planted_neardup(spark, monkeypatch):
+    """A planted near-duplicate pair (one token substituted) must surface
+    with high exact Jaccard AND bands_shared >= 1; two disjoint documents
+    must not appear at all (no bands shared, Jaccard 0)."""
+    import pyspark_retention_pipeline_spark.operators.text as tx
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(("tokX" if i == 20 else f"tok{i}") for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    rows = {
+        (r["d1"], r["d2"]): r
+        for r in tx.minhash_calibration(spark, "ignored").collect()
+    }
+    assert (0, 1) in rows
+    pair = rows[(0, 1)]
+    # one substituted token kills 3 shingles of ~38: Jaccard ~ 35/41
+    assert pair["jaccard"] > 0.7
+    assert pair["bands_shared"] >= 1
+    assert (0, 2) not in rows and (1, 2) not in rows
