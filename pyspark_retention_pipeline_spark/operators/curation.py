@@ -44,9 +44,11 @@ SCORE_BIN_CHARS = 50
 CONTAM_KEEP_DEN = 5
 
 
-def _gram_hash_frame(docs: DataFrame, distinct: bool = True) -> DataFrame:
+def _gram_hash_frame(
+    docs: DataFrame, distinct: bool = True, k: int = NGRAM
+) -> DataFrame:
     """(doc_id, gram) rows where ``gram`` is the 64-bit hash of a distinct
-    word {NGRAM}-gram — n-gram identity WITHOUT materializing n-gram
+    word ``k``-gram (default {NGRAM}) — n-gram identity WITHOUT materializing n-gram
     strings: tokens hash once each, staged as an array column (referenced
     {NGRAM} times by the gram lambda, so CollapseProject keeps it
     materialized instead of re-evaluating the token transform per index),
@@ -64,9 +66,9 @@ def _gram_hash_frame(docs: DataFrame, distinct: bool = True) -> DataFrame:
     staged = docs.select(
         "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
     )
-    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - NGRAM, F.lit(0)))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - k, F.lit(0)))
     gram_h = F.transform(
-        starts, lambda i: F.xxhash64(*[F.get("th", i + k) for k in range(NGRAM)])
+        starts, lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(k)])
     )
     if distinct:
         gram_h = F.array_distinct(gram_h)
@@ -1210,5 +1212,83 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.round(F.col("s") / _DSIR_SCALE, 6).alias("dsir_logratio"),
+        )
+    )
+
+
+# --- Cross-document repeated-span diagnostics (the ExactSubstr precursor:
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499 — their unit is a 50-token span over a suffix
+# array; this corpus's documents are ~30 tokens, so the span is 8) -------
+SPAN = 8
+
+
+@query(
+    "crossdoc_span_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, s.i + 1, s.i + {SPAN}), ' ') AS g
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {SPAN}, 0) + 1)) AS s(i)
+    ), freq AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs FROM spans GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac
+    FROM spans s JOIN freq f ON s.g = f.g
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup-crossdoc", "exact-substr", "curation"),
+)
+def crossdoc_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span scorecard: for every document, how many
+    of its distinct {SPAN}-token spans also occur in at least one OTHER
+    document — the statistic that decides whether an ExactSubstr-style
+    span-rewrite pass is worth running and at what span length (the
+    cross-doc twin of :func:`ngram_contamination`, which scans against a
+    held-out eval slice; here the corpus is scanned against itself).
+
+    Shape at 100 TB: spans never materialize as strings — tokens hash
+    once, spans hash their {SPAN} consecutive token hashes
+    (:func:`_gram_hash_frame`, 8-byte longs end to end); the span
+    frequency table is a map-side-combinable aggregate over the span
+    grain; the join back is span-grain equi (AQE free to pick the
+    strategy); the per-doc rollup shuffles 16-byte keys. Two
+    corpus-token-grain shuffles total — the honest cost of the real
+    operator, with no all-pairs term anywhere (the suffix-array
+    formulation's role is to find spans LONGER than a fixed k; the fixed-k
+    hashed form is the standard distributed approximation). A document
+    whose spans each appear once scores 0; exact duplicates score 1.0;
+    the oracle compares the same counts derived from span STRINGS, so the
+    hash gate also validates the 64-bit span-hash identity (the
+    ngram_contamination precedent — a cross-engine count mismatch would
+    surface any collision)."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = _gram_hash_frame(d, distinct=True, k=SPAN).localCheckpoint(
+        eager=False
+    )  # one pin: frequency side + per-doc side
+    freq = spans.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    joined = spans.join(freq, "gram")
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_span_frac"),
         )
     )

@@ -50,12 +50,13 @@ _REGISTRY: dict[str, Query] = {}
 # script's output. Round-11 composition: the three plan-changed queries
 # seat first (vocab_coverage_curve two-phase rank/cumsum rewrite;
 # ann_grid_report integer pair counts; kmeans_lloyd_curve quantized
-# argmin), the three NEW queries (minhash_calibration,
-# dsir_importance_select, semdedup_keep) enter via the never-verified
-# tier, then the flagship, then 43 stalest-green backfill seats — the
-# full 18-name r5-tier remainder (round-10's DEFERRED_TO_R11) and 25 of
-# the 27 r6-tier names (tumbling_hourly and top_revenue_suppliers, last
-# in (round, name) order, defer to round 12).
+# argmin), the four NEW queries (minhash_calibration,
+# dsir_importance_select, semdedup_keep, crossdoc_span_stats) enter via
+# the never-verified tier, then the flagship, then 42 stalest-green
+# backfill seats — the full 18-name r5-tier remainder (round-10's
+# DEFERRED_TO_R11) and 24 of the 27 r6-tier names (time_to_conversion,
+# top_revenue_suppliers and tumbling_hourly, last in (round, name)
+# order, defer to round 12).
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
@@ -64,6 +65,7 @@ _FRONT: tuple[str, ...] = (
     "kmeans_lloyd_curve",
     "minhash_calibration",
     "dsir_importance_select",
+    "crossdoc_span_stats",
     "semdedup_keep",
     "churn_features",
     "p99_quantile",
@@ -108,7 +110,6 @@ _FRONT: tuple[str, ...] = (
     "sliding_hourly",
     "source_cap_select",
     "stickiness_ratio",
-    "time_to_conversion",
 )
 
 

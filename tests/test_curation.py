@@ -379,3 +379,25 @@ def test_dsir_importance_select_prefers_target_like_docs(spark, monkeypatch):
     assert out[2] > out[3], "target-like doc must outscore raw-only doc"
     assert out[3] < 0  # raw-only tokens: negative but finite (smoothed)
     assert out[0] == out[2]  # score depends on the token bag alone
+
+
+def test_crossdoc_span_stats_planted_shared_span(spark, monkeypatch):
+    """A span copied verbatim between two documents must be flagged in
+    BOTH (n_dup_spans >= 1), an all-unique document must score 0, and an
+    exact duplicate pair must score dup_span_frac == 1.0 on both sides."""
+    shared = " ".join(f"s{i}" for i in range(8))  # one exact 8-token span
+    rows = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(10))),
+        (1, " ".join(f"b{i}" for i in range(10)) + " " + shared),
+        (2, " ".join(f"c{i}" for i in range(20))),
+        (3, " ".join(f"d{i}" for i in range(20))),
+        (4, " ".join(f"d{i}" for i in range(20))),  # exact dup of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {r["doc_id"]: r for r in cu.crossdoc_span_stats(spark, "x").collect()}
+    assert out[0]["n_dup_spans"] >= 1 and out[1]["n_dup_spans"] >= 1
+    assert out[2]["n_dup_spans"] == 0 and out[2]["dup_span_frac"] == 0.0
+    assert out[3]["dup_span_frac"] == 1.0 and out[4]["dup_span_frac"] == 1.0
+    # the shared span is ONE of doc 0's spans, not all of them
+    assert 0 < out[0]["dup_span_frac"] < 1

@@ -13,13 +13,13 @@ that diverges fails loudly (VERDICT r7 item 7).
 Round-11 policy (docs/ROUND11_ROTATION.md): (a) the changed tier — the
 three plan-changed queries (vocab_coverage_curve two-phase rank/cumsum
 rewrite, ann_grid_report integer pair counts, kmeans_lloyd_curve
-quantized argmin); (b) the three new round-11 queries via the
+quantized argmin); (b) the four new round-11 queries via the
 never-verified tier (minhash_calibration, dsir_importance_select,
-semdedup_keep); (c) the
+semdedup_keep, crossdoc_span_stats); (c) the
 flagship; (d) stalest-green backfill: the full 18-name r5-tier
-remainder (round 10's DEFERRED_TO_R11) plus 25 of the 27 r6-tier names
-(tumbling_hourly and top_revenue_suppliers, last in (round, name)
-order, defer to round 12).
+remainder (round 10's DEFERRED_TO_R11) plus 24 of the 27 r6-tier names
+(time_to_conversion, top_revenue_suppliers and tumbling_hourly, last
+in (round, name) order, defer to round 12).
 """
 
 import importlib.util
@@ -56,16 +56,18 @@ BACKLOG_R11 = {
     "dsir_importance_select",  # new in round 11 (DSIR data selection)
     "semdedup_keep",  # new in round 11 (semantic dedup, adaptive-K cells)
     "minhash_calibration",  # new in round 11 (banding S-curve scorecard)
+    "crossdoc_span_stats",  # new in round 11 (ExactSubstr-style spans)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 12: the window cut falls two
-# seats short of clearing the r6-verified tier; these two are last in
+# Boundary-tier backfill deferred to round 12: the window cut falls three
+# seats short of clearing the r6-verified tier; these three are last in
 # the tier's (last_green, name) order. The r7 tier (42 names) is simply
 # fresher, not "deferred".
 DEFERRED_TO_R12 = {
+    "time_to_conversion",
     "top_revenue_suppliers",
     "tumbling_hourly",
 }
