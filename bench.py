@@ -111,6 +111,12 @@ HEADLINE = [
     # (adaptive-K cells + within-cell equi-join pruning)
     "dsir_importance_select",
     "semdedup_keep",
+    # round 12: the two new operators — unrolled BPE merge training (the
+    # vocab-sized iterative loop with in-plan 1-row argmax broadcasts) and
+    # the ExactSubstr cross-document span rewrite (span-grain hash joins +
+    # narrow per-doc token filter)
+    "bpe_merge_rounds",
+    "crossdoc_span_rewrite",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded
@@ -125,16 +131,13 @@ HEADLINE = [
 # already in the headline set with a baseline row; the three pin fixes are
 # NEW to the set and surface under new_queries instead).
 NOT_LIKE_FOR_LIKE: dict[str, str] = {
-    # Round-10 entry (intradoc_dedup_rewrite) retired: BENCH_r10 parses
-    # and becomes the round-11 baseline, so that query is timed on its
-    # current O(L) plan — like-for-like again (rotation doc rule: drop an
-    # entry once a usable driver artifact times the new plan).
-    "vocab_coverage_curve": (
-        "round-11 plan change: vocabulary rank/cumsum went from one "
-        "unpartitioned WindowExec to the two-phase range-partitioned "
-        "with_global_cumsum form (identical output; removes the "
-        "single-task funnel flagged by round-10 verdict item 3)"
-    ),
+    # Round-11 entry (vocab_coverage_curve) retired: BENCH_r11 parses and
+    # becomes the round-12 baseline, so that query is timed on its current
+    # two-phase with_global_cumsum plan — like-for-like again (rotation
+    # doc rule: drop an entry once a usable driver artifact times the new
+    # plan). Round 12 has no plan changes to previously-timed headline
+    # queries; its two additions (bpe_merge_rounds, crossdoc_span_rewrite)
+    # surface under new_queries instead.
 }
 
 
@@ -204,7 +207,10 @@ def main() -> None:
 
     p90_idx = min(len(spreads) - 1, max(0, math.ceil(0.9 * len(spreads)) - 1))
     result = {
-        "metric": "headline_queries_total_wall",
+        # Shortened from "headline_queries_total_wall" in round 12 (bench-
+        # line shrink lever 2, docs/ROUND12_ROTATION.md); _load_baseline
+        # accepts both so every prior-round artifact stays usable.
+        "metric": "headline_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "ml_pipeline_wall": ml_wall,
@@ -283,11 +289,16 @@ def emit_line(result: dict) -> str:
       round's and the baseline round's ``queries`` maps;
     * ``run_spread_p90_pct`` rides only the local artifact (the median is
       the primary noise floor and stays on the line);
+    * ``ml_pipeline_wall`` rides only the local artifact (since round 12:
+      it is a cold single-run MLlib CV wall — the noisiest number in the
+      artifact, never part of the headline total or the 2× gate, and the
+      first shrink lever named in docs/ROUND12_ROTATION.md);
     * ``new_queries`` / ``baseline_total`` — derivable, local-only (since
       round 9)."""
     budget = 1950  # driver tail is 2000; leave newline + margin
     line_result = dict(result)
     line_result.pop("run_spread_p90_pct", None)
+    line_result.pop("ml_pipeline_wall", None)
     # 2-dp per-query timings are the LINE's standard precision (round 10:
     # the 56-query headline set outgrew the budget at 3-dp — 1973 chars in
     # the realistic worst case). 10 ms quantization sits below the
@@ -412,7 +423,8 @@ def _load_baseline(
         payload = data["parsed"] if "parsed" in data else data
         if (
             isinstance(payload, dict)
-            and payload.get("metric") == "headline_queries_total_wall"
+            and payload.get("metric")
+            in ("headline_wall", "headline_queries_total_wall")
             and payload.get("queries")
         ):
             return payload, rnd

@@ -1154,11 +1154,16 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DSIR_BUCKETS}-row ratio frame (AQE broadcasts it) and reduces
     per-document — map-side combinable since a document's tokens are
     co-located. Selection is orderBy+LIMIT = TakeOrdered: no global sort
-    materializes. Exactness: md5-prefix bucketing is engine-portable, each
-    bucket's log-ratio quantizes to BIGINT once (the
-    :func:`.text_quality.unigram_logprob_score` LP_SCALE rule), documents
-    sum INTEGERS, and the top-k cut breaks ties on doc_id — so the k-th
-    boundary is identical on both engines."""
+    materializes. Exactness follows the
+    :func:`.text_quality.unigram_logprob_score` LP_SCALE precedent:
+    md5-prefix bucketing is engine-portable, documents sum INTEGERS, and
+    the top-k cut breaks ties on doc_id — GIVEN identical per-bucket
+    quantized log-ratios. That premise carries the accepted
+    round-before-compare residual: Spark and DuckDB evaluate ln() in
+    their own libm, and a 1-ULP divergence landing within ~1e-10 of a
+    ROUND half-integer boundary would flip one qlr by 1 and could move
+    the k-th selection boundary (ADVICE r11; never observed across the
+    three gated SFs)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -1291,4 +1296,137 @@ def crossdoc_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
             ).alias("dup_span_frac"),
         )
+    )
+
+
+@query(
+    "crossdoc_span_rewrite",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS MATERIALIZED (
+      SELECT doc_id, s.i AS pos,
+             array_to_string(list_slice(t, s.i + 1, s.i + {SPAN}), ' ') AS g
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {SPAN}, 0) + 1)) AS s(i)
+    ), freq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(doc_id) AS min_doc
+      FROM spans GROUP BY g
+    ), rm_pos AS (
+      SELECT DISTINCT s.doc_id, s.pos + j.o AS rp
+      FROM spans s
+           JOIN freq f ON s.g = f.g,
+           UNNEST(range(0, {SPAN})) AS j(o)
+      WHERE f.n_docs >= 2 AND s.doc_id > f.min_doc
+    ), rm_agg AS (
+      SELECT doc_id, list(rp) AS rms FROM rm_pos GROUP BY doc_id
+    ), rewritten AS (
+      SELECT t.doc_id, t.t,
+             list_filter(
+               t.t,
+               (x, i) -> NOT list_contains(
+                 COALESCE(r.rms, CAST([] AS BIGINT[])),
+                 CAST(i - 1 AS BIGINT))
+             ) AS kept
+      FROM toks t LEFT JOIN rm_agg r USING (doc_id)
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string is NULL on an empty list; a fully
+           -- rewritten doc must read '' like Spark's array_join does
+           COALESCE(array_to_string(kept, ' '), '') AS text_rewritten,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+    FROM rewritten
+    """,
+    tags=("dedup-crossdoc", "exact-substr", "rewrite", "curation"),
+)
+def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style cross-document span rewrite (Lee et al. 2022,
+    arXiv:2107.06499 — the operator :func:`crossdoc_span_stats` is the
+    diagnostic for): every token covered by a {SPAN}-token span that also
+    occurs in at least one other document is DROPPED, except in the span's
+    canonical document (the lowest doc_id containing it), which keeps its
+    text untouched for that span. The cross-doc twin of
+    :func:`.tokenizer.intradoc_dedup_rewrite`: one canonical occurrence of
+    each repeated span survives the corpus; every other document is
+    rewritten around it.
+
+    Shape at 100 TB: spans never materialize as strings — tokens hash
+    once, spans hash their {SPAN} consecutive token hashes (the
+    :func:`_gram_hash_frame` convention, positions kept via posexplode so
+    the rewrite knows WHERE each span sits). Span frequency + canonical
+    owner is one map-side-combinable aggregate at span grain; the join
+    back is span-grain equi; victim spans expand to covered token
+    positions ({SPAN}× the victim rows, collapsed by DISTINCT to at most
+    the victim docs' token count); the per-doc position set rides a
+    doc-grain rollup and a doc-grain left join back to the corpus. The
+    rewrite itself is narrow: each document filters its own token array
+    against its own removed-position set (array_contains per token —
+    O(L·|removed|) worst case per doc, and |removed| is zero for the
+    uncontaminated majority, so the corpus-wide cost is dominated by the
+    duplicated slice). No all-pairs term, no global sort, no window.
+    Idempotent: a second pass sees every surviving span occur in at most
+    one document (the canonical copies are untouched, the victims no
+    longer contain the span), so it rewrites nothing — pinned by
+    tests/test_curation.py along with a planted shared-span corpus. A doc
+    shorter than {SPAN} tokens hashes its available tokens (one truncated
+    span, the :func:`_gram_hash_frame` NULL-skip convention mirroring the
+    oracle's truncated list_slice), so verbatim short-doc copies are
+    deduplicated too — their non-canonical copies rewrite to ''. The
+    oracle derives the same rewrite from span STRINGS, so the hash gate
+    also validates the 64-bit span-hash identity; a 64-bit collision
+    falsely removes a span — the accepted filtering-heuristic trade at
+    P ≈ n_spans²/2⁶⁴, same as every hashed-gram operator here."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    staged = d.select(
+        "doc_id", "text", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("th")) - SPAN, F.lit(0))
+    )
+    gram_h = F.transform(
+        starts,
+        lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(SPAN)]),
+    )
+    spans = staged.select(
+        "doc_id", F.posexplode(gram_h).alias("pos", "gram")
+    ).localCheckpoint(eager=False)  # one pin: frequency side + victim side
+    freq = spans.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    victims = spans.join(freq, "gram").filter(
+        (F.col("n_docs") >= 2) & (F.col("doc_id") > F.col("min_doc"))
+    )
+    rm_agg = (
+        victims.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN - 1))
+            ).alias("rp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("rp").alias("rms"))
+    )
+    rewritten = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .join(rm_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "t",
+            F.filter(
+                "t",
+                lambda x, i: ~F.array_contains(
+                    F.coalesce(F.col("rms"), F.array().cast("array<int>")), i
+                ),
+            ).alias("kept"),
+        )
+    )
+    return rewritten.select(
+        "doc_id",
+        F.array_join("kept", " ").alias("text_rewritten"),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size("kept")).cast("long").alias("n_removed"),
     )

@@ -307,10 +307,16 @@ def _lloyd_assign_sql(t: int, dim: int | None = None) -> str:
     either engine could flip one assignment and cascade through every
     later iteration (round-10 ADVICE item 4). Quantizing first makes the
     comparison exact integer on both sides, and the inertia sum reuses the
-    SAME qd2, so assignment and statistic can never disagree. d2 is
-    computed ONCE in an inner projection and the window orders by the
-    alias — DuckDB is not guaranteed to CSE the 64-term fold across the
-    projection and the sort key (round-10 review)."""
+    SAME qd2, so assignment and statistic can never disagree. Residual
+    (ADVICE r11): 'exact integer on both sides' holds only after IDENTICAL
+    rounding — the raw d2 doubles can still differ by ULPs between Spark's
+    sequential zip_with fold and DuckDB's list_dot_product, and if d2·10⁶
+    lands within that ULP gap of a half-integer the two engines' qd2
+    differ by 1, flipping one assignment and cascading. Diagnose a future
+    hash mismatch here by dumping per-vec qd2 at the flipped iteration.
+    d2 is computed ONCE in an inner projection and the window orders by
+    the alias — DuckDB is not guaranteed to CSE the 64-term fold across
+    the projection and the sort key (round-10 review)."""
     from .similarity import _EMB_DIMS
 
     dim = _EMB_DIMS if dim is None else dim
@@ -560,7 +566,11 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell — hash-partitioned, no nested loop. ONE embeddings scan
     feeds codebook, assignment, and both join sides (lazy
     localCheckpoint pins); the assigned frame is pinned so the a/b
-    branches read one materialization."""
+    branches read one materialization. Residual (ADVICE r11): the
+    rounded-cosine argmax is exact-integer only AFTER identical rounding —
+    a ULP divergence between the engines' raw cosine folds landing at a
+    half-integer of cos·10⁶ flips one cell assignment (the accepted
+    round-before-compare residual; see :func:`_lloyd_assign_sql`)."""
     import math
 
     e = load_table(spark, sf_dir, "embeddings")

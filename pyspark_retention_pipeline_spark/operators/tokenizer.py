@@ -209,3 +209,163 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("cum", "rn").alias("covered_tokens"),
         F.min("total").alias("total_tokens"),
     )
+
+
+# Unrolled BPE training rounds (Sennrich et al. 2016, arXiv:1508.07909 —
+# the merge loop bpe_pair_counts computes round 0 of). 4 rounds keeps the
+# unrolled oracle readable while exercising re-segmentation ≥3 times.
+BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`bpe_merge_rounds` — the
+    kmeans_lloyd_curve precedent (ivf._lloyd_oracle) applied to BPE:
+    chained MATERIALIZED vocab states w0..w{k-1}, each round's pair count
+    p{t}, 1-row argmax b{t}, and a literal boundary-wrapped replace()
+    producing w{t}. DuckDB's replace() is left-to-right non-overlapping —
+    the same greedy merge order as Spark's replace() (both inherit the
+    standard scan-and-skip semantics), so re-segmentation is
+    byte-identical."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS r,
+             CAST(COUNT(*) AS BIGINT) AS wn
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+    )"""
+    ]
+    outs = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""p{t} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(wn) AS BIGINT) AS pair_count
+      FROM (SELECT s, wn, unnest(range(1, len(s))) AS i
+            FROM (SELECT string_split(trim(r, '|'), '||') AS s, wn
+                  FROM w{t - 1}))
+      GROUP BY a, b
+    ), b{t} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM p{t}
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    )"""
+        )
+        if t < rounds:
+            parts.append(
+                f"""w{t} AS MATERIALIZED (
+      SELECT replace(w.r, '|' || b.a || '||' || b.b || '|',
+                     '|' || b.a || b.b || '|') AS r, w.wn
+      FROM w{t - 1} w CROSS JOIN b{t} b
+    )"""
+            )
+        outs.append(
+            f"""SELECT {t} AS merge_round, a AS left_sym, b AS right_sym,
+           a || b AS merged_sym, pair_count FROM b{t}"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(outs)
+    )
+
+
+@query(
+    "bpe_merge_rounds",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_ROUNDS} actual BPE merge rounds — pick the most frequent
+    adjacent symbol pair (corpus-weighted), merge it everywhere,
+    recount — returning the merge table (round, pair, merged symbol,
+    count), i.e. the first rows of a trained tokenizer's merges.txt.
+    :func:`bpe_pair_counts` is round 0's statistic; this runs the loop.
+
+    Scale shape: ONE corpus scan reduces to (word, count) — after that
+    every stage is VOCABULARY-sized, which is what makes BPE training
+    tractable at 100 TB (a web corpus has 10⁸-10⁹ word types but 10¹¹⁺
+    tokens; the loop never touches the corpus again). Each word's
+    segmentation state is a boundary-wrapped string ``|s1||s2||...|``:
+    merging pair (a,b) is a literal ``replace('|a||b|' → '|ab|')`` —
+    boundary-safe (a symbol suffix can't false-match, '|' never occurs in
+    the corpus charset) and greedy left-to-right non-overlapping in BOTH
+    engines (``'|a||a||a|' → '|aa||a|'``, the standard BPE scan order), so
+    re-segmentation stays a narrow per-row string op with zero shuffle.
+    Per round: pair counts are a map-side-combinable vocab-grain
+    aggregate; the argmax is orderBy+LIMIT 1 = TakeOrdered (ties break
+    (count desc, a, b) — deterministic cross-engine on ASCII); the 1-row
+    winner broadcast-cross-joins back onto the vocab (the
+    :func:`..ivf.kmeans_lloyd_curve` centroid-frame pattern — everything
+    stays in-plan, no driver-side data dependence). Vocab states and
+    winners are pinned (lazy localCheckpoint) since each feeds two
+    consumers. Counting is adjacent-position (overlapping) pair frequency,
+    the same statistic as :func:`bpe_pair_counts`. Single-symbol words
+    drop out of counting (no pairs) but stay merge-eligible only in
+    principle — a merged symbol always has ≥2 chars, so the length-≥2
+    filter at reduction time loses nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("wn"))
+        .select(F.regexp_replace("w", "(.)", r"|$1|").alias("r"), "wn")
+        .localCheckpoint(eager=False)
+    )
+    rounds = []
+    for t in range(1, BPE_ROUNDS + 1):
+        syms = vocab.select(
+            F.split(F.btrim(F.col("r"), F.lit("|")), r"\|\|").alias("s"), "wn"
+        ).filter(F.size("s") >= 2)
+        pairs = syms.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("s") - 2),
+                    lambda i: F.struct(
+                        F.get("s", i).alias("a"), F.get("s", i + 1).alias("b")
+                    ),
+                )
+            ).alias("p"),
+            "wn",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wn")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wn").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=False)  # 1 row: output + next vocab
+        )
+        rounds.append(
+            best.select(
+                F.lit(t).alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged_sym"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+            )
+        )
+        if t < BPE_ROUNDS:
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("a", "b")))
+                .select(
+                    F.replace(
+                        F.col("r"),
+                        F.concat(
+                            F.lit("|"),
+                            F.col("a"),
+                            F.lit("||"),
+                            F.col("b"),
+                            F.lit("|"),
+                        ),
+                        F.concat(
+                            F.lit("|"), F.col("a"), F.col("b"), F.lit("|")
+                        ),
+                    ).alias("r"),
+                    "wn",
+                )
+                .localCheckpoint(eager=False)  # feeds count t+1 AND vocab t+2
+            )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

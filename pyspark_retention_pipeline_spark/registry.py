@@ -40,76 +40,75 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-11 rotation (docs/ROUND11_ROTATION.md) — GENERATED:
+# Round-12 rotation (docs/ROUND12_ROTATION.md) — GENERATED:
 # ``scripts/derive_front.py`` derives this window mechanically from the
 # committed CORRECTNESS_r*.json driver artifacts (rounds BEFORE the
 # configured one only, so the derivation is stable whenever the current
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-11 composition: the three plan-changed queries
-# seat first (vocab_coverage_curve two-phase rank/cumsum rewrite;
-# ann_grid_report integer pair counts; kmeans_lloyd_curve quantized
-# argmin), the four NEW queries (minhash_calibration,
-# dsir_importance_select, semdedup_keep, crossdoc_span_stats) enter via
-# the never-verified tier, then the flagship, then 42 stalest-green
-# backfill seats — the full 18-name r5-tier remainder (round-10's
-# DEFERRED_TO_R11) and 24 of the 27 r6-tier names (time_to_conversion,
-# top_revenue_suppliers and tumbling_hourly, last in (round, name)
-# order, defer to round 12).
+# script's output. Round-12 composition: no plan-changed queries; the two
+# NEW queries (bpe_merge_rounds — unrolled BPE merge training rounds —
+# and crossdoc_span_rewrite — the ExactSubstr cross-document span
+# rewrite) enter via the never-verified tier, then the flagship, then 47
+# stalest-green backfill seats — the 3-name r6-tier remainder
+# (round-11's DEFERRED_TO_R12: time_to_conversion, top_revenue_suppliers,
+# tumbling_hourly) and the FULL 42-name r7 tier, clearing the staleness
+# floor to r8, plus the first 2 r8-tier names in (round, name) order
+# (ab_conversion_ztest, above_avg_orders).
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "vocab_coverage_curve",
-    "ann_grid_report",
-    "kmeans_lloyd_curve",
-    "minhash_calibration",
-    "dsir_importance_select",
-    "crossdoc_span_stats",
-    "semdedup_keep",
+    "bpe_merge_rounds",
+    "crossdoc_span_rewrite",
     "churn_features",
-    "p99_quantile",
-    "pack_documents",
-    "parquet_roundtrip_revenue",
-    "pii_scrub",
-    "product_type_profit",
-    "purchase_gaps",
-    "quality_budget_select",
-    "repetition_stats",
-    "rollup_revenue",
-    "skew_salted_segment_counts",
-    "source_mix_report",
-    "text_stats",
-    "threshold_curve",
-    "token_budget_select",
-    "token_len_histogram",
-    "train_val_test_split",
-    "valid_lines",
-    "waiting_suppliers",
-    "asof_last_purchase",
-    "cohort_ltv",
-    "cohort_retention",
-    "customer_rank_family",
-    "daily_activity_revenue_outer",
-    "daily_rollup_from_hourly",
-    "dn_retention",
-    "doc_len_quartiles_by_lang",
-    "dup_rate_by_source",
-    "event_day_spine_fill",
-    "event_transition_matrix",
-    "event_type_hourly_pivot",
-    "first_touch_attribution",
-    "growth_accounting",
-    "power_user_curve",
-    "range_join_error_context",
-    "rolling_7d_revenue",
-    "session_duration_histogram",
-    "session_funnel",
-    "sessionize",
-    "signup_purchase_funnel",
-    "sliding_hourly",
-    "source_cap_select",
-    "stickiness_ratio",
+    "time_to_conversion",
+    "top_revenue_suppliers",
+    "tumbling_hourly",
+    "audience_overlap",
+    "basket_lift",
+    "bounce_rate_daily",
+    "bucketed_join_revenue",
+    "cdc_multi_action_apply",
+    "centroid_inertia",
+    "cumulative_new_users",
+    "daily_anomaly_zscore",
+    "dq_constraint_report",
+    "heavy_hitter_tokens",
+    "join_key_skew_profile",
+    "lorenz_deciles",
+    "merge_upsert_snapshot",
+    "minhash_signatures",
+    "nation_revenue_trend",
+    "part_cooccurrence",
+    "partition_pruned_revenue",
+    "prefix_edit_distance_pairs",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock",
+    "q2_min_cost_supplier",
+    "recursive_month_spine",
+    "retention_by_first_touch",
+    "revenue_gini",
+    "revenue_mom_growth",
+    "revenue_trend_forecast",
+    "rfm_segments",
+    "scd2_order_versions",
+    "simhash64",
+    "snapshot_diff_summary",
+    "source_temperature_weights",
+    "top_parts_per_segment",
+    "top_session_paths",
+    "udtf_sentence_split",
+    "unigram_logprob_score",
+    "user_type_entropy",
+    "variant_props_histogram",
+    "weekday_hour_heatmap",
+    "weighted_doc_sample",
+    "winnowing_fingerprints",
+    "winsorized_spend_stats",
+    "ab_conversion_ztest",
+    "above_avg_orders",
 )
 
 

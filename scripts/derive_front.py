@@ -49,23 +49,13 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 11
+ROUND = 12
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 11:
-# vocab_coverage_curve: the vocabulary rank/cumsum went from a single
-# unpartitioned WindowExec to the two-phase with_global_cumsum form
-# (round-10 verdict item 3), plus the coverage-target frame became a
-# plan-time literal (identical output, hash-green all SFs).
-# ann_grid_report: bounded_cand_pairs moved from float m*(m-1)/2 to
-# integer (m*(m-1)) DIV 2 BIGINT sums on both engines (round-10 ADVICE).
-# kmeans_lloyd_curve: the per-vector argmin now compares the
-# 1e-6-quantized BIGINT distance instead of raw doubles, on both engines
-# (round-10 ADVICE item 4); inertia reuses the same quantized value.
-CHANGED: tuple[str, ...] = (
-    "vocab_coverage_curve",
-    "ann_grid_report",
-    "kmeans_lloyd_curve",
-)
+# listed in change order. Round 12: none yet (the two NEW queries —
+# crossdoc_span_rewrite, bpe_merge_rounds — enter via the never-verified
+# tier automatically; docstring-only edits to dsir_importance_select /
+# kmeans_lloyd_curve / semdedup_keep do not change plans).
+CHANGED: tuple[str, ...] = ()
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()

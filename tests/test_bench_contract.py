@@ -33,7 +33,7 @@ def _bench():
 def _result(bench, *, new, nlfl, regressed, t=9999.999) -> dict:
     timings = {name: t for name in bench.HEADLINE}
     return {
-        "metric": "headline_queries_total_wall",
+        "metric": "headline_wall",
         "value": 99999.999,
         "unit": "sec",
         "ml_pipeline_wall": 9999.999,
@@ -94,6 +94,11 @@ def test_realistic_round_fits_without_degradation():
     # emit_line's key map).
     assert "new_queries" not in vs and "baseline_total" not in vs
     assert "run_spread_p90_pct" not in parsed
+    # ml_pipeline_wall is local-artifact-only since round 12 (noisiest
+    # number, not part of any gate; bench-line shrink lever 1) — but it
+    # must still be in the full result dict bound for BENCH_LOCAL.json.
+    assert "ml_pipeline_wall" not in parsed
+    assert result["ml_pipeline_wall"] == 9999.999
     assert parsed["run_spread_med_pct"] == 99.9
     assert vs["total_ratio"] == 99.999
     assert sorted(vs["nlfl"]) == sorted(h[8:16])
@@ -226,3 +231,22 @@ def test_load_baseline_round_bound_defaults_to_config_round():
     assert bench._config_round() == front.ROUND
     _baseline, rnd = bench._load_baseline()
     assert rnd is not None and rnd < front.ROUND
+
+
+def test_load_baseline_accepts_both_metric_names(tmp_path):
+    """Round 12 shortened the emitted metric self-identifier
+    (headline_queries_total_wall -> headline_wall, bench-line shrink
+    lever 2); the loader must accept BOTH so pre-round-12 driver
+    artifacts stay usable as baselines."""
+    bench = _bench()
+    old = dict(_payload(6))  # _payload uses the legacy long name
+    assert old["metric"] == "headline_queries_total_wall"
+    new = dict(_payload(7))
+    new["metric"] = "headline_wall"
+    _write_artifact(tmp_path, 6, {"parsed": old})
+    _write_artifact(tmp_path, 7, {"parsed": new})
+    baseline, rnd = bench._load_baseline(root=str(tmp_path))
+    assert rnd == 7 and baseline["metric"] == "headline_wall"
+    # and falling back past the new-name round still lands on the old name
+    baseline, rnd = bench._load_baseline(root=str(tmp_path), before_round=7)
+    assert rnd == 6 and baseline["metric"] == "headline_queries_total_wall"

@@ -381,19 +381,34 @@ def test_dsir_importance_select_prefers_target_like_docs(spark, monkeypatch):
     assert out[0] == out[2]  # score depends on the token bag alone
 
 
-def test_crossdoc_span_stats_planted_shared_span(spark, monkeypatch):
-    """A span copied verbatim between two documents must be flagged in
-    BOTH (n_dup_spans >= 1), an all-unique document must score 0, and an
-    exact duplicate pair must score dup_span_frac == 1.0 on both sides."""
+def _span_rows():
+    """Planted corpus shared by the span-stats and span-rewrite tests:
+    docs 0/1 share ONE verbatim 8-token span around unique filler; 2 is
+    all-unique; 3/4 are exact 20-token duplicates; 5/6 are identical
+    SHORT docs (5 tokens < SPAN — they hash one truncated span, the
+    _gram_hash_frame NULL-skip convention mirroring the oracle's
+    truncated list_slice, the ADVICE-r11 short-doc coupling); 7 is a
+    distinct short doc."""
     shared = " ".join(f"s{i}" for i in range(8))  # one exact 8-token span
-    rows = [
+    return [
         (0, shared + " " + " ".join(f"a{i}" for i in range(10))),
         (1, " ".join(f"b{i}" for i in range(10)) + " " + shared),
         (2, " ".join(f"c{i}" for i in range(20))),
         (3, " ".join(f"d{i}" for i in range(20))),
         (4, " ".join(f"d{i}" for i in range(20))),  # exact dup of 3
+        (5, "w0 w1 w2 w3 w4"),  # short (< SPAN tokens)
+        (6, "w0 w1 w2 w3 w4"),  # exact short dup of 5
+        (7, "v0 v1 v2 v3 v4"),  # distinct short doc
     ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_crossdoc_span_stats_planted_shared_span(spark, monkeypatch):
+    """A span copied verbatim between two documents must be flagged in
+    BOTH (n_dup_spans >= 1), an all-unique document must score 0, an
+    exact duplicate pair must score dup_span_frac == 1.0 on both sides,
+    and a sub-SPAN-length duplicate pair must be flagged via its one
+    truncated span (pins the short-doc hash/oracle equivalence)."""
+    docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
     monkeypatch.setattr(cu, "load_table", lambda *_: docs)
     out = {r["doc_id"]: r for r in cu.crossdoc_span_stats(spark, "x").collect()}
     assert out[0]["n_dup_spans"] >= 1 and out[1]["n_dup_spans"] >= 1
@@ -401,3 +416,57 @@ def test_crossdoc_span_stats_planted_shared_span(spark, monkeypatch):
     assert out[3]["dup_span_frac"] == 1.0 and out[4]["dup_span_frac"] == 1.0
     # the shared span is ONE of doc 0's spans, not all of them
     assert 0 < out[0]["dup_span_frac"] < 1
+    # short docs: one truncated span each; the identical pair is flagged,
+    # the distinct one is clean
+    assert out[5]["n_spans"] == 1 and out[6]["n_spans"] == 1
+    assert out[5]["dup_span_frac"] == 1.0 and out[6]["dup_span_frac"] == 1.0
+    assert out[7]["n_spans"] == 1 and out[7]["dup_span_frac"] == 0.0
+
+
+def test_crossdoc_span_rewrite_planted(spark, monkeypatch):
+    """Rewrite semantics: the canonical (lowest-doc_id) occurrence of a
+    repeated span is untouched; every other document drops exactly the
+    covered tokens; unique docs pass through; a non-canonical exact dup
+    (full-length or sub-SPAN short) rewrites to ''."""
+    docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {
+        r["doc_id"]: r for r in cu.crossdoc_span_rewrite(spark, "x").collect()
+    }
+    rows = dict(_span_rows())
+    # canonical / unique docs untouched
+    for i in (0, 2, 3, 5, 7):
+        assert out[i]["text_rewritten"] == rows[i], f"doc {i} must be kept"
+        assert out[i]["n_removed"] == 0
+    # doc 1 drops exactly the 8 shared-span tokens, keeps its filler
+    assert out[1]["text_rewritten"] == " ".join(f"b{i}" for i in range(10))
+    assert out[1]["n_removed"] == 8 and out[1]["n_tokens"] == 18
+    # non-canonical exact dups (long and short) rewrite to ''
+    assert out[4]["text_rewritten"] == "" and out[4]["n_removed"] == 20
+    assert out[6]["text_rewritten"] == "" and out[6]["n_removed"] == 5
+
+
+def test_crossdoc_span_rewrite_idempotent(spark, monkeypatch):
+    """Rewriting twice = rewriting once: after the first pass every
+    surviving span occurs in at most one document (canonical copies are
+    untouched, victims no longer contain the span), so a second pass
+    removes nothing."""
+    docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    first = cu.crossdoc_span_rewrite(spark, "x").collect()
+    again = spark.createDataFrame(
+        [(r["doc_id"], r["text_rewritten"]) for r in first],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(cu, "load_table", lambda *_: again)
+    second = {
+        r["doc_id"]: r for r in cu.crossdoc_span_rewrite(spark, "x").collect()
+    }
+    for r in first:
+        assert second[r["doc_id"]]["text_rewritten"] == r["text_rewritten"]
+        # n_removed == 0 for every non-degenerate doc; docs already
+        # rewritten to '' split to one empty token and (being identical)
+        # re-flag each other — the text is '' either way, and a real
+        # pipeline drops empties between passes
+        if r["text_rewritten"]:
+            assert second[r["doc_id"]]["n_removed"] == 0

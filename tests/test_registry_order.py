@@ -10,16 +10,13 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-11 policy (docs/ROUND11_ROTATION.md): (a) the changed tier — the
-three plan-changed queries (vocab_coverage_curve two-phase rank/cumsum
-rewrite, ann_grid_report integer pair counts, kmeans_lloyd_curve
-quantized argmin); (b) the four new round-11 queries via the
-never-verified tier (minhash_calibration, dsir_importance_select,
-semdedup_keep, crossdoc_span_stats); (c) the
-flagship; (d) stalest-green backfill: the full 18-name r5-tier
-remainder (round 10's DEFERRED_TO_R11) plus 24 of the 27 r6-tier names
-(time_to_conversion, top_revenue_suppliers and tumbling_hourly, last
-in (round, name) order, defer to round 12).
+Round-12 policy (docs/ROUND12_ROTATION.md): (a) the changed tier — EMPTY
+(no previously-seated plan changed); (b) the two new round-12 queries via
+the never-verified tier (bpe_merge_rounds, crossdoc_span_rewrite); (c)
+the flagship; (d) stalest-green backfill: the 3-name r6-tier remainder
+(round 11's DEFERRED_TO_R12), the FULL 42-name r7 tier (staleness floor
+moves to r8), and the first 2 r8-tier names (ab_conversion_ztest,
+above_avg_orders).
 """
 
 import importlib.util
@@ -34,42 +31,30 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 11 — plan-change rule makes seating
+# (a) implementation changed in round 12 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-# vocab_coverage_curve: vocabulary rank/cumsum went from a single
-# unpartitioned WindowExec to the two-phase with_global_cumsum form, and
-# the coverage-target frame became a plan-time literal (round-10 verdict
-# item 3).
-# ann_grid_report: bounded_cand_pairs moved to integer (m*(m-1)) DIV 2
-# BIGINT sums on both engines (round-10 ADVICE item 2).
-# kmeans_lloyd_curve: per-vector argmin now compares the 1e-6-quantized
-# BIGINT distance on both engines (round-10 ADVICE item 4).
-CHANGED_R11 = {
-    "vocab_coverage_curve",
-    "ann_grid_report",
-    "kmeans_lloyd_curve",
-}
+# Empty at round start: round 12's additions are NEW queries, and the
+# ADVICE-r11 items were docstring-only.
+CHANGED_R12: set[str] = set()
 
-# (b) never-driver-verified backlog: ZERO at rotation time (round 10
-# seated all of it); the round-11 additions enter here as registered.
-BACKLOG_R11 = {
-    "dsir_importance_select",  # new in round 11 (DSIR data selection)
-    "semdedup_keep",  # new in round 11 (semantic dedup, adaptive-K cells)
-    "minhash_calibration",  # new in round 11 (banding S-curve scorecard)
-    "crossdoc_span_stats",  # new in round 11 (ExactSubstr-style spans)
+# (b) never-driver-verified backlog: ZERO at rotation time (round 11
+# seated all of it); the round-12 additions enter here as registered.
+BACKLOG_R12 = {
+    "bpe_merge_rounds",  # new in round 12 (unrolled BPE merge training)
+    "crossdoc_span_rewrite",  # new in round 12 (ExactSubstr span rewrite)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 12: the window cut falls three
-# seats short of clearing the r6-verified tier; these three are last in
-# the tier's (last_green, name) order. The r7 tier (42 names) is simply
-# fresher, not "deferred".
-DEFERRED_TO_R12 = {
-    "time_to_conversion",
-    "top_revenue_suppliers",
-    "tumbling_hourly",
+# Boundary-tier backfill deferred to round 13: the r6 remainder and the
+# full r7 tier fit this round with two r8 seats to spare, so the deferral
+# set is the REST of the r8 tier — names only needed by the boundary test
+# below, which checks the first few in (round, name) order stay outside.
+DEFERRED_TO_R13 = {
+    "active_customers_semi",
+    "all_orders_finished",
+    "best_threshold",
 }
 
 
@@ -101,22 +86,22 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R11 | BACKLOG_R11 | FLAGSHIP) - window
+    missing = (CHANGED_R12 | BACKLOG_R12 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
     """The whole backlog must carry oracles — a rows-only seat would burn a
     slot on a weaker check (rows-only ops re-seat only on change)."""
-    missing = BACKLOG_R11 - set(all_oracle_sql())
+    missing = BACKLOG_R12 - set(all_oracle_sql())
     assert not missing, f"backlog entries missing oracles: {missing}"
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R12 <= set(qs)
+    assert DEFERRED_TO_R13 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R12 & window
+    overlap = DEFERRED_TO_R13 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 

@@ -166,3 +166,49 @@ def test_vocab_coverage_curve_hand_checked(spark, monkeypatch):
     }
     assert rows[75]["covered_tokens"] == 15
     assert all(r["total_tokens"] == 20 for r in rows.values())
+
+
+def test_bpe_merge_rounds_hand_checked(spark, monkeypatch):
+    """Full merge-loop semantics, hand-computed. Corpus words (weights):
+    abab x2, ab x1, abc x3. Round 1 pairs: (a,b) = 2*2+1+3 = 8 (abab has
+    TWO adjacent (a,b) occurrences), (b,a) = 2, (b,c) = 3 -> merge
+    (a,b)->'ab' @8. Round 2 (abab=|ab||ab|, abc=|ab||c|): (ab,ab) = 2,
+    (ab,c) = 3 -> merge (ab,c)->'abc' @3. Round 3: (ab,ab) = 2 -> merge
+    'abab' @2. Round 4: every word is a single symbol -> NO pair exists;
+    the round emits no row (degenerate-vocab behavior: the merge table is
+    shorter than BPE_ROUNDS, same on both engines)."""
+    import pyspark_retention_pipeline_spark.operators.tokenizer as tok
+
+    docs = _docs(spark, ["abab abab ab", "abc abc abc"])
+    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    rows = {
+        r["merge_round"]: (
+            r["left_sym"],
+            r["right_sym"],
+            r["merged_sym"],
+            r["pair_count"],
+        )
+        for r in QUERIES["bpe_merge_rounds"](spark, "x").collect()
+    }
+    assert rows == {
+        1: ("a", "b", "ab", 8),
+        2: ("ab", "c", "abc", 3),
+        3: ("ab", "ab", "abab", 2),
+    }
+
+
+def test_bpe_merge_rounds_greedy_nonoverlapping(spark, monkeypatch):
+    """'aaaa' re-segments greedily left-to-right: merging (a,a) gives
+    (aa)(aa), not (a)(aa)(a) — so round 2's top pair is (aa,aa). Also pins
+    that round-1 counting is adjacent-position (overlapping): 'aaaa' has
+    THREE (a,a) positions."""
+    import pyspark_retention_pipeline_spark.operators.tokenizer as tok
+
+    docs = _docs(spark, ["aaaa aaaa"])
+    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    rows = {
+        r["merge_round"]: (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["bpe_merge_rounds"](spark, "x").collect()
+    }
+    assert rows[1] == ("a", "a", 6)  # 3 overlapping positions x weight 2
+    assert rows[2] == ("aa", "aa", 2)  # greedy pairing, one per word
