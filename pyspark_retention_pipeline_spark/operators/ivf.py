@@ -557,9 +557,14 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed; beyond that the whole-corpus production path is
     :func:`build_ivf_index` (MLlib, multi-level cells) + the cell id as
     a write-time partition column (the self-join becomes
-    partition-local) + :func:`..buckets.bounded_bucket_pairs` as the
-    hot-cell degrade — all in-repo; they are not used here so the oracle
-    stays the exact algorithm. The codebook is the deterministic md5
+    partition-local — MEASURED in round 12: pruning over a cell-bucketed
+    table is ~3× cheaper per run than this in-memory shuffle-join form
+    at sf0.1/10×/100×, with zero cell Exchanges in the plan and the
+    one-time bucketed write amortizing from the second run; SCALE.md
+    round-12 box, ``scripts/scale_experiment.py --semdedup``) +
+    :func:`..buckets.bounded_bucket_pairs` as the hot-cell degrade — all
+    in-repo; they are not used here so the oracle stays the exact
+    algorithm. The codebook is the deterministic md5
     ranking (TakeOrdered + one-row collect_list, the :func:`ivf_knn`
     machinery), assignment is the zero-shuffle in-row argmax over the
     broadcast codebook, and the within-cell comparison is an equi-join
@@ -571,9 +576,20 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ULP divergence between the engines' raw cosine folds landing at a
     half-integer of cos·10⁶ flips one cell assignment (the accepted
     round-before-compare residual; see :func:`_lloyd_assign_sql`)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = semdedup_assigned_frame(e)
+    return semdedup_prune_frame(assigned, assigned)
+
+
+def semdedup_assigned_frame(e: DataFrame) -> DataFrame:
+    """The SemDeDup assignment stage as its own frame: ``(vec_id, v, nrm,
+    cell)``, pinned (lazy localCheckpoint). Extracted from
+    :func:`semdedup_keep` (plan unchanged — pure function extraction) so
+    the scale probe (``scripts/scale_experiment.py --semdedup``) can A/B
+    the production write-time-cell-partitioning path against the
+    registered in-memory shuffle-join form over the SAME assignment."""
     import math
 
-    e = load_table(spark, sf_dir, "embeddings")
     k = max(2, min(SEMDEDUP_MAX_CELLS, math.isqrt(e.count())))
     staged = (
         e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
@@ -590,7 +606,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-x["cell"]).alias("negcell"),
         ),
     )
-    assigned = (
+    return (
         staged.crossJoin(F.broadcast(cb))
         .select(
             "vec_id",
@@ -600,10 +616,17 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # one frame for both join sides
     )
-    a = assigned.select(
+
+
+def semdedup_prune_frame(a_src: DataFrame, b_src: DataFrame) -> DataFrame:
+    """The SemDeDup within-cell pruning stage: keep-first rollup over two
+    readings of the assignment frame (both args are the SAME pinned frame
+    in the registered query; the scale probe passes two readings of a
+    cell-bucketed TABLE instead, making the equi-join shuffle-free)."""
+    a = a_src.select(
         "vec_id", "cell", F.col("v").alias("av"), F.col("nrm").alias("an")
     )
-    b = assigned.select(
+    b = b_src.select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("cell").alias("b_cell"),
         F.col("v").alias("bv"),

@@ -287,6 +287,81 @@ def ann_probe(spark, dirs: list[str], reps: int) -> None:
             print(f"| {d} | {label} | {bits} | {min(runs):.3f} |")
 
 
+def semdedup_probe(spark, dirs: list[str], reps: int, scratch: str) -> None:
+    """A/B the SemDeDup production path against the registered form, over
+    the SAME assignment frame (round-11 verdict item 4 — the one stated-
+    but-unmeasured scale claim in semdedup_keep's docstring).
+
+    * ``shuffle-join`` — the registered plan's pruning: the pinned
+      in-memory assignment self-joins on cell, so BOTH sides shuffle the
+      full corpus (vectors included, ~65 doubles/row) by cell, every run.
+    * ``bucketed`` — the production path: the assignment frame is written
+      ONCE as a cell-bucketed table (write-time cell partitioning), and
+      the within-cell pruning reads the table twice — the equi-join on
+      cell is then partition-local (no Exchange on either side; the probe
+      asserts that from the physical plan). The write is reported
+      separately: in production it amortizes (the same materialized
+      assignment serves repeated pruning runs, threshold sweeps, and
+      incremental re-scores), so the steady-state comparison is
+      prune-vs-prune; write+prune is the single-shot comparison.
+
+    The rollup shuffle (groupBy vec_id) is identical in both forms."""
+    from pyspark_retention_pipeline_spark.operators.ivf import (
+        semdedup_assigned_frame,
+        semdedup_prune_frame,
+    )
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    print("| dir | n | form | prune wall s | write wall s | join exchanges |")
+    print("|---|---|---|---|---|---|")
+    for d in dirs:
+        emb = load_table(spark, d, "embeddings")
+        n = emb.count()
+        tag = d.strip("/").replace("/", "_").replace(".", "_")
+
+        # Registered form: pinned frame, self-join shuffles by cell.
+        runs = []
+        for _ in range(reps):
+            assigned = semdedup_assigned_frame(emb)
+            pruned = semdedup_prune_frame(assigned, assigned)
+            start = time.perf_counter()
+            pruned.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        print(
+            f"| {d} | {n} | shuffle-join | {min(runs):.3f} | — "
+            f"| {plan.count('Exchange hashpartitioning(cell')} |"
+        )
+
+        # Production form: assignment written once, bucketed by cell;
+        # pruning joins two readings of the bucketed table shuffle-free.
+        table = f"semdedup_cells_{tag}"
+        assigned = semdedup_assigned_frame(emb)
+        start = time.perf_counter()
+        (
+            assigned.write.bucketBy(32, "cell")
+            .sortBy("cell")
+            .mode("overwrite")
+            .option("path", os.path.join(scratch, table))
+            .saveAsTable(table)
+        )
+        write_wall = time.perf_counter() - start
+        tbl = spark.table(table)
+        runs = []
+        for _ in range(reps):
+            pruned = semdedup_prune_frame(tbl, tbl)
+            start = time.perf_counter()
+            pruned.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        n_exch = plan.count("Exchange hashpartitioning(cell")
+        print(
+            f"| {d} | {n} | bucketed | {min(runs):.3f} | {write_wall:.3f} "
+            f"| {n_exch} |"
+        )
+        assert n_exch == 0, "bucketed join unexpectedly shuffled on cell"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=SRC_DEFAULT)
@@ -294,6 +369,7 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--probe", action="store_true")
     ap.add_argument("--ann", action="store_true")
+    ap.add_argument("--semdedup", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument(
@@ -313,6 +389,10 @@ def main() -> None:
         probe(spark, args.src, args.out, args.reps)
     if args.ann:
         ann_probe(spark, [args.src, args.out], args.reps)
+    if args.semdedup:
+        semdedup_probe(
+            spark, [args.src, args.out], args.reps, os.path.dirname(args.out)
+        )
     spark.stop()
 
 
