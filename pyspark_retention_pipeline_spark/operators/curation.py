@@ -45,7 +45,10 @@ CONTAM_KEEP_DEN = 5
 
 
 def _gram_hash_frame(
-    docs: DataFrame, distinct: bool = True, k: int = NGRAM
+    docs: DataFrame,
+    distinct: bool = True,
+    k: int = NGRAM,
+    with_pos: bool = False,
 ) -> DataFrame:
     """(doc_id, gram) rows where ``gram`` is the 64-bit hash of a distinct
     word ``k``-gram (default {NGRAM}) — n-gram identity WITHOUT materializing n-gram
@@ -61,7 +64,13 @@ def _gram_hash_frame(
     standard trade in public n-gram-decontamination recipes. Short docs
     (< {NGRAM} tokens) hash their available tokens (``get`` past the end is
     NULL; xxhash64 skips NULLs) — one gram, same convention as the string
-    form."""
+    form. ``with_pos=True`` keeps every occurrence with its 0-based token
+    start position — ``(doc_id, pos, gram)`` via posexplode, ``distinct``
+    ignored (positions imply occurrences) — the mode the span REWRITE
+    needs (:func:`crossdoc_span_rewrite`); single definition so the span
+    identity convention (NULL-skip truncation, hash-of-token-hashes,
+    staging) cannot drift between the diagnostic and the rewrite
+    (round-12 review finding)."""
     toks = F.split(F.col("text"), " ")
     staged = docs.select(
         "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
@@ -70,6 +79,10 @@ def _gram_hash_frame(
     gram_h = F.transform(
         starts, lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(k)])
     )
+    if with_pos:
+        return staged.select(
+            "doc_id", F.posexplode(gram_h).alias("pos", "gram")
+        )
     if distinct:
         gram_h = F.array_distinct(gram_h)
     return staged.select("doc_id", F.explode(gram_h).alias("gram"))
@@ -1379,20 +1392,9 @@ def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     falsely removes a span — the accepted filtering-heuristic trade at
     P ≈ n_spans²/2⁶⁴, same as every hashed-gram operator here."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    staged = d.select(
-        "doc_id", "text", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(F.col("th")) - SPAN, F.lit(0))
-    )
-    gram_h = F.transform(
-        starts,
-        lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(SPAN)]),
-    )
-    spans = staged.select(
-        "doc_id", F.posexplode(gram_h).alias("pos", "gram")
-    ).localCheckpoint(eager=False)  # one pin: frequency side + victim side
+    spans = _gram_hash_frame(d, k=SPAN, with_pos=True).localCheckpoint(
+        eager=False
+    )  # one pin: frequency side + victim side
     freq = spans.groupBy("gram").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),

@@ -557,11 +557,12 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed; beyond that the whole-corpus production path is
     :func:`build_ivf_index` (MLlib, multi-level cells) + the cell id as
     a write-time partition column (the self-join becomes
-    partition-local — MEASURED in round 12: pruning over a cell-bucketed
-    table is ~3× cheaper per run than this in-memory shuffle-join form
-    at sf0.1/10×/100×, with zero cell Exchanges in the plan and the
-    one-time bucketed write amortizing from the second run; SCALE.md
-    round-12 box, ``scripts/scale_experiment.py --semdedup``) +
+    partition-local — MEASURED in round 12: the cell-bucketed plan has
+    ZERO cell Exchanges, prune-only wall 1.7-1.9× better at small n and
+    parity at 200k vectors on local[32], where loopback shuffle is
+    cheap — the removed term is cross-NODE network, the one a single
+    host cannot price; SCALE.md round-12 box,
+    ``scripts/scale_experiment.py --semdedup``) +
     :func:`..buckets.bounded_bucket_pairs` as the hot-cell degrade — all
     in-repo; they are not used here so the oracle stays the exact
     algorithm. The codebook is the deterministic md5

@@ -295,6 +295,13 @@ def semdedup_probe(spark, dirs: list[str], reps: int, scratch: str) -> None:
     * ``shuffle-join`` — the registered plan's pruning: the pinned
       in-memory assignment self-joins on cell, so BOTH sides shuffle the
       full corpus (vectors included, ~65 doubles/row) by cell, every run.
+      The assignment is MATERIALIZED (count() forces the lazy
+      localCheckpoint) BEFORE the timer, so the reported wall is
+      prune-only — the first-cut probe timed assignment+prune here while
+      the bucketed row excluded assignment, overstating the gap
+      (round-12 review finding; both forms now start from a completed
+      assignment: this one pinned in memory, that one persisted
+      bucketed).
     * ``bucketed`` — the production path: the assignment frame is written
       ONCE as a cell-bucketed table (write-time cell partitioning), and
       the within-cell pruning reads the table twice — the equi-join on
@@ -320,9 +327,13 @@ def semdedup_probe(spark, dirs: list[str], reps: int, scratch: str) -> None:
         tag = d.strip("/").replace("/", "_").replace(".", "_")
 
         # Registered form: pinned frame, self-join shuffles by cell.
+        # One assignment materialized up front (count() fires the lazy
+        # checkpoint); each rep re-prunes from the SAME pinned frame —
+        # mirror of the bucketed loop re-reading the same table.
+        assigned = semdedup_assigned_frame(emb)
+        assigned.count()
         runs = []
         for _ in range(reps):
-            assigned = semdedup_assigned_frame(emb)
             pruned = semdedup_prune_frame(assigned, assigned)
             start = time.perf_counter()
             pruned.write.format("noop").mode("overwrite").save()

@@ -37,6 +37,11 @@ SKIP = {
     "ml_churn_metrics",
     "ml_threshold_from_scores",
     "kmeans_lloyd_curve",
+    # bpe_merge_rounds: every stage hides behind a lazy localCheckpoint
+    # (LogicalRDD leaves), so the final plan censuses as a vacuous 0 —
+    # the pin could never fire (round-12 review finding; same class as
+    # kmeans_lloyd_curve).
+    "bpe_merge_rounds",
     "dedup_clusters",
     "dedup_clusters_portable",
     "curate_corpus_neardup",
