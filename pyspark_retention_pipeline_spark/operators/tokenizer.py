@@ -303,6 +303,34 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     principle — a merged symbol always has ≥2 chars, so the length-≥2
     filter at reduction time loses nothing."""
     d = load_table(spark, sf_dir, "documents")
+    _states, bests = _bpe_chain(d)
+    rounds = [
+        best.select(
+            F.lit(t).alias("merge_round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged_sym"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+        for t, best in enumerate(bests, start=1)
+    ]
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_chain(
+    d: DataFrame, rounds: int = BPE_ROUNDS
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The shared BPE merge chain: ``(states, bests)`` where ``states[t]``
+    is the (repr, wn) vocabulary AFTER t merges (t = 0..rounds) and
+    ``bests[t-1]`` is round t's 1-row argmax (a, b, pair_count), all
+    pinned (lazy localCheckpoint — an unused final state costs nothing).
+    Single definition so :func:`bpe_merge_rounds` (the merge table) and
+    :func:`bpe_encode_stats` (the applied-compression curve) cannot
+    drift; extraction is plan-neutral for the former (its result frame
+    references the same lineage)."""
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
@@ -312,8 +340,8 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.regexp_replace("w", "(.)", r"|$1|").alias("r"), "wn")
         .localCheckpoint(eager=False)
     )
-    rounds = []
-    for t in range(1, BPE_ROUNDS + 1):
+    states, bests = [vocab], []
+    for _t in range(1, rounds + 1):
         syms = vocab.select(
             F.split(F.btrim(F.col("r"), F.lit("|")), r"\|\|").alias("s"), "wn"
         ).filter(F.size("s") >= 2)
@@ -335,37 +363,143 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=False)  # 1 row: output + next vocab
         )
-        rounds.append(
-            best.select(
+        bests.append(best)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                F.replace(
+                    F.col("r"),
+                    F.concat(
+                        F.lit("|"),
+                        F.col("a"),
+                        F.lit("||"),
+                        F.col("b"),
+                        F.lit("|"),
+                    ),
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.col("b"), F.lit("|")
+                    ),
+                ).alias("r"),
+                "wn",
+            )
+            .localCheckpoint(eager=False)  # feeds count t+1 AND vocab t+2
+        )
+        states.append(vocab)
+    return states, bests
+
+
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin of :func:`bpe_encode_stats`: the same chained
+    vocab states as :func:`_bpe_oracle` (one more merge application so
+    w{rounds} exists), then a per-state symbol aggregate and a constant
+    total-words row."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS r,
+             CAST(COUNT(*) AS BIGINT) AS wn
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""p{t} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(wn) AS BIGINT) AS pair_count
+      FROM (SELECT s, wn, unnest(range(1, len(s))) AS i
+            FROM (SELECT string_split(trim(r, '|'), '||') AS s, wn
+                  FROM w{t - 1}))
+      GROUP BY a, b
+    ), b{t} AS MATERIALIZED (
+      SELECT a, b FROM p{t}
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    ), w{t} AS MATERIALIZED (
+      SELECT replace(w.r, '|' || b.a || '||' || b.b || '|',
+                     '|' || b.a || b.b || '|') AS r, w.wn
+      FROM w{t - 1} w CROSS JOIN b{t} b
+    )"""
+        )
+    stats = []
+    for t in range(rounds + 1):
+        stats.append(
+            f"""SELECT {t} AS merge_round,
+           CAST(SUM(wn) AS BIGINT) AS total_symbols,
+           CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_symbols
+    FROM (SELECT unnest(string_split(trim(r, '|'), '||')) AS sym, wn
+          FROM w{t})"""
+        )
+    union = "\n    UNION ALL\n    ".join(stats)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    tw AS (SELECT CAST(SUM(wn) AS BIGINT) AS nw FROM w0),
+    st AS ({union})
+    SELECT merge_round, total_symbols, distinct_symbols,
+           ROUND(total_symbols / CAST(nw AS DOUBLE), 6)
+             AS avg_symbols_per_word
+    FROM st CROSS JOIN tw"""
+    )
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the {BPE_ROUNDS} learned merges back to the corpus and
+    measure what a tokenizer evaluation actually reports: the
+    compression curve — corpus-weighted total symbol count, distinct
+    symbol types, and average symbols per word occurrence after 0..{BPE_ROUNDS}
+    merges. merge_round 0 is the character baseline; each row shows how
+    much the next learned merge buys. The train→apply closure of
+    :func:`bpe_merge_rounds` (same chain, single definition:
+    :func:`_bpe_chain`).
+
+    Scale shape: identical to the trainer — after the one corpus scan
+    reduces to (word, count), every state is VOCABULARY-sized, and each
+    state's statistic is one map-side-combinable aggregate over the
+    exploded symbols of the pinned state (explode width = word length in
+    symbols, bounded by word length in chars). The per-occurrence
+    average divides two exact BIGINTs by the constant corpus word count
+    (broadcast 1-row frame), so the 6-dp rounding is engine-identical.
+    Single-character words are outside the measured vocabulary (the
+    trainer's length-≥2 reduction filter); they are merge-inert by
+    construction, so their exclusion shifts only the absolute baseline,
+    not the curve's shape. Degenerate corpora that exhaust all pairs
+    before round {BPE_ROUNDS}: the empty argmax cross-join empties the
+    later states, so their rows read (t, NULL, 0, NULL) — identically on
+    both engines (pinned by the planted test); real corpora never
+    exhaust pairs at this depth."""
+    d = load_table(spark, sf_dir, "documents")
+    states, _bests = _bpe_chain(d)
+    total_words = states[0].agg(F.sum("wn").cast("long").alias("nw"))
+    rows = []
+    for t, state in enumerate(states):
+        syms = state.select(
+            F.explode(
+                F.split(F.btrim(F.col("r"), F.lit("|")), r"\|\|")
+            ).alias("sym"),
+            "wn",
+        )
+        rows.append(
+            syms.agg(
+                F.sum("wn").cast("long").alias("total_symbols"),
+                F.count_distinct("sym").alias("distinct_symbols"),
+            ).select(
                 F.lit(t).alias("merge_round"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged_sym"),
-                F.col("pair_count").cast("long").alias("pair_count"),
+                "total_symbols",
+                "distinct_symbols",
             )
         )
-        if t < BPE_ROUNDS:
-            vocab = (
-                vocab.crossJoin(F.broadcast(best.select("a", "b")))
-                .select(
-                    F.replace(
-                        F.col("r"),
-                        F.concat(
-                            F.lit("|"),
-                            F.col("a"),
-                            F.lit("||"),
-                            F.col("b"),
-                            F.lit("|"),
-                        ),
-                        F.concat(
-                            F.lit("|"), F.col("a"), F.col("b"), F.lit("|")
-                        ),
-                    ).alias("r"),
-                    "wn",
-                )
-                .localCheckpoint(eager=False)  # feeds count t+1 AND vocab t+2
-            )
-    out = rounds[0]
-    for r in rounds[1:]:
+    out = rows[0]
+    for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    return out.crossJoin(F.broadcast(total_words)).select(
+        "merge_round",
+        "total_symbols",
+        "distinct_symbols",
+        F.round(F.col("total_symbols") / F.col("nw"), 6).alias(
+            "avg_symbols_per_word"
+        ),
+    )

@@ -42,6 +42,7 @@ SKIP = {
     # the pin could never fire (round-12 review finding; same class as
     # kmeans_lloyd_curve).
     "bpe_merge_rounds",
+    "bpe_encode_stats",
     "dedup_clusters",
     "dedup_clusters_portable",
     "curate_corpus_neardup",

@@ -11,12 +11,12 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-12 policy (docs/ROUND12_ROTATION.md): (a) the changed tier — EMPTY
-(no previously-seated plan changed); (b) the two new round-12 queries via
-the never-verified tier (bpe_merge_rounds, crossdoc_span_rewrite); (c)
-the flagship; (d) stalest-green backfill: the 3-name r6-tier remainder
-(round 11's DEFERRED_TO_R12), the FULL 42-name r7 tier (staleness floor
-moves to r8), and the first 2 r8-tier names (ab_conversion_ztest,
-above_avg_orders).
+(no previously-seated plan changed); (b) the three new round-12 queries
+via the never-verified tier (bpe_merge_rounds, bpe_encode_stats,
+crossdoc_span_rewrite); (c) the flagship; (d) stalest-green backfill:
+the 3-name r6-tier remainder (round 11's DEFERRED_TO_R12), the FULL
+42-name r7 tier (staleness floor moves to r8), and the first r8-tier
+name (ab_conversion_ztest).
 """
 
 import importlib.util
@@ -41,6 +41,7 @@ CHANGED_R12: set[str] = set()
 # seated all of it); the round-12 additions enter here as registered.
 BACKLOG_R12 = {
     "bpe_merge_rounds",  # new in round 12 (unrolled BPE merge training)
+    "bpe_encode_stats",  # new in round 12 (applied-compression curve)
     "crossdoc_span_rewrite",  # new in round 12 (ExactSubstr span rewrite)
 }
 
@@ -52,6 +53,7 @@ FLAGSHIP = {"churn_features"}
 # set is the REST of the r8 tier — names only needed by the boundary test
 # below, which checks the first few in (round, name) order stay outside.
 DEFERRED_TO_R13 = {
+    "above_avg_orders",  # displaced by bpe_encode_stats' backlog seat
     "active_customers_semi",
     "all_orders_finished",
     "best_threshold",

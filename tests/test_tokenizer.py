@@ -212,3 +212,35 @@ def test_bpe_merge_rounds_greedy_nonoverlapping(spark, monkeypatch):
     }
     assert rows[1] == ("a", "a", 6)  # 3 overlapping positions x weight 2
     assert rows[2] == ("aa", "aa", 2)  # greedy pairing, one per word
+
+
+def test_bpe_encode_stats_hand_checked(spark, monkeypatch):
+    """Applied-compression curve on the bpe_merge_rounds corpus, states
+    hand-computed. Words (weights): abab x2, ab x1, abc x3; merges:
+    ab @1, abc @2, abab @3; total words = 6.
+    t0: 2*4+1*2+3*3 = 19 symbols over {a,b,c};
+    t1 (ab): 2*2+1*1+3*2 = 11 over {ab,c};
+    t2 (abc): 2*2+1*1+3*1 = 8 over {ab,abc};
+    t3 (abab): 2*1+1*1+3*1 = 6 over {abab,ab,abc};
+    t4: NO pair remains -> the argmax frame is empty and the cross-join
+    state is EMPTY (both engines agree): the row degrades to
+    (4, NULL, 0, NULL). Real corpora never exhaust pairs at 4 merges;
+    the planted assert pins that the degenerate shape is at least
+    engine-consistent rather than a crash."""
+    import pyspark_retention_pipeline_spark.operators.tokenizer as tok
+
+    docs = _docs(spark, ["abab abab ab", "abc abc abc"])
+    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    rows = {
+        r["merge_round"]: (
+            r["total_symbols"],
+            r["distinct_symbols"],
+            r["avg_symbols_per_word"],
+        )
+        for r in QUERIES["bpe_encode_stats"](spark, "x").collect()
+    }
+    assert rows[0] == (19, 3, round(19 / 6, 6))
+    assert rows[1] == (11, 2, round(11 / 6, 6))
+    assert rows[2] == (8, 2, round(8 / 6, 6))
+    assert rows[3] == (6, 3, 1.0)
+    assert rows[4] == (None, 0, None)  # fully-merged vocabulary
