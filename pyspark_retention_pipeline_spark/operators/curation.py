@@ -1374,11 +1374,14 @@ def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions ({SPAN}× the victim rows, collapsed by DISTINCT to at most
     the victim docs' token count); the per-doc position set rides a
     doc-grain rollup and a doc-grain left join back to the corpus. The
-    rewrite itself is narrow: each document filters its own token array
-    against its own removed-position set (array_contains per token —
-    O(L·|removed|) worst case per doc, and |removed| is zero for the
-    uncontaminated majority, so the corpus-wide cost is dominated by the
-    duplicated slice). No all-pairs term, no global sort, no window.
+    rewrite itself is narrow AND linear: keep-positions come from one
+    hash-based ``array_except`` over the position sequence followed by an
+    in-order gather — O(L + |removed|) per document, worst case included
+    (the first-cut per-token ``array_contains`` filter was O(L·|removed|),
+    a single-task CPU cliff on a heavily-duplicated 10⁶-token document —
+    the same per-row quadratic class the round-9 intradoc fix removed;
+    the oracle keeps the simple positional-filter form, exact and cheap
+    at oracle SFs). No all-pairs term, no global sort, no window.
     Idempotent: a second pass sees every surviving span occur in at most
     one document (the canonical copies are untouched, the victims no
     longer contain the span), so it rewrites nothing — pinned by
@@ -1412,18 +1415,23 @@ def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("rp").alias("rms"))
     )
+    # Keep-positions via hash-based array_except (O(L + |removed|); the
+    # first-cut per-token array_contains filter was O(L·|removed|) —
+    # quadratic on a heavily-duplicated long document, the intradoc
+    # round-9 per-row CPU-cliff class; round-12 review pass 2), then an
+    # in-order positional gather. array_except preserves the order of its
+    # first argument and the position sequence is duplicate-free.
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("t") - 1),
+        F.coalesce(F.col("rms"), F.array().cast("array<int>")),
+    )
     rewritten = (
         d.select("doc_id", F.split("text", " ").alias("t"))
         .join(rm_agg, "doc_id", "left")
         .select(
             "doc_id",
             "t",
-            F.filter(
-                "t",
-                lambda x, i: ~F.array_contains(
-                    F.coalesce(F.col("rms"), F.array().cast("array<int>")), i
-                ),
-            ).alias("kept"),
+            F.transform(kept_pos, lambda p: F.get("t", p)).alias("kept"),
         )
     )
     return rewritten.select(

@@ -217,15 +217,20 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`bpe_merge_rounds` — the
-    kmeans_lloyd_curve precedent (ivf._lloyd_oracle) applied to BPE:
-    chained MATERIALIZED vocab states w0..w{k-1}, each round's pair count
-    p{t}, 1-row argmax b{t}, and a literal boundary-wrapped replace()
-    producing w{t}. DuckDB's replace() is left-to-right non-overlapping —
-    the same greedy merge order as Spark's replace() (both inherit the
-    standard scan-and-skip semantics), so re-segmentation is
-    byte-identical."""
+def _bpe_sql_chain(rounds: int = BPE_ROUNDS) -> list[str]:
+    """The shared unrolled-CTE merge chain both BPE oracles build on —
+    single SQL definition (the :func:`_bpe_chain` rationale applied to
+    the DuckDB side; round-12 review pass 2 caught the two builders
+    drifting apart as hand-kept copies): w0 (boundary-wrapped vocab
+    reduction), then per round the pair-count CTE p{t}, the 1-row argmax
+    b{t} — a SENTINEL pair ('~','~', count -1) rides the argmax so the
+    frame is NEVER empty ('~' is outside the corpus charset, so its
+    boundary-wrapped search string matches nothing and an exhausted
+    vocabulary carries forward unchanged instead of being wiped by an
+    empty cross join) — and the merged state w{t}. DuckDB's replace()
+    is left-to-right non-overlapping — the same greedy merge order as
+    Spark's replace() (both inherit the standard scan-and-skip
+    semantics), so re-segmentation is byte-identical."""
     parts = [
         r"""w0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS r,
@@ -234,7 +239,6 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
       WHERE length(w) >= 2 GROUP BY w
     )"""
     ]
-    outs = []
     for t in range(1, rounds + 1):
         parts.append(
             f"""p{t} AS (
@@ -244,28 +248,36 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
                   FROM w{t - 1}))
       GROUP BY a, b
     ), b{t} AS MATERIALIZED (
-      SELECT a, b, pair_count FROM p{t}
-      ORDER BY pair_count DESC, a, b LIMIT 1
-    )"""
-        )
-        if t < rounds:
-            parts.append(
-                f"""w{t} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM (
+        SELECT a, b, pair_count FROM p{t}
+        UNION ALL SELECT '~', '~', CAST(-1 AS BIGINT)
+      ) ORDER BY pair_count DESC, a, b LIMIT 1
+    ), w{t} AS MATERIALIZED (
       SELECT replace(w.r, '|' || b.a || '||' || b.b || '|',
                      '|' || b.a || b.b || '|') AS r, w.wn
       FROM w{t - 1} w CROSS JOIN b{t} b
     )"""
-            )
-        outs.append(
-            f"""SELECT {t} AS merge_round, a AS left_sym, b AS right_sym,
-           a || b AS merged_sym, pair_count FROM b{t}"""
         )
+    return parts
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Merge-table oracle over :func:`_bpe_sql_chain` — one SELECT per
+    round's argmax, sentinel rows (an exhausted vocabulary) excluded so
+    a degenerate round emits no row, matching the Spark side's
+    ``pair_count >= 0`` filter."""
+    outs = [
+        f"""SELECT {t} AS merge_round, a AS left_sym, b AS right_sym,
+           a || b AS merged_sym, pair_count FROM b{t} WHERE pair_count >= 0"""
+        for t in range(1, rounds + 1)
+    ]
     return (
         "\n    WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_bpe_sql_chain(rounds))
         + "\n    "
         + "\n    UNION ALL\n    ".join(outs)
     )
+
 
 
 @query(
@@ -305,7 +317,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     _states, bests = _bpe_chain(d)
     rounds = [
-        best.select(
+        best.filter(F.col("pair_count") >= 0).select(
             F.lit(t).alias("merge_round"),
             F.col("a").alias("left_sym"),
             F.col("b").alias("right_sym"),
@@ -329,8 +341,13 @@ def _bpe_chain(
     pinned (lazy localCheckpoint — an unused final state costs nothing).
     Single definition so :func:`bpe_merge_rounds` (the merge table) and
     :func:`bpe_encode_stats` (the applied-compression curve) cannot
-    drift; extraction is plan-neutral for the former (its result frame
-    references the same lineage)."""
+    drift. A SENTINEL pair ('~', '~', count -1) rides every argmax so the
+    1-row winner frame is NEVER empty: '~' is outside the corpus charset,
+    its boundary-wrapped search string matches nothing, and an exhausted
+    vocabulary therefore carries forward UNCHANGED instead of being wiped
+    by an empty cross join (round-12 review pass 2 — the wipe made the
+    encode curve read a spurious corpus collapse on degenerate inputs).
+    Consumers drop sentinel winners with ``pair_count >= 0``."""
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
@@ -356,9 +373,15 @@ def _bpe_chain(
             ).alias("p"),
             "wn",
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wn")
+        sentinel = d.sparkSession.range(1).select(
+            F.lit("~").alias("a"),
+            F.lit("~").alias("b"),
+            F.lit(-1).cast("long").alias("pair_count"),
+        )
         best = (
             pairs.groupBy("a", "b")
             .agg(F.sum("wn").cast("long").alias("pair_count"))
+            .unionByName(sentinel)
             .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
             .limit(1)
             .localCheckpoint(eager=False)  # 1 row: output + next vocab
@@ -389,48 +412,22 @@ def _bpe_chain(
 
 
 def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled DuckDB twin of :func:`bpe_encode_stats`: the same chained
-    vocab states as :func:`_bpe_oracle` (one more merge application so
-    w{rounds} exists), then a per-state symbol aggregate and a constant
+    """Compression-curve oracle over the SAME :func:`_bpe_sql_chain` as
+    the merge-table oracle (single chain definition — no drift): a
+    per-state symbol aggregate for w0..w{rounds} and the constant
     total-words row."""
-    parts = [
-        r"""w0 AS MATERIALIZED (
-      SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS r,
-             CAST(COUNT(*) AS BIGINT) AS wn
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE length(w) >= 2 GROUP BY w
-    )"""
-    ]
-    for t in range(1, rounds + 1):
-        parts.append(
-            f"""p{t} AS (
-      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(wn) AS BIGINT) AS pair_count
-      FROM (SELECT s, wn, unnest(range(1, len(s))) AS i
-            FROM (SELECT string_split(trim(r, '|'), '||') AS s, wn
-                  FROM w{t - 1}))
-      GROUP BY a, b
-    ), b{t} AS MATERIALIZED (
-      SELECT a, b FROM p{t}
-      ORDER BY pair_count DESC, a, b LIMIT 1
-    ), w{t} AS MATERIALIZED (
-      SELECT replace(w.r, '|' || b.a || '||' || b.b || '|',
-                     '|' || b.a || b.b || '|') AS r, w.wn
-      FROM w{t - 1} w CROSS JOIN b{t} b
-    )"""
-        )
-    stats = []
-    for t in range(rounds + 1):
-        stats.append(
-            f"""SELECT {t} AS merge_round,
+    stats = [
+        f"""SELECT {t} AS merge_round,
            CAST(SUM(wn) AS BIGINT) AS total_symbols,
            CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_symbols
     FROM (SELECT unnest(string_split(trim(r, '|'), '||')) AS sym, wn
           FROM w{t})"""
-        )
+        for t in range(rounds + 1)
+    ]
     union = "\n    UNION ALL\n    ".join(stats)
     return (
         "\n    WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_bpe_sql_chain(rounds))
         + f""",
     tw AS (SELECT CAST(SUM(wn) AS BIGINT) AS nw FROM w0),
     st AS ({union})
@@ -467,10 +464,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer's length-≥2 reduction filter); they are merge-inert by
     construction, so their exclusion shifts only the absolute baseline,
     not the curve's shape. Degenerate corpora that exhaust all pairs
-    before round {BPE_ROUNDS}: the empty argmax cross-join empties the
-    later states, so their rows read (t, NULL, 0, NULL) — identically on
-    both engines (pinned by the planted test); real corpora never
-    exhaust pairs at this depth."""
+    before round {BPE_ROUNDS} carry the fully-merged state forward
+    unchanged (the :func:`_bpe_chain` sentinel — a no-op merge round
+    repeats the prior row rather than reading as a spurious corpus
+    collapse; pinned by the planted test); real corpora never exhaust
+    pairs at this depth."""
     d = load_table(spark, sf_dir, "documents")
     states, _bests = _bpe_chain(d)
     total_words = states[0].agg(F.sum("wn").cast("long").alias("nw"))

@@ -346,8 +346,13 @@ def semdedup_probe(spark, dirs: list[str], reps: int, scratch: str) -> None:
 
         # Production form: assignment written once, bucketed by cell;
         # pruning joins two readings of the bucketed table shuffle-free.
+        # The assignment is materialized untimed here too (review pass 2:
+        # the first-cut write timer included the assignment compute the
+        # shuffle-join side had already excluded — the same asymmetry
+        # class as the prune-column fix), so write_wall is persist-only.
         table = f"semdedup_cells_{tag}"
         assigned = semdedup_assigned_frame(emb)
+        assigned.count()
         start = time.perf_counter()
         (
             assigned.write.bucketBy(32, "cell")

@@ -175,8 +175,9 @@ def test_bpe_merge_rounds_hand_checked(spark, monkeypatch):
     (a,b)->'ab' @8. Round 2 (abab=|ab||ab|, abc=|ab||c|): (ab,ab) = 2,
     (ab,c) = 3 -> merge (ab,c)->'abc' @3. Round 3: (ab,ab) = 2 -> merge
     'abab' @2. Round 4: every word is a single symbol -> NO pair exists;
-    the round emits no row (degenerate-vocab behavior: the merge table is
-    shorter than BPE_ROUNDS, same on both engines)."""
+    the sentinel wins the argmax and is filtered from the output, so the
+    round emits no row (the merge table is shorter than BPE_ROUNDS, same
+    on both engines) while the vocab state carries forward unchanged."""
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["abab abab ab", "abc abc abc"])
@@ -222,11 +223,11 @@ def test_bpe_encode_stats_hand_checked(spark, monkeypatch):
     t1 (ab): 2*2+1*1+3*2 = 11 over {ab,c};
     t2 (abc): 2*2+1*1+3*1 = 8 over {ab,abc};
     t3 (abab): 2*1+1*1+3*1 = 6 over {abab,ab,abc};
-    t4: NO pair remains -> the argmax frame is empty and the cross-join
-    state is EMPTY (both engines agree): the row degrades to
-    (4, NULL, 0, NULL). Real corpora never exhaust pairs at 4 merges;
-    the planted assert pins that the degenerate shape is at least
-    engine-consistent rather than a crash."""
+    t4: NO pair remains -> the sentinel wins the argmax, merges nothing,
+    and the fully-merged state carries FORWARD unchanged: t4 == t3 (a
+    no-op merge round repeats the prior curve row — review-pass-2 fix;
+    the first cut's empty cross-join wiped the state and the row read as
+    a spurious corpus collapse)."""
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["abab abab ab", "abc abc abc"])
@@ -243,4 +244,4 @@ def test_bpe_encode_stats_hand_checked(spark, monkeypatch):
     assert rows[1] == (11, 2, round(11 / 6, 6))
     assert rows[2] == (8, 2, round(8 / 6, 6))
     assert rows[3] == (6, 3, 1.0)
-    assert rows[4] == (None, 0, None)  # fully-merged vocabulary
+    assert rows[4] == (6, 3, 1.0)  # fully-merged vocabulary carried forward
