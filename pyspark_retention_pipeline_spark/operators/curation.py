@@ -71,14 +71,8 @@ def _gram_hash_frame(
     identity convention (NULL-skip truncation, hash-of-token-hashes,
     staging) cannot drift between the diagnostic and the rewrite
     (round-12 review finding)."""
-    toks = F.split(F.col("text"), " ")
-    staged = docs.select(
-        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
-    )
-    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - k, F.lit(0)))
-    gram_h = F.transform(
-        starts, lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(k)])
-    )
+    staged = _token_hash_frame(docs)
+    gram_h = _gram_array(k)
     if with_pos:
         return staged.select(
             "doc_id", F.posexplode(gram_h).alias("pos", "gram")
@@ -86,6 +80,27 @@ def _gram_hash_frame(
     if distinct:
         gram_h = F.array_distinct(gram_h)
     return staged.select("doc_id", F.explode(gram_h).alias("gram"))
+
+
+def _token_hash_frame(docs: DataFrame) -> DataFrame:
+    """``(doc_id, th)`` — per-document token-hash arrays, the staging
+    stage of :func:`_gram_hash_frame`, exposed so multi-k consumers
+    (:func:`crossdoc_span_profile`) can stage ONE token pass and derive
+    every gram length from it instead of re-scanning documents per k."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id", F.transform(toks, lambda x: F.xxhash64(x)).alias("th")
+    )
+
+
+def _gram_array(k: int):
+    """Gram-hash array Column over a ``th`` token-hash column — the gram
+    stage of :func:`_gram_hash_frame` (same NULL-skip truncation for
+    docs shorter than ``k``)."""
+    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("th")) - k, F.lit(0)))
+    return F.transform(
+        starts, lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(k)])
+    )
 
 
 @query(
@@ -1440,3 +1455,110 @@ def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
         (F.size("t") - F.size("kept")).cast("long").alias("n_removed"),
     )
+
+
+# Span lengths for the ExactSubstr threshold-selection profile: around the
+# rewrite's operating point (SPAN = 8), one octave down and one up.
+SPAN_PROFILE_KS = (4, 8, 16)
+
+
+def _span_profile_oracle(ks=SPAN_PROFILE_KS) -> str:
+    """Per-k unrolled twin of :func:`crossdoc_span_profile`: one shared
+    MATERIALIZED token split, then per span length a distinct-span CTE,
+    its frequency table, and a 1-row corpus aggregate."""
+    parts = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )"""
+    ]
+    outs = []
+    for k in ks:
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, s.i + 1, s.i + {k}), ' ') AS g
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {k}, 0) + 1)) AS s(i)
+    ), f{k} AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s{k} GROUP BY g
+    )"""
+        )
+        outs.append(
+            f"""SELECT {k} AS span_k,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac,
+           CAST(COUNT(DISTINCT CASE WHEN f.n_docs >= 2 THEN s.doc_id END)
+                AS BIGINT) AS n_docs_affected
+    FROM s{k} s JOIN f{k} f ON s.g = f.g"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(outs)
+    )
+
+
+@query(
+    "crossdoc_span_profile",
+    oracle=_span_profile_oracle(),
+    tags=("dedup-crossdoc", "exact-substr", "scorecard", "curation"),
+)
+def crossdoc_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-length S-curve for ExactSubstr threshold selection: for each
+    span length k in {SPAN_PROFILE_KS}, the corpus-level duplicated-span
+    statistics — distinct spans, spans occurring in ≥2 docs, the
+    duplicated fraction, and how many documents carry at least one such
+    span. :func:`crossdoc_span_stats` answers "how contaminated is each
+    DOCUMENT at the operating k"; this answers "which k should the
+    operating point BE" (Lee et al. 2022 fix a 50-token threshold for
+    web text; a corpus with different doc lengths wants this measured) —
+    the index-quality-scorecard convention of ``minhash_calibration``
+    and ``ann_grid_report`` applied to the span tier.
+
+    Shape at 100 TB: ONE corpus scan — tokens hash once into a pinned
+    ``(doc_id, th)`` frame (:func:`_token_hash_frame`; the naive per-k
+    composition would re-read documents {len(SPAN_PROFILE_KS)}×) — then
+    per k an in-row gram transform, a span-grain frequency aggregate, a
+    span-grain equi-join back, and a 1-ROW corpus rollup; the union
+    output is {len(SPAN_PROFILE_KS)} rows total. Per-k cost is the same
+    two corpus-token-grain shuffles as the stats operator; k only
+    changes the in-row hash width. n_docs_affected counts distinct
+    doc_ids among duplicated-span rows (conditional count_distinct —
+    NULL-skipping on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = _token_hash_frame(d).localCheckpoint(
+        eager=False
+    )  # one token pass feeds every k
+    rows = []
+    for k in SPAN_PROFILE_KS:
+        spans = staged.select(
+            "doc_id", F.explode(F.array_distinct(_gram_array(k))).alias("gram")
+        ).localCheckpoint(eager=False)  # frequency side + rollup side
+        freq = spans.groupBy("gram").agg(F.count("*").alias("n_docs"))
+        joined = spans.join(freq, "gram")
+        dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+        rows.append(
+            joined.agg(
+                F.count("*").cast("long").alias("n_spans"),
+                F.sum(dup).cast("long").alias("n_dup_spans"),
+                F.count_distinct(
+                    F.when(F.col("n_docs") >= 2, F.col("doc_id"))
+                ).alias("n_docs_affected"),
+            ).select(
+                F.lit(k).alias("span_k"),
+                "n_spans",
+                "n_dup_spans",
+                F.round(
+                    F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+                ).alias("dup_span_frac"),
+                "n_docs_affected",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

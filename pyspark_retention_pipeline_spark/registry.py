@@ -48,20 +48,22 @@ _REGISTRY: dict[str, Query] = {}
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
 # script's output. Round-12 composition: no plan-changed queries; the
-# three NEW queries (bpe_merge_rounds — unrolled BPE merge training
-# rounds — bpe_encode_stats — the applied-compression curve — and
-# crossdoc_span_rewrite — the ExactSubstr cross-document span rewrite)
-# enter via the never-verified tier, then the flagship, then 46
-# stalest-green backfill seats — the 3-name r6-tier remainder
-# (round-11's DEFERRED_TO_R12: time_to_conversion, top_revenue_suppliers,
-# tumbling_hourly), the FULL 42-name r7 tier (clearing the staleness
-# floor to r8), plus the first r8-tier name (ab_conversion_ztest).
+# four NEW queries (bpe_merge_rounds — unrolled BPE merge training
+# rounds — bpe_encode_stats — the applied-compression curve —
+# crossdoc_span_rewrite — the ExactSubstr cross-document span rewrite —
+# and crossdoc_span_profile — the span-length S-curve scorecard) enter
+# via the never-verified tier, then the flagship, then 45 stalest-green
+# backfill seats — the 3-name r6-tier remainder (round-11's
+# DEFERRED_TO_R12: time_to_conversion, top_revenue_suppliers,
+# tumbling_hourly) and the FULL 42-name r7 tier, clearing the staleness
+# floor to r8.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "crossdoc_span_rewrite",
+    "crossdoc_span_profile",
     "churn_features",
     "time_to_conversion",
     "top_revenue_suppliers",
@@ -108,7 +110,6 @@ _FRONT: tuple[str, ...] = (
     "weighted_doc_sample",
     "winnowing_fingerprints",
     "winsorized_spend_stats",
-    "ab_conversion_ztest",
 )
 
 

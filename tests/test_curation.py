@@ -470,3 +470,32 @@ def test_crossdoc_span_rewrite_idempotent(spark, monkeypatch):
         # pipeline drops empties between passes
         if r["text_rewritten"]:
             assert second[r["doc_id"]]["n_removed"] == 0
+
+
+def test_crossdoc_span_profile_hand_checked(spark, monkeypatch):
+    """Corpus-level span-length profile on the planted corpus,
+    hand-computed. Distinct spans per doc at each k (docs: 0 = shared8 +
+    10 filler = 18 toks; 1 = 10 filler + shared8; 2 = 20 unique; 3,4 =
+    identical 20; 5,6 = identical 5; 7 = distinct 5):
+    k=4: n_spans = 15+15+17+17+17+2+2+2 = 87; dups = 5+5+17+17+2+2 = 48
+         (docs 0/1 share the five 4-grams inside the 8-token span);
+         affected = {0,1,3,4,5,6}.
+    k=8: n_spans = 11+11+13+13+13+1+1+1 = 64; dups = 1+1+13+13+1+1 = 30;
+         affected unchanged (the full shared span + the exact dups).
+    k=16: n_spans = 3+3+5+5+5+1+1+1 = 24; dups = 5+5+1+1 = 12; docs 0/1
+         drop out (no 16-token window fits inside their 8-token overlap)
+         -> affected = {3,4,5,6}."""
+    docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    rows = {
+        r["span_k"]: (
+            r["n_spans"],
+            r["n_dup_spans"],
+            r["dup_span_frac"],
+            r["n_docs_affected"],
+        )
+        for r in cu.crossdoc_span_profile(spark, "x").collect()
+    }
+    assert rows[4] == (87, 48, round(48 / 87, 6), 6)
+    assert rows[8] == (64, 30, 0.46875, 6)
+    assert rows[16] == (24, 12, 0.5, 4)

@@ -11,12 +11,12 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-12 policy (docs/ROUND12_ROTATION.md): (a) the changed tier — EMPTY
-(no previously-seated plan changed); (b) the three new round-12 queries
+(no previously-seated plan changed); (b) the four new round-12 queries
 via the never-verified tier (bpe_merge_rounds, bpe_encode_stats,
-crossdoc_span_rewrite); (c) the flagship; (d) stalest-green backfill:
-the 3-name r6-tier remainder (round 11's DEFERRED_TO_R12), the FULL
-42-name r7 tier (staleness floor moves to r8), and the first r8-tier
-name (ab_conversion_ztest).
+crossdoc_span_rewrite, crossdoc_span_profile); (c) the flagship;
+(d) stalest-green backfill: the 3-name r6-tier remainder (round 11's
+DEFERRED_TO_R12) and the FULL 42-name r7 tier — exactly clearing the
+staleness floor to r8.
 """
 
 import importlib.util
@@ -43,6 +43,7 @@ BACKLOG_R12 = {
     "bpe_merge_rounds",  # new in round 12 (unrolled BPE merge training)
     "bpe_encode_stats",  # new in round 12 (applied-compression curve)
     "crossdoc_span_rewrite",  # new in round 12 (ExactSubstr span rewrite)
+    "crossdoc_span_profile",  # new in round 12 (span-length S-curve)
 }
 
 # (c) flagship continuity slot — in the window every round.
@@ -53,6 +54,7 @@ FLAGSHIP = {"churn_features"}
 # set is the REST of the r8 tier — names only needed by the boundary test
 # below, which checks the first few in (round, name) order stay outside.
 DEFERRED_TO_R13 = {
+    "ab_conversion_ztest",  # displaced by crossdoc_span_profile's seat
     "above_avg_orders",  # displaced by bpe_encode_stats' backlog seat
     "active_customers_semi",
     "all_orders_finished",
