@@ -142,8 +142,10 @@ NOT_LIKE_FOR_LIKE: dict[str, str] = {
     # two-phase with_global_cumsum plan — like-for-like again (rotation
     # doc rule: drop an entry once a usable driver artifact times the new
     # plan). Round 12 has no plan changes to previously-timed headline
-    # queries; its two additions (bpe_merge_rounds, crossdoc_span_rewrite)
-    # surface under new_queries instead.
+    # queries; its one headline addition (crossdoc_span_rewrite) surfaces
+    # under new_queries (bpe_merge_rounds was pulled from HEADLINE — the
+    # compute-at-build exclusion class, see the HEADLINE comment above;
+    # bpe_encode_stats / crossdoc_span_profile were never headline).
 }
 
 
