@@ -629,3 +629,127 @@ def test_ann_band_bits_matches_duckdb_round_log2_rule():
         for n in batch
         if n + 1 in width
     )
+
+
+def _ref_span_rewrite(rows, k):
+    """Brute-force Python reference of crossdoc_span_rewrite: span grams
+    as strings (truncated for docs shorter than k — the list_slice /
+    NULL-skip convention), canonical = lowest doc_id, victims drop every
+    covered token."""
+    toks = {d: t.split(" ") for d, t in rows}
+    owners: dict[str, set] = {}
+    occ: dict[int, list] = {}
+    for d, ts in toks.items():
+        for p in range(0, max(len(ts) - k, 0) + 1):
+            g = " ".join(ts[p : p + k])
+            owners.setdefault(g, set()).add(d)
+            occ.setdefault(d, []).append((p, g))
+    out = {}
+    for d, ts in toks.items():
+        rm: set = set()
+        for p, g in occ[d]:
+            ds = owners[g]
+            if len(ds) >= 2 and d > min(ds):
+                rm.update(range(p, p + k))
+        kept = [t for i, t in enumerate(ts) if i not in rm]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_crossdoc_span_rewrite_matches_bruteforce(spark, docs, monkeypatch):
+    """The distributed span rewrite equals a brute-force per-corpus
+    reference on random corpora over a tiny alphabet (dense span
+    collisions; SPAN shrunk to 3 so short docs exercise both the
+    truncated-span and the multi-overlap paths)."""
+    import pyspark_retention_pipeline_spark.operators.curation as cu
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: frame)
+    monkeypatch.setattr(cu, "SPAN", 3)
+    got = {
+        r["doc_id"]: (r["text_rewritten"], r["n_tokens"], r["n_removed"])
+        for r in cu.crossdoc_span_rewrite(spark, "x").collect()
+    }
+    assert got == _ref_span_rewrite(rows, 3)
+
+
+def _ref_bpe_merges(words, rounds):
+    """Brute-force BPE reference: per distinct word (len >= 2) keep its
+    symbol tuple and corpus count; per round count adjacent pairs
+    (overlapping), take argmax by (count desc, a, b), merge greedy
+    left-to-right non-overlapping."""
+    from collections import Counter
+
+    wc = Counter(w for w in words if len(w) >= 2)
+    segs = {w: tuple(w) for w in wc}
+    merges = []
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, seq in segs.items():
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, n))
+
+        def _apply(seq):
+            res, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            return tuple(res)
+
+        segs = {w: _apply(seq) for w, seq in segs.items()}
+    return merges
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_merge_rounds_matches_bruteforce(spark, docs, monkeypatch):
+    """The in-plan merge chain (boundary-wrapped literal replace, sentinel
+    argmax) equals a brute-force BPE reference on random corpora over a
+    two-letter alphabet — the densest-overlap regime for greedy
+    re-segmentation ('aaab' shapes), including rounds where the
+    vocabulary exhausts (reference stops; the chain's sentinel rounds
+    emit no row)."""
+    import pyspark_retention_pipeline_spark.operators.tokenizer as tok
+
+    words = [w for d in docs for w in d]
+    rows = [(i, " ".join(d), "en", "s") for i, d in enumerate(docs)]
+    frame = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    monkeypatch.setattr(tok, "load_table", lambda *_: frame)
+    got = [
+        (r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
+        for r in tok.bpe_merge_rounds(spark, "x")
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _ref_bpe_merges(words, tok.BPE_ROUNDS)
