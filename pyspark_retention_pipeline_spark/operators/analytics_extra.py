@@ -459,6 +459,18 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(order_size²), a constant, never O(corpus). Deterministic total order
     (count desc, then pair) makes the top-100 stable across engines."""
     li = load_table(spark, sf_dir, "lineitem")
+    counts = part_pair_counts_frame(li)
+    return counts.orderBy(F.desc("n_orders"), "p1", "p2").limit(100)
+
+
+def part_pair_counts_frame(li: DataFrame) -> DataFrame:
+    """``(p1, p2, n_orders)`` with ``p1 < p2`` — the part co-occurrence
+    pair counts, extracted from :func:`part_cooccurrence` (pure function
+    extraction, plan unchanged) so the co-occurrence GRAPH consumers
+    (:func:`..components.part_pagerank_rounds`) and the top-pairs report
+    share one pair convention: distinct parts per order (collect_set),
+    in-row sorted-set pair generation (bounded by order size), one
+    shuffle to pair grain."""
     arr = F.array_sort(F.collect_set("l_partkey"))
     per_order = li.groupBy("l_orderkey").agg(arr.alias("parts"))
     pairs = F.flatten(
@@ -473,8 +485,7 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = per_order.select(F.explode(pairs).alias("pr")).select(
         F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
     )
-    counts = exploded.groupBy("p1", "p2").agg(F.count("*").alias("n_orders"))
-    return counts.orderBy(F.desc("n_orders"), "p1", "p2").limit(100)
+    return exploded.groupBy("p1", "p2").agg(F.count("*").alias("n_orders"))
 
 
 @query(

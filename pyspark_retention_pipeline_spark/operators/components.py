@@ -200,3 +200,171 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
     return group_assignment_frame(d, edges)
+
+
+# --- PageRank over the part co-occurrence graph ---------------------------
+# Fixed-point scale for ranks: every node starts at PR_SCALE and the
+# update is pure BIGINT arithmetic (integer div truncation is identical
+# for positive operands on both engines), so every iteration's ranks are
+# exact integers — no float reduction anywhere. Overflow envelope: the
+# per-edge product rank·w needs rank·max_w < 2^63; total rank mass stays
+# ~n·PR_SCALE, so at 10⁹ graph nodes with edge weights up to ~10³ the
+# product tops out near 10²¹ > 2^63 — past that, shrink PR_SCALE (the
+# curve is scale-invariant) the same way _LLOYD_SCALE's envelope note
+# bounds the inertia sum.
+PR_SCALE = 1_000_000_000
+PR_DAMP_NUM = 85  # damping d = 0.85 as the integer pair (85, 100)
+PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled power iteration: r0 is uniform PR_SCALE over the nodes of
+    the symmetrized co-occurrence graph; each round distributes every
+    node's rank along its out-edges proportionally to edge weight
+    (integer-truncated per edge), then damps: rank' = (15·S + 85·inc)//100.
+    DuckDB SUM(BIGINT) widens to HUGEINT — every sum is cast back so the
+    comparison stays BIGINT-vs-BIGINT."""
+    teleport = 100 - PR_DAMP_NUM
+    parts = [
+        f"""op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS w
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT p1 AS src, p2 AS dst, w FROM pairs
+      UNION ALL SELECT p2, p1, w FROM pairs
+    ), outw AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
+    ), en AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)
+    ), r0 AS MATERIALIZED (
+      SELECT src AS part, CAST({PR_SCALE} AS BIGINT) AS pr FROM outw
+    )"""
+    ]
+    stats = []
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+      SELECT n.part,
+             ({teleport} * CAST({PR_SCALE} AS BIGINT)
+              + {PR_DAMP_NUM} * COALESCE(i.inc, 0)) // 100 AS pr
+      FROM r{t - 1} n LEFT JOIN (
+        SELECT en.dst AS part,
+               CAST(SUM((r.pr * en.w) // en.ow) AS BIGINT) AS inc
+        FROM en JOIN r{t - 1} r ON en.src = r.part
+        GROUP BY en.dst) i USING (part)
+    )"""
+        )
+        stats.append(
+            f"""SELECT {t} AS iteration,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(pr) AS BIGINT) AS total_rank,
+           (SELECT part FROM r{t} ORDER BY pr DESC, part LIMIT 1)
+             AS top_part,
+           (SELECT pr FROM r{t} ORDER BY pr DESC, part LIMIT 1)
+             AS top_rank
+    FROM r{t}"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(stats)
+    )
+
+
+@query(
+    "part_pagerank_rounds",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def part_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-occurrence graph — the graph
+    CENTRALITY tier alongside :func:`connected_components`' reachability
+    tier, and the engine-level form of the domain/page ranking step public
+    web-corpus pipelines run before curation (Common Crawl publishes
+    harmonic/PageRank centrality per domain; the power-iteration recipe is
+    Page et al. 1999). Nodes are parts, edges the symmetrized
+    :func:`~.analytics_extra.part_pair_counts_frame` co-occurrence pairs
+    (one shared pair convention with the market-basket report), edge
+    weight = number of co-ordering orders. Output: the per-iteration
+    convergence curve (node count, exact total rank mass, argmax part and
+    its rank) for {PR_ITERS} damped rounds — the Lloyd-curve convention
+    for iterative algorithms, oracle-checked by unrolled MATERIALIZED CTE
+    rounds.
+
+    EXACT integer fixed-point end to end: ranks start at PR_SCALE, each
+    edge carries ``(pr·w) div out_w`` (BIGINT truncating division —
+    identical for positive operands on both engines), damping is
+    ``(15·S + 85·inc) div 100``, and the curve's reductions are BIGINT
+    sums — no float enters at any point, so partial-aggregation order is
+    irrelevant and the hash match is unconditional (stronger than the
+    round-before-compare family: there is nothing to round).
+
+    Scale shape: per iteration ONE edge-grain shuffle (ranks join edges
+    on src — at 100 TB pre-partition both by src so every round reuses
+    the partitioning) and one dst-grain aggregate with map-side partial
+    sums; the rank frame is node-grain, pinned per round (lazy
+    localCheckpoint, the :func:`connected_components` rule). The argmax
+    is a 1-row struct-MAX — no sort, no window, no collect in the loop.
+    Dangling nodes cannot exist (the graph is symmetrized, so every node
+    has out-edges); rank mass lost to per-edge truncation stays in the
+    curve on both engines identically."""
+    from .analytics_extra import part_pair_counts_frame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = part_pair_counts_frame(li).select(
+        "p1", "p2", F.col("n_orders").alias("w")
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"), "w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    en = edges.join(outw, "src").localCheckpoint(eager=False)
+    nodes = outw.select(F.col("src").alias("part")).localCheckpoint(
+        eager=False
+    )
+    teleport = 100 - PR_DAMP_NUM
+    ranks = nodes.select(
+        "part", F.lit(PR_SCALE).cast("long").alias("pr")
+    ).localCheckpoint(eager=False)
+    out = None
+    for t in range(1, PR_ITERS + 1):
+        contrib = en.join(
+            ranks.select(F.col("part").alias("src"), "pr"), "src"
+        ).select("dst", F.expr("(pr * w) div ow").alias("c"))
+        inc = contrib.groupBy(F.col("dst").alias("part")).agg(
+            F.sum("c").alias("inc")
+        )
+        ranks = (
+            nodes.join(inc, "part", "left")
+            .select(
+                "part",
+                F.expr(
+                    f"({teleport} * CAST({PR_SCALE} AS BIGINT)"
+                    f" + {PR_DAMP_NUM} * COALESCE(inc, CAST(0 AS BIGINT)))"
+                    " div 100"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        stats = ranks.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("pr").alias("total_rank"),
+            F.max(F.struct(F.col("pr"), (-F.col("part")).alias("np"))).alias(
+                "m"
+            ),
+        ).select(
+            F.lit(t).cast("int").alias("iteration"),
+            "n_nodes",
+            "total_rank",
+            (-F.col("m.np")).alias("top_part"),
+            F.col("m.pr").alias("top_rank"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

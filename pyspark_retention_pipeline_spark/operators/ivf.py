@@ -492,7 +492,13 @@ SEMDEDUP_MAX_CELLS = 65_536
 # duplicates (compared on the 6-dp ROUNDED cosine on both engines).
 SEMDEDUP_TAU = 0.3
 
-_SEMDEDUP_ORACLE = f"""
+# The assignment prefix (corpus → deterministic adaptive-K codebook →
+# per-vector argmax cell) is shared between the keep/drop decision oracle
+# (semdedup_keep) and the τ-sweep scorecard oracle (semdedup_tau_curve) —
+# one definition so the assignment convention cannot drift between the
+# operator and its operating-point report (the _gram_hash_frame precedent
+# from the span tier, applied to SQL).
+_SEMDEDUP_ASSIGN_CTES = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS MATERIALIZED (
@@ -518,7 +524,9 @@ _SEMDEDUP_ORACLE = f"""
                                 / (n.nrm * code.cnrm), 6) DESC, code.cell
                ) AS rn
         FROM n CROSS JOIN code) WHERE rn = 1
-    )
+    )"""
+
+_SEMDEDUP_ORACLE = _SEMDEDUP_ASSIGN_CTES + f"""
     SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
            CAST(COUNT(b.vec_id) AS BIGINT) AS n_dups_before,
            COUNT(b.vec_id) = 0 AS kept
@@ -644,4 +652,267 @@ def semdedup_prune_frame(a_src: DataFrame, b_src: DataFrame) -> DataFrame:
     return hits.groupBy("vec_id", "cell").agg(
         F.count("b_vec_id").cast("long").alias("n_dups_before"),
         (F.count("b_vec_id") == 0).alias("kept"),
+    )
+
+
+# --- SemDeDup τ operating-point scorecard --------------------------------
+# The τ grid: 0.1 … 0.9 in steps of 0.1 (integer tau10 = 1..9 so the grid
+# itself is exact; the emitted tau column is CAST(tau10/10 AS DOUBLE) with
+# identical literals on both engines).
+SEMDEDUP_TAU_GRID = tuple(range(1, 10))
+
+_TAU_CASES_SQL = ",\n             ".join(
+    f"SUM(CASE WHEN mx IS NULL OR mx < CAST({t} AS DOUBLE) / 10 "
+    f"THEN 1 ELSE 0 END) AS k{t}"
+    for t in SEMDEDUP_TAU_GRID
+)
+_TAU_UNION_SQL = "\n    UNION ALL ".join(
+    f"SELECT CAST({t} AS DOUBLE) / 10 AS tau, k{t} AS n_kept, n_total FROM agg"
+    for t in SEMDEDUP_TAU_GRID
+)
+
+_SEMDEDUP_TAU_ORACLE = _SEMDEDUP_ASSIGN_CTES + f""",
+    mx AS MATERIALIZED (
+      SELECT a.vec_id,
+             MAX(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6))
+               AS mx
+      FROM assign a LEFT JOIN assign b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             {_TAU_CASES_SQL}
+      FROM mx
+    )
+    SELECT tau, CAST(n_kept AS BIGINT) AS n_kept, n_total,
+           n_kept / n_total AS frac_kept
+    FROM ({_TAU_UNION_SQL})
+"""
+
+
+@query(
+    "semdedup_tau_curve",
+    oracle=_SEMDEDUP_TAU_ORACLE,
+    tags=("similarity", "dedup-semantic", "scorecard"),
+)
+def semdedup_tau_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup OPERATING-POINT scorecard: for every threshold τ in
+    {{0.1 … 0.9}}, how much of the corpus survives keep-first semantic
+    dedup at that τ — the curve a practitioner reads to pick
+    ``SEMDEDUP_TAU`` (Abbas et al. 2023 sweep ~0.1-0.9 per fig. 3 before
+    fixing their ε). Completes the scorecard convention for the semantic
+    tier: ``ann_grid_report``/``minhash_calibration``/
+    ``crossdoc_span_profile`` select operating points for the ANN, MinHash
+    and span tiers; this one does it for :func:`semdedup_keep`.
+
+    ONE extra reduction on top of the semdedup pair pass, not 9 runs: a
+    vector is kept at τ iff it has NO same-cell predecessor with rounded
+    cosine ≥ τ, i.e. iff ``max_pred_cos < τ`` (or no predecessor at all) —
+    so the per-vector MAX predecessor cosine (computed once over the same
+    O(n·n/K) banded pair set the keep/drop decision scans, same
+    :func:`semdedup_assigned_frame` pins, same √n broadcast codebook)
+    determines its fate at EVERY τ simultaneously. The 9-point curve is
+    then a single 1-row conditional aggregate unpivoted via ``stack`` —
+    zero additional shuffles, so the scorecard costs the same as the
+    operator it tunes at any corpus size. Counts are exact BIGINTs on both
+    engines; ``frac_kept`` divides the identical integers. Same
+    round-before-compare residual as :func:`semdedup_keep` (the rounded
+    cosine at a ULP half-integer boundary)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = semdedup_assigned_frame(e)
+    a = assigned.select(
+        "vec_id", "cell", F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos6 = F.round(
+        dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+    )
+    mx = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("b_vec_id") < F.col("vec_id")),
+            "left",
+        )
+        .select("vec_id", cos6.alias("c6"))
+        .groupBy("vec_id")
+        .agg(F.max("c6").alias("mx"))
+    )
+    kept_at = [
+        F.sum(
+            F.when(
+                F.col("mx").isNull()
+                | (F.col("mx") < F.lit(t).cast("double") / 10),
+                1,
+            ).otherwise(0)
+        ).alias(f"k{t}")
+        for t in SEMDEDUP_TAU_GRID
+    ]
+    agg = mx.agg(F.count("*").cast("long").alias("n_total"), *kept_at)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE) / 10, k{t}" for t in SEMDEDUP_TAU_GRID
+    )
+    return agg.selectExpr(
+        f"stack({len(SEMDEDUP_TAU_GRID)}, {stack_args}) AS (tau, n_kept)",
+        "n_total",
+    ).select(
+        "tau",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "n_total",
+        (F.col("n_kept") / F.col("n_total")).alias("frac_kept"),
+    )
+
+
+# --- Greedy k-center coreset (Gonzalez farthest-point traversal) ---------
+# Number of centers PICKED after the fixed seed (vec_id 0): output rows are
+# k = 2 … KC_PICKS + 1, one per pick, each carrying the covering radius of
+# the PREVIOUS center set (the distance that forced the pick).
+KC_PICKS = 6
+
+
+def _kcenter_oracle(picks: int = KC_PICKS, dim: int | None = None) -> str:
+    """Unrolled greedy k-center: state s{t} carries every vector's min
+    QUANTIZED squared distance (``qd = ROUND(d2·10⁶)`` BIGINT, the Lloyd
+    convention) to the centers chosen so far; pick p{t} is the argmax row
+    (ties → lowest vec_id), excluded from later picks by an explicit
+    NOT-IN chain (already-chosen centers sit at qd = 0 but an exact
+    duplicate vector would too — exclusion must be by identity, not by
+    distance)."""
+    from .similarity import _EMB_DIMS
+
+    dim = _EMB_DIMS if dim is None else dim
+    dv = f"[s.v[i + 1] - c.cv[i + 1] FOR i IN range(0, {dim})]"
+    dv0 = f"[n.v[i + 1] - c.cv[i + 1] FOR i IN range(0, {dim})]"
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s1 AS MATERIALIZED (
+      SELECT n.vec_id, n.v,
+             CAST(ROUND(list_dot_product({dv0}, {dv0}) * {_LLOYD_SCALE})
+                  AS BIGINT) AS qd
+      FROM e n CROSS JOIN (SELECT v AS cv FROM e WHERE vec_id = 0) c
+    )"""
+    ]
+    rows = []
+    for t in range(2, picks + 2):
+        excl = " AND ".join(
+            ["vec_id <> 0"]
+            + [f"vec_id NOT IN (SELECT vec_id FROM p{j})" for j in range(2, t)]
+        )
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT vec_id, qd FROM s{t - 1}
+      WHERE {excl}
+      ORDER BY qd DESC, vec_id LIMIT 1
+    )"""
+        )
+        rows.append(
+            f"SELECT {t} AS k, vec_id AS center_vec_id,"
+            f" qd / {_LLOYD_SCALE}.0 AS radius FROM p{t}"
+        )
+        if t < picks + 1:
+            parts.append(
+                f"""s{t} AS MATERIALIZED (
+      SELECT s.vec_id, s.v,
+             LEAST(s.qd,
+                   CAST(ROUND(list_dot_product({dv}, {dv}) * {_LLOYD_SCALE})
+                        AS BIGINT)) AS qd
+      FROM s{t - 1} s CROSS JOIN
+           (SELECT e.v AS cv FROM e JOIN p{t} USING (vec_id)) c
+    )"""
+            )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@query(
+    "kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "coreset", "iterative"),
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point traversal) over the
+    embedding corpus — the classic 2-approximation for diverse-subset /
+    coreset selection (pick the point FARTHEST from everything chosen so
+    far), the diversity-sampling counterpart to :func:`semdedup_keep`'s
+    redundancy REMOVAL: dedup trims what is too close together, k-center
+    picks what spans the space (public recipe: Sener & Savarese 2018's
+    core-set active learning, arXiv:1708.00489, uses exactly this greedy
+    rule). Output: one row per pick — (k, chosen center, covering radius
+    of the PREVIOUS k-1 centers, i.e. the max-min squared distance that
+    forced the pick). The radius column is the k-center objective curve:
+    non-increasing, and where it plateaus is the natural coreset size.
+
+    Iterative-algorithm pattern (the :func:`kmeans_lloyd_curve` shape):
+    per pick, ONE linear scan of the pinned state frame — a 1-row
+    struct-MAX argmax reduction (qd first, then negated vec_id: ties
+    break to the lowest id) and a narrow map over the broadcast 1-row
+    new-center frame updating ``qd = LEAST(qd, qd2(v, new))``. The corpus
+    NEVER shuffles: total work is O(K·n·dim) folds with K+1 one-row
+    driver collects, and the state chain is pinned by lazy
+    localCheckpoints exactly like Lloyd. Distances compare as
+    1e-6-quantized BIGINTs on both engines (the argmax, the LEAST fold
+    and the emitted radius all read the SAME qd — the
+    :func:`_lloyd_assign_sql` rule, same round-before-compare residual).
+    Already-chosen centers (qd = 0) are excluded by ID, not by distance,
+    so an exact-duplicate corpus cannot re-pick a center."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+
+    def qdist():
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(d2 * _LLOYD_SCALE).cast("long")
+
+    seed = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
+    state = (
+        emb.crossJoin(F.broadcast(seed))
+        .select("vec_id", "v", qdist().alias("qd"))
+        .localCheckpoint(eager=False)
+    )
+    chosen = [0]
+    rows = []
+    for k in range(2, KC_PICKS + 2):
+        best = (
+            state.filter(~F.col("vec_id").isin(chosen))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("qd"), (-F.col("vec_id")).alias("nid")
+                    )
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        cid = -best["nid"]
+        rows.append((k, cid, best["qd"] / float(_LLOYD_SCALE)))
+        chosen.append(cid)
+        if k < KC_PICKS + 1:
+            cv = state.filter(F.col("vec_id") == cid).select(
+                F.col("v").alias("cv")
+            )
+            state = (
+                state.crossJoin(F.broadcast(cv))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(F.col("qd"), qdist()).alias("qd"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return spark.createDataFrame(
+        rows, "k int, center_vec_id long, radius double"
     )

@@ -43,6 +43,13 @@ SKIP = {
     # kmeans_lloyd_curve).
     "bpe_merge_rounds",
     "bpe_encode_stats",
+    # kcenter_coreset / part_pagerank_rounds: driver-loop iterative ops
+    # whose state chains through lazy localCheckpoints (LogicalRDD
+    # leaves) — the returned plan censuses as a vacuous count exactly
+    # like kmeans_lloyd_curve / bpe_merge_rounds, so a pin could never
+    # catch a regression inside the loop.
+    "kcenter_coreset",
+    "part_pagerank_rounds",
     "dedup_clusters",
     "dedup_clusters_portable",
     "curate_corpus_neardup",

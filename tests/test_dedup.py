@@ -437,3 +437,70 @@ def test_minhash_calibration_planted_neardup(spark, monkeypatch):
     assert pair["jaccard"] > 0.7
     assert pair["bands_shared"] >= 1
     assert (0, 2) not in rows and (1, 2) not in rows
+
+
+def test_part_pagerank_rounds_matches_python_reference(spark, monkeypatch):
+    """Planted basket graph vs a dict-based integer power iteration: the
+    exact fixed-point arithmetic (per-edge truncating div, damped integer
+    update) must reproduce bit-for-bit, iteration by iteration."""
+    import pyspark_retention_pipeline_spark.operators.components as comp
+
+    # orders: o1{1,2} o2{1,2} o3{1,3} o4{2,3,4}
+    rows = [
+        (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3),
+        (4, 2), (4, 3), (4, 4),
+        (4, 4),  # duplicate line: collect_set must dedupe it
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+
+    S = comp.PR_SCALE
+    edges = {}
+    for (a, b), w in {(1, 2): 2, (1, 3): 1, (2, 3): 1, (2, 4): 1, (3, 4): 1}.items():
+        edges[(a, b)] = w
+        edges[(b, a)] = w
+    ow = {}
+    for (s, _), w in edges.items():
+        ow[s] = ow.get(s, 0) + w
+    pr = {p: S for p in ow}
+    want = []
+    for it in range(1, comp.PR_ITERS + 1):
+        inc = {}
+        for (s, d), w in edges.items():
+            inc[d] = inc.get(d, 0) + (pr[s] * w) // ow[s]
+        pr = {p: (15 * S + 85 * inc.get(p, 0)) // 100 for p in ow}
+        top = min(pr, key=lambda p: (-pr[p], p))
+        want.append((it, len(pr), sum(pr.values()), top, pr[top]))
+
+    got = sorted(
+        comp.part_pagerank_rounds(spark, "x").collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [
+        (r.iteration, r.n_nodes, r.total_rank, r.top_part, r.top_rank)
+        for r in got
+    ] == want
+
+
+def test_part_pagerank_rank_mass_conserved_modulo_truncation(spark, sf_dir):
+    """On the real graph: node count is constant across iterations, total
+    rank mass never exceeds n·PR_SCALE (truncation only loses mass), and
+    the top rank is ≥ the uniform share (the argmax can't be below mean)."""
+    from pyspark_retention_pipeline_spark.operators.components import (
+        PR_ITERS,
+        PR_SCALE,
+        part_pagerank_rounds,
+    )
+
+    rows = sorted(
+        part_pagerank_rounds(spark, sf_dir).collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [r.iteration for r in rows] == list(range(1, PR_ITERS + 1))
+    n = rows[0].n_nodes
+    assert n > 0
+    for r in rows:
+        assert r.n_nodes == n
+        assert r.total_rank <= n * PR_SCALE
+        assert r.total_rank > 0
+        assert r.top_rank * n >= r.total_rank  # max >= mean

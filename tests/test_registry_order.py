@@ -11,12 +11,13 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-12 policy (docs/ROUND12_ROTATION.md): (a) the changed tier — EMPTY
-(no previously-seated plan changed); (b) the four new round-12 queries
+(no previously-seated plan changed); (b) the seven new round-12 queries
 via the never-verified tier (bpe_merge_rounds, bpe_encode_stats,
-crossdoc_span_rewrite, crossdoc_span_profile); (c) the flagship;
+crossdoc_span_rewrite, crossdoc_span_profile, semdedup_tau_curve,
+kcenter_coreset, part_pagerank_rounds); (c) the flagship;
 (d) stalest-green backfill: the 3-name r6-tier remainder (round 11's
-DEFERRED_TO_R12) and the FULL 42-name r7 tier — exactly clearing the
-staleness floor to r8.
+DEFERRED_TO_R12) and 39 of the 42-name r7 tier — the last three r7
+names defer to round 13, moving the staleness floor to r7.
 """
 
 import importlib.util
@@ -44,18 +45,26 @@ BACKLOG_R12 = {
     "bpe_encode_stats",  # new in round 12 (applied-compression curve)
     "crossdoc_span_rewrite",  # new in round 12 (ExactSubstr span rewrite)
     "crossdoc_span_profile",  # new in round 12 (span-length S-curve)
+    "semdedup_tau_curve",  # new in round 12 (SemDeDup τ scorecard)
+    "kcenter_coreset",  # new in round 12 (greedy farthest-point coreset)
+    "part_pagerank_rounds",  # new in round 12 (fixed-point PageRank)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 13: the r6 remainder and the
-# full r7 tier fit this round with two r8 seats to spare, so the deferral
-# set is the REST of the r8 tier — names only needed by the boundary test
-# below, which checks the first few in (round, name) order stay outside.
+# Boundary-tier backfill deferred to round 13: the three new-query seats
+# (semdedup_tau_curve, kcenter_coreset, part_pagerank_rounds) displace the
+# LAST three r7-tier names in (round, name) order, so those lead the
+# round-13 backfill pool, followed by the whole r8 tier — names only
+# needed by the boundary test below, which checks the first few in
+# (round, name) order stay outside.
 DEFERRED_TO_R13 = {
-    "ab_conversion_ztest",  # displaced by crossdoc_span_profile's seat
-    "above_avg_orders",  # displaced by bpe_encode_stats' backlog seat
+    "weighted_doc_sample",  # r7 tail displaced by the new-query seats
+    "winnowing_fingerprints",  # r7 tail displaced by the new-query seats
+    "winsorized_spend_stats",  # r7 tail displaced by the new-query seats
+    "ab_conversion_ztest",  # r8 tier starts here
+    "above_avg_orders",
     "active_customers_semi",
     "all_orders_finished",
     "best_threshold",

@@ -501,3 +501,103 @@ def test_semdedup_keep_invariants_on_testdata(spark, sf_dir):
         .count()
     )
     assert leftovers == 0, f"{leftovers} duplicate pairs survive in the kept set"
+
+
+def test_kcenter_coreset_matches_bruteforce(spark, monkeypatch):
+    """Greedy k-center vs a numpy reference running the SAME quantized
+    integer arithmetic (qd = round(d2·1e6), argmax ties → lowest id):
+    every pick and every radius must agree exactly; the radius curve is
+    non-increasing (each new center can only shrink max-min distance)."""
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(60, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+
+    S = ivf_mod._LLOYD_SCALE
+
+    def qd2(i, j):
+        d = x[i] - x[j]
+        return int(round(float(d @ d) * S))
+
+    chosen = [0]
+    qd = {i: qd2(i, 0) for i in range(60)}
+    want = []
+    for k in range(2, ivf_mod.KC_PICKS + 2):
+        cand = [(qd[i], -i) for i in range(60) if i not in chosen]
+        best = max(cand)
+        cid = -best[1]
+        want.append((k, cid, best[0] / float(S)))
+        chosen.append(cid)
+        qd = {i: min(qd[i], qd2(i, cid)) for i in range(60)}
+
+    got = sorted(
+        ivf_mod.kcenter_coreset(spark, "x").collect(), key=lambda r: r.k
+    )
+    assert [(r.k, r.center_vec_id, r.radius) for r in got] == want
+    radii = [r.radius for r in got]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_coreset_excludes_duplicate_centers(spark, monkeypatch):
+    """An exact-duplicate corpus (every vector one of two points) cannot
+    re-pick an already-chosen center: exclusion is by id, so the picks are
+    the duplicate-at-distance first, then qd=0 members by lowest id."""
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+
+    a, b = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    rows = [(i, a if i % 2 == 0 else b) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    got = sorted(
+        ivf_mod.kcenter_coreset(spark, "x").collect(), key=lambda r: r.k
+    )
+    ids = [r.center_vec_id for r in got]
+    assert len(set(ids)) == len(ids) and 0 not in ids
+    assert got[0].center_vec_id == 1 and got[0].radius == 2.0
+    # every later pick covers distance 0 (all remaining are duplicates)
+    assert all(r.radius == 0.0 for r in got[1:])
+
+
+def test_semdedup_tau_curve_consistent_with_keep_decision(spark, monkeypatch):
+    """The τ-sweep scorecard on the planted-twin corpus: n_kept is
+    non-decreasing in τ (stricter duplicate bar keeps more), n_total is
+    the corpus size at every τ, frac divides the two, and the τ = 0.3
+    point equals semdedup_keep's kept count on the SAME corpus — the
+    scorecard and the operator it tunes cannot disagree at the registered
+    operating point."""
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(10):
+        twin = base[i] + rng.normal(scale=1e-4, size=64)
+        rows.append((1000 + i, [float(x) for x in twin]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+
+    curve = sorted(
+        ivf_mod.semdedup_tau_curve(spark, "x").collect(), key=lambda r: r.tau
+    )
+    assert [round(r.tau, 1) for r in curve] == [
+        t / 10 for t in ivf_mod.SEMDEDUP_TAU_GRID
+    ]
+    assert all(r.n_total == 90 for r in curve)
+    kept = [r.n_kept for r in curve]
+    assert all(a <= b for a, b in zip(kept, kept[1:]))
+    assert all(r.frac_kept == r.n_kept / r.n_total for r in curve)
+
+    kept_at_03 = sum(
+        1 for r in ivf_mod.semdedup_keep(spark, "x").collect() if r.kept
+    )
+    tau03 = [r for r in curve if abs(r.tau - ivf_mod.SEMDEDUP_TAU) < 1e-9]
+    assert len(tau03) == 1 and tau03[0].n_kept == kept_at_03
