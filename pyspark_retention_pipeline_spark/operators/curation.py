@@ -1562,3 +1562,71 @@ def crossdoc_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "doc_novelty_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, s.i + 1, s.i + {NGRAM}), ' ') AS gram
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {NGRAM}, 0) + 1)) AS s(i)
+    ), own AS (
+      SELECT gram, MIN(doc_id) AS owner FROM grams GROUP BY gram
+    )
+    SELECT doc_id, n_grams, n_novel,
+           n_novel / n_grams AS novelty
+    FROM (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN g.doc_id = o.owner THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams g JOIN own o USING (gram)
+      GROUP BY g.doc_id)
+    """,
+    tags=("curation", "dedup", "novelty"),
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-novelty score: the fraction of a document's
+    distinct word {NGRAM}-grams that FIRST appear in it (owner = lowest
+    doc_id over the whole corpus) — the contribution-ranking signal
+    public dataset reports derive from their dedup passes (a doc whose
+    grams are all owned elsewhere is pure repetition and a deletion
+    candidate; a high-novelty doc carries unique content). Sits between
+    :func:`ngram_contamination` (overlap vs a FIXED eval slice) and
+    :func:`~.text.dup_rate_by_source` (exact whole-doc duplicates): this
+    is gram-grain overlap against the ENTIRE corpus, keep-first
+    attribution — the same lowest-id canonical convention every dedup
+    operator here uses.
+
+    Scale shape: tokens hash once (:func:`_gram_hash_frame` — 8-byte
+    gram hashes, never gram strings), ONE gram-grain aggregate finds
+    each gram's owner (map-side combinable MIN), one equi-join back on
+    the 8-byte hash, one doc-grain rollup. No all-pairs term, no window,
+    no global sort — two corpus-token-grain shuffles, the
+    :func:`crossdoc_span_stats` budget. The oracle re-derives ownership
+    from gram STRINGS, so the driver's hash gate also re-validates the
+    64-bit gram-hash identity (the span-tier convention); counts are
+    BIGINTs, novelty divides the identical integers."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _gram_hash_frame(d)
+    own = grams.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        grams.join(own, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("owner")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+    )

@@ -117,7 +117,12 @@ def ivf_search(
     )
 
 
-_IVF_ORACLE = f"""
+# Corpus → norms → deterministic md5 codebook → per-vector argmax cell:
+# shared between the end-to-end search oracle (ivf_knn) and the probe
+# operating-point scorecard oracle (ivf_probe_recall) — one definition so
+# the assignment convention cannot drift between the search path and its
+# recall report (the _SEMDEDUP_ASSIGN_CTES rule, applied to this tier).
+_IVF_BASE_CTES = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS MATERIALIZED (
@@ -142,7 +147,9 @@ _IVF_ORACLE = f"""
                                 / (n.nrm * code.cnrm), 6) DESC, code.cell
                ) AS rn
         FROM n CROSS JOIN code) WHERE rn = 1
-    ), probed AS (
+    )"""
+
+_IVF_ORACLE = _IVF_BASE_CTES + f""", probed AS (
       SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell FROM (
         SELECT n.vec_id, n.v, n.nrm, code.cell,
                ROW_NUMBER() OVER (
@@ -916,3 +923,199 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k int, center_vec_id long, radius double"
     )
+
+
+# --- IVF probe operating-point scorecard ----------------------------------
+# n_probe grid for the recall sweep (max must stay <= N_CELLS).
+PROBE_GRID = (1, 2, 4, 8)
+
+
+def _ivf_probe_recall_oracle(grid: tuple[int, ...] = PROBE_GRID) -> str:
+    """Exact top-k from brute force, probed candidates tagged with their
+    cell's probe rank ``pr``, then one ranked top-k + intersection count
+    per grid point — every count BIGINT, recall a division of identical
+    integers."""
+    widest = max(grid)
+    per_p = "\n    UNION ALL ".join(
+        f"""SELECT {p} AS n_probe, m.n_matched, exn.n_exact,
+           m.n_matched / exn.n_exact AS recall
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+          FROM (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC,
+                                                     neighbor_id) AS rn
+                  FROM pairs WHERE pr <= {p}) WHERE rn <= {TOP_K}) t
+          JOIN exact USING (query_id, neighbor_id)) m CROSS JOIN exn"""
+        for p in grid
+    )
+    return (
+        _IVF_BASE_CTES
+        + f""", exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, c.v)
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rn
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {TOP_K}
+    ), probedw AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell, rn AS pr FROM (
+        SELECT n.vec_id, n.v, n.nrm, code.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, code.cv)
+                                / (n.nrm * code.cnrm), 6) DESC, code.cell
+               ) AS rn
+        FROM n CROSS JOIN code WHERE n.vec_id < {N_QUERIES})
+      WHERE rn <= {widest}
+    ), pairs AS MATERIALIZED (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6)
+               AS cosine, p.pr
+      FROM probedw p JOIN assign a
+        ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ), exn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact
+    )
+    {per_p}"""
+    )
+
+
+@query(
+    "ivf_probe_recall",
+    oracle=_ivf_probe_recall_oracle(),
+    tags=("similarity", "ann-ivf", "scorecard"),
+)
+def ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tier's operating-point scorecard: recall@{TOP_K} of the
+    probed search vs exact brute force as a function of ``n_probe`` over
+    the grid {PROBE_GRID} — the knob an IVF deployment actually tunes
+    (more probes = more candidates scanned = higher recall; the curve
+    shows where it saturates). Completes the scorecard family across
+    every similarity tier: ``ann_recall_report``/``ann_grid_report``
+    (banded LSH), ``minhash_calibration`` (MinHash banding),
+    ``crossdoc_span_profile`` (span length), ``semdedup_tau_curve``
+    (semantic-dedup τ) — IVF probe depth was the one tuning knob without
+    a measured curve.
+
+    ONE candidate pass serves every grid point: the query slice explodes
+    its top-``max(grid)`` cells WITH the probe rank ``pr`` attached
+    (posexplode over the same in-row sorted score array
+    :func:`ivf_knn` probes), so the candidate set under ``n_probe = p``
+    is exactly the pairs with ``pr <= p`` — a filter, not a re-join.
+    Per grid point the top-k re-rank and the intersection with the exact
+    set are windows/joins over that single pinned pair frame (bounded:
+    |queries| × widest-probe cells — never corpus × corpus). The exact
+    side is the {N_QUERIES}-query brute-force top-{TOP_K} (broadcast
+    queries, one corpus scan). Rankings on BOTH sides use the rounded
+    cosine with neighbor-id tie-break (the cross-engine 1-ulp rule);
+    counts are BIGINTs, recall divides identical integers. Recall is
+    monotone in ``n_probe`` by construction (candidate sets nest), which
+    the unit test pins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = (
+        e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)  # codebook + corpus + query slice
+    )
+    cb = deterministic_codebook_frame(staged)
+    scored_col = F.transform(
+        F.col("cb"),
+        lambda x: F.struct(
+            F.round(
+                dot(F.col("v"), x["cv"]) / (F.col("nrm") * x["cnrm"]), 6
+            ).alias("c"),
+            (-x["cell"]).alias("negcell"),
+        ),
+    )
+    scored = staged.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "v", "nrm", scored_col.alias("scored")
+    )
+    assigned = scored.select(
+        "vec_id",
+        "v",
+        "nrm",
+        (-F.array_max("scored")["negcell"]).cast("int").alias("cell"),
+    )
+    widest = max(PROBE_GRID)
+    probed = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.posexplode(
+                F.slice(F.reverse(F.array_sort("scored")), 1, widest)
+            ).alias("pos", "p"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            (F.col("pos") + 1).alias("pr"),
+            (-F.col("p")["negcell"]).cast("int").alias("cell"),
+        )
+    )
+    pairs = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+            "pr",
+        )
+        .localCheckpoint(eager=False)  # one pair pass for every grid point
+    )
+    q = staged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ex_pairs = (
+        staged.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact = (
+        ex_pairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # intersected by every grid point
+    )
+    exn = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    out = None
+    for p in PROBE_GRID:
+        topk_p = (
+            pairs.filter(F.col("pr") <= p)
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        row = (
+            topk_p.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").cast("long").alias("n_matched"))
+            .crossJoin(exn)
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "n_matched",
+                "n_exact",
+                (F.col("n_matched") / F.col("n_exact")).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

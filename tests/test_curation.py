@@ -499,3 +499,32 @@ def test_crossdoc_span_profile_hand_checked(spark, monkeypatch):
     assert rows[4] == (87, 48, round(48 / 87, 6), 6)
     assert rows[8] == (64, 30, 0.46875, 6)
     assert rows[16] == (24, 12, 0.5, 4)
+
+
+def test_doc_novelty_score_planted(spark, monkeypatch):
+    """Planted corpus: a verbatim duplicate owns nothing (novelty 0), the
+    first copy owns everything it contains (novelty 1), a distinct doc is
+    fully novel, and a doc sharing a prefix with doc 0 owns only the grams
+    past the shared span. Also: summed n_novel equals the corpus's distinct
+    gram count (every gram has exactly one owner)."""
+    import pyspark_retention_pipeline_spark.operators.curation as cur
+
+    base = "a b c d e f"  # 2 distinct 5-grams: abcde, bcdef
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # verbatim dup of 0
+            (2, "x y z w v u"),  # fully novel
+            (3, "a b c d e zz"),  # shares gram 'a b c d e' with doc 0
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(cur, "load_table", lambda *_: docs)
+    out = {r.doc_id: r for r in cur.doc_novelty_score(spark, "x").collect()}
+    assert out[0].n_grams == 2 and out[0].n_novel == 2 and out[0].novelty == 1.0
+    assert out[1].n_grams == 2 and out[1].n_novel == 0 and out[1].novelty == 0.0
+    assert out[2].n_grams == 2 and out[2].novelty == 1.0
+    assert out[3].n_grams == 2 and out[3].n_novel == 1 and out[3].novelty == 0.5
+    total_novel = sum(r.n_novel for r in out.values())
+    distinct_grams = 5  # abcde, bcdef, xyzwv, yzwvu, bcde-zz
+    assert total_novel == distinct_grams

@@ -601,3 +601,86 @@ def test_semdedup_tau_curve_consistent_with_keep_decision(spark, monkeypatch):
     )
     tau03 = [r for r in curve if abs(r.tau - ivf_mod.SEMDEDUP_TAU) < 1e-9]
     assert len(tau03) == 1 and tau03[0].n_kept == kept_at_03
+
+
+def test_ivf_probe_recall_matches_numpy_reference(spark, monkeypatch):
+    """Full replication of the probe-recall scorecard in numpy on a planted
+    corpus: md5 codebook, rounded-cosine argmax assignment, probe ranks,
+    per-probe top-k vs exact top-k intersection. Also pins monotonicity
+    (candidate sets nest, so recall can only grow with n_probe)."""
+    import hashlib
+
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+    from pyspark_retention_pipeline_spark.operators.ivf import (
+        N_CELLS,
+        PROBE_GRID,
+    )
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 120
+    x = rng.normal(size=(n, 24))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+
+    nrm = np.linalg.norm(x, axis=1)
+    code_ids = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:N_CELLS]
+
+    def cos6(i, j):
+        return round(float(x[i] @ x[j]) / (nrm[i] * nrm[j]), 6)
+
+    # assignment: argmax rounded cosine to codebook, ties -> lowest cell
+    cell = {}
+    for i in range(n):
+        scores = [(-cos6(i, c), k + 1) for k, c in enumerate(code_ids)]
+        cell[i] = min(scores)[1]
+    # probe ranks per query
+    probe_rank = {}
+    for q in range(N_QUERIES):
+        order = sorted(
+            range(N_CELLS), key=lambda k: (-cos6(q, code_ids[k]), k + 1)
+        )
+        for pr, k in enumerate(order, start=1):
+            probe_rank[(q, k + 1)] = pr
+    exact = {
+        q: set(
+            sorted(
+                (i for i in range(n) if i != q),
+                key=lambda i: (-cos6(q, i), i),
+            )[:TOP_K]
+        )
+        for q in range(N_QUERIES)
+    }
+    want = []
+    for p in PROBE_GRID:
+        matched = 0
+        for q in range(N_QUERIES):
+            cands = [
+                i
+                for i in range(n)
+                if i != q and probe_rank[(q, cell[i])] <= p
+            ]
+            topk = set(sorted(cands, key=lambda i: (-cos6(q, i), i))[:TOP_K])
+            matched += len(topk & exact[q])
+        n_exact = N_QUERIES * TOP_K
+        want.append((p, matched, n_exact, matched / n_exact))
+
+    got = sorted(
+        ivf_mod.ivf_probe_recall(spark, "x").collect(), key=lambda r: r.n_probe
+    )
+    assert [
+        (r.n_probe, r.n_matched, r.n_exact, r.recall) for r in got
+    ] == want
+    recalls = [r.recall for r in got]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert got[-1].recall > 0
