@@ -753,3 +753,120 @@ def test_bpe_merge_rounds_matches_bruteforce(spark, docs, monkeypatch):
         .collect()
     ]
     assert got == _ref_bpe_merges(words, tok.BPE_ROUNDS)
+
+
+def _pagerank_reference(baskets, iters, scale):
+    """Dict-based integer power iteration over the symmetrized pair graph
+    of random baskets — the exact arithmetic part_pagerank_rounds runs."""
+    pairs: dict[tuple, int] = {}
+    for parts in baskets:
+        ps = sorted(set(parts))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    edges: dict[tuple, int] = {}
+    for (a, b), w in pairs.items():
+        edges[(a, b)] = w
+        edges[(b, a)] = w
+    ow: dict[int, int] = {}
+    for (s, _), w in edges.items():
+        ow[s] = ow.get(s, 0) + w
+    if not ow:  # no co-occurrence edge anywhere: empty graph
+        return []
+    pr = {p: scale for p in ow}
+    rows = []
+    for it in range(1, iters + 1):
+        inc: dict[int, int] = {}
+        for (s, d), w in edges.items():
+            inc[d] = inc.get(d, 0) + (pr[s] * w) // ow[s]
+        pr = {p: (15 * scale + 85 * inc.get(p, 0)) // 100 for p in ow}
+        top = min(pr, key=lambda p: (-pr[p], p))
+        rows.append((it, len(pr), sum(pr.values()), top, pr[top]))
+    return rows
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_part_pagerank_rounds_matches_reference_on_random_graphs(
+    spark, baskets, monkeypatch
+):
+    """Fixed-point PageRank equals the dict reference bit-for-bit on random
+    small-key basket corpora (dense co-occurrence: repeated pairs, hub
+    nodes, disconnected components all arise)."""
+    import pyspark_retention_pipeline_spark.operators.components as comp
+
+    rows = [
+        (oid, int(p)) for oid, parts in enumerate(baskets) for p in parts
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+    want = _pagerank_reference(baskets, comp.PR_ITERS, comp.PR_SCALE)
+    if not want:
+        # No co-occurrence edge anywhere: the empty graph still emits one
+        # curve row per iteration (global aggregate over zero nodes) with
+        # n_nodes = 0 and NULL mass/argmax — the same shape the SQL
+        # oracle's COUNT/SUM/scalar-subquery produce, so parity holds.
+        rows = comp.part_pagerank_rounds(spark, "x").collect()
+        assert len(rows) == comp.PR_ITERS
+        assert all(r.n_nodes == 0 and r.total_rank is None for r in rows)
+        return
+    got = sorted(
+        comp.part_pagerank_rounds(spark, "x").collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [
+        (r.iteration, r.n_nodes, r.total_rank, r.top_part, r.top_rank)
+        for r in got
+    ] == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-8, max_value=8), min_size=3, max_size=3
+        ),
+        min_size=8,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_kcenter_coreset_matches_reference_on_random_corpora(
+    spark, vecs, monkeypatch
+):
+    """Greedy k-center equals the quantized-integer Python reference on
+    random small-integer corpora — integer coordinates make round(d2·1e6)
+    exact, and duplicates arise naturally (min_size 8 > KC_PICKS + 1, so
+    the id-exclusion path is exercised whenever the corpus collapses to
+    fewer distinct points than picks)."""
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    S = ivf_mod._LLOYD_SCALE
+    n = len(vecs)
+
+    def qd2(i, j):
+        return int(
+            round(sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[j])) * S)
+        )
+
+    chosen = [0]
+    qd = {i: qd2(i, 0) for i in range(n)}
+    want = []
+    for k in range(2, ivf_mod.KC_PICKS + 2):
+        best = max((qd[i], -i) for i in range(n) if i not in chosen)
+        cid = -best[1]
+        want.append((k, cid, best[0] / float(S)))
+        chosen.append(cid)
+        qd = {i: min(qd[i], qd2(i, cid)) for i in range(n)}
+    got = sorted(
+        ivf_mod.kcenter_coreset(spark, "x").collect(), key=lambda r: r.k
+    )
+    assert [(r.k, r.center_vec_id, r.radius) for r in got] == want
