@@ -904,6 +904,12 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]["b"]
         )
+        if best is None:
+            # Corpus exhausted (< KC_PICKS + 1 vectors, or no seed vec_id
+            # 0 at all): stop picking — the oracle's p{k} CTE is empty and
+            # emits no row for this and every later k, so the curve just
+            # ends early on both engines.
+            break
         cid = -best["nid"]
         rows.append((k, cid, best["qd"] / float(_LLOYD_SCALE)))
         chosen.append(cid)

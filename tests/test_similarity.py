@@ -684,3 +684,21 @@ def test_ivf_probe_recall_matches_numpy_reference(spark, monkeypatch):
     recalls = [r.recall for r in got]
     assert all(a <= b for a, b in zip(recalls, recalls[1:]))
     assert got[-1].recall > 0
+
+
+def test_kcenter_coreset_tiny_corpus_ends_early(spark, monkeypatch):
+    """A corpus with fewer vectors than KC_PICKS + 1 exhausts the pick
+    pool: the curve ends early (one row per available non-seed vector),
+    matching the oracle's empty-CTE convention instead of crashing."""
+    import pyspark_retention_pipeline_spark.operators.ivf as ivf_mod
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    rows = sorted(
+        ivf_mod.kcenter_coreset(spark, "x").collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == [2, 3]
+    assert {r.center_vec_id for r in rows} == {1, 2}
