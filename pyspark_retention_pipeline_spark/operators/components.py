@@ -368,3 +368,164 @@ def part_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+# --- Triangle counting / clustering coefficient ----------------------------
+TRI_TOP = 20
+# Minimum co-occurrence support for an edge to enter the triangle graph:
+# a pair ordered together ONCE is noise at TPC-H's uniform basket draw —
+# the unthresholded co-occurrence graph is dense (sf0.1: 1.2M edges over
+# 20k parts, avg degree ~120) and its wedge volume is intrinsically
+# O(E^1.5)-huge (measured: the 100x probe exhausted single-host memory
+# even degree-oriented). Support >= 2 is the standard frequent-itemset
+# prune: it keeps exactly the edges with repeat evidence (sf0.1: 3.6k of
+# 1.2M edges) and makes the triangle metric a SIGNAL metric.
+TRI_MIN_SUPPORT = 2
+
+_TRI_ORACLE = f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS MATERIALIZED (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT p1 AS part FROM pairs
+            UNION ALL SELECT p2 FROM pairs)
+      GROUP BY part
+    ), orient AS MATERIALIZED (
+      -- compact-forward orientation: every edge points from the lower
+      -- (degree, id) endpoint to the higher, carrying the head's order key
+      SELECT CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2)
+                  THEN p1 ELSE p2 END AS u,
+             CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2)
+                  THEN p2 ELSE p1 END AS v,
+             CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2)
+                  THEN d2 ELSE d1 END AS dv
+      FROM (SELECT p.p1, p.p2, da.degree AS d1, db.degree AS d2
+            FROM pairs p
+            JOIN deg da ON da.part = p.p1
+            JOIN deg db ON db.part = p.p2)
+    ), tri AS MATERIALIZED (
+      SELECT o1.u AS a, o1.v AS b, o2.v AS c
+      FROM orient o1
+      JOIN orient o2
+        ON o2.u = o1.u
+       AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+      JOIN orient o3 ON o3.u = o1.v AND o3.v = o2.v
+    ), verts AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), tcnt AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM verts GROUP BY part
+    )
+    SELECT part, degree, n_triangles,
+           CASE WHEN degree >= 2
+                THEN (2 * n_triangles) / (degree * (degree - 1))
+                ELSE 0.0 END AS clustering_coeff
+    FROM (SELECT d.part, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles
+          FROM deg d LEFT JOIN tcnt t USING (part))
+    ORDER BY n_triangles DESC, part LIMIT {TRI_TOP}
+"""
+
+
+@query(
+    "part_triangle_counts",
+    oracle=_TRI_ORACLE,
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the part
+    co-occurrence graph — the cohesion metric next to
+    :func:`part_pagerank_rounds`' centrality and
+    :func:`connected_components`' reachability (triangle density is the
+    standard spam/community signal in web-graph curation). Output: the
+    {TRI_TOP} most triangle-dense parts with degree and local clustering
+    coefficient ``2T/(d(d−1))``.
+
+    Shape — COMPACT-FORWARD with (degree, id) orientation, not the naive
+    id-orientation: every edge points from its lower-(degree, id)
+    endpoint to the higher, so each triangle materializes exactly once
+    at its orientation-minimal vertex, and a node's oriented out-degree
+    is O(√E) — total wedge volume is O(E^1.5) REGARDLESS of hub skew
+    (Σ out² under degree-orientation; the id-oriented first cut OOM'd at
+    the 100× probe because one hub's wedge list is Σ deg² — unbounded —
+    exactly the cliff this orientation removes; this is the Latapy /
+    Schank-Wagner compact-forward recipe, public literature). The
+    oriented edge carries its head's order key so the wedge join's
+    v < w condition and the closing-edge join both compare the SAME
+    total order on both engines (BIGINT pairs, no float anywhere).
+    Edges come from the shared
+    :func:`~.analytics_extra.part_pair_counts_frame` (pinned); degrees
+    are one rollup over the pinned pair frame; wedges and closings are
+    two hash joins on 8-byte keys; the per-node rollup is a 3-way vertex
+    explode; output is a TakeOrdered top-{TRI_TOP}. Counts are BIGINTs;
+    the coefficient divides identical integers."""
+    from .analytics_extra import part_pair_counts_frame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        part_pair_counts_frame(li)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)  # degree rollup + orientation reads
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("part"))
+        .unionByName(pairs.select(F.col("p2").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .localCheckpoint(eager=False)  # orientation (×2) + output reads
+    )
+    with_deg = (
+        pairs.join(deg.select(F.col("part").alias("p1"), F.col("degree").alias("d1")), "p1")
+        .join(deg.select(F.col("part").alias("p2"), F.col("degree").alias("d2")), "p2")
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    orient = with_deg.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+    ).localCheckpoint(eager=False)  # wedge ×2 + closing reads
+    o1 = orient.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    o2 = orient.select("u", F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = orient.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("u").alias("a"), "b", "c"
+    )
+    verts = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("part")
+    )
+    tcnt = verts.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    joined = deg.join(tcnt, "part", "left").select(
+        "part",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (2 * F.col("n_triangles"))
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            "part", "degree", "n_triangles", coeff.alias("clustering_coeff")
+        )
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(TRI_TOP)
+    )

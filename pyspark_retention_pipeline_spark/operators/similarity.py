@@ -1124,3 +1124,144 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qd") / float(_OUT_DIST_SCALE), 4).alias("dist2"),
         F.round("zs", 6).alias("zscore"),
     )
+
+
+# --- int8-quantization retrieval scorecard --------------------------------
+# Recall grid: top-1 (the hard case) and the standard top-K.
+QKNN_TOPKS = (1, TOP_K)
+
+_QKNN_CASES = ",\n             ".join(
+    f"SUM(CASE WHEN rne <= {k} AND rnq <= {k} THEN 1 ELSE 0 END) AS m{k},\n"
+    f"             SUM(CASE WHEN rne <= {k} THEN 1 ELSE 0 END) AS e{k}"
+    for k in QKNN_TOPKS
+)
+_QKNN_UNION = "\n      UNION ALL ".join(
+    f"SELECT {k} AS topk, m{k} AS n_matched, e{k} AS n_exact FROM agg"
+    for k in QKNN_TOPKS
+)
+
+_QKNN_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scale AS (
+      SELECT CAST(127 AS DOUBLE)
+               / MAX(list_max(list_transform(v, x -> abs(x)))) AS s
+      FROM vecs
+    ), coded AS MATERIALIZED (
+      SELECT vec_id, v, list_transform(v, x -> round(x * s)) AS q
+      FROM vecs, scale
+    ), pairs AS MATERIALIZED (
+      SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qr.v, c.v), 6) AS xdot,
+             list_dot_product(qr.q, c.q) AS qdot
+      FROM coded qr JOIN coded c ON c.vec_id <> qr.vec_id
+      WHERE qr.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY xdot DESC, neighbor_id) AS rne,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, neighbor_id) AS rnq
+      FROM pairs
+    ), agg AS (
+      SELECT {_QKNN_CASES}
+      FROM ranked
+    )
+    SELECT topk, CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           n_matched / n_exact AS recall
+    FROM ({_QKNN_UNION})
+"""
+
+
+@query(
+    "quantized_knn_recall",
+    oracle=_QKNN_ORACLE,
+    tags=("similarity", "quantization", "scorecard"),
+)
+def quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8-quantization RETRIEVAL scorecard: recall@{{1,{TOP_K}}} of
+    max-inner-product search on int8 codes vs the same search on full
+    doubles, for the standard {N_QUERIES}-query workload.
+    :func:`~.analytics_extra.embedding_quantize_stats` reports the
+    reconstruction ERROR of the 4× compression; this reports what that
+    error actually costs where it matters — retrieval ordering — the pair
+    of numbers a deployment reads before switching the 100 TB ANN scan to
+    quantized codes. Quantization convention is IDENTICAL to the stats op
+    (global max-abs scale, ``q = round(x·s)``, ``s = 127/max|x|``) so the
+    two scorecards describe the same codes.
+
+    Exactness: the quantized ranking is UNCONDITIONALLY exact across
+    engines — int8 codes make every pairwise product an integer ≤ 127²
+    and the {_EMB_DIMS}-term sum an integer ≤ ~10⁶, all exactly
+    representable in doubles, so fold order cannot move a bit and no
+    rounding step is needed (stronger than the round-before-compare
+    family). The exact-side ranking uses the rounded inner product with
+    neighbor-id tie-break (the standard 1-ulp rule). ONE pair pass serves
+    both rankings (two windows over the same frame — the pairs are built
+    once); everything is bounded by the query workload, never
+    corpus × corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    scale = vecs.agg(
+        (
+            F.lit(127.0)
+            / F.max(F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+        ).alias("s")
+    )
+    coded = (
+        vecs.crossJoin(F.broadcast(scale))
+        .select(
+            "vec_id",
+            "v",
+            F.transform(F.col("v"), lambda x: F.round(x * F.col("s"))).alias(
+                "q"
+            ),
+        )
+        .localCheckpoint(eager=False)  # corpus side + query slice
+    )
+    qf = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("q").alias("qq"),
+    )
+    pairs = (
+        coded.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")), 6).alias("xdot"),
+            dot(F.col("qq"), F.col("q")).alias("qdot"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.desc("xdot"), F.asc("neighbor_id")
+    )
+    w_qz = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        F.row_number().over(w_ex).alias("rne"),
+        F.row_number().over(w_qz).alias("rnq"),
+    )
+    cases = []
+    for k in QKNN_TOPKS:
+        cases.append(
+            F.sum(
+                F.when((F.col("rne") <= k) & (F.col("rnq") <= k), 1).otherwise(0)
+            ).alias(f"m{k}")
+        )
+        cases.append(
+            F.sum(F.when(F.col("rne") <= k, 1).otherwise(0)).alias(f"e{k}")
+        )
+    agg = ranked.agg(*cases)
+    stack_args = ", ".join(f"{k}, m{k}, e{k}" for k in QKNN_TOPKS)
+    return agg.selectExpr(
+        f"stack({len(QKNN_TOPKS)}, {stack_args})"
+        " AS (topk, n_matched, n_exact)"
+    ).select(
+        F.col("topk").cast("int").alias("topk"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_matched") / F.col("n_exact")).alias("recall"),
+    )

@@ -504,3 +504,35 @@ def test_part_pagerank_rank_mass_conserved_modulo_truncation(spark, sf_dir):
         assert r.total_rank <= n * PR_SCALE
         assert r.total_rank > 0
         assert r.top_rank * n >= r.total_rank  # max >= mean
+
+
+def test_part_triangle_counts_planted_graph(spark, monkeypatch):
+    """Hand-checked graph: edges {12,13,23,34,14} hold triangles {1,2,3}
+    and {1,3,4}; an isolated pair (5,6) has zero triangles and zero
+    coefficient. Degrees, triangle counts, and 2T/(d(d-1)) all pinned."""
+    import pyspark_retention_pipeline_spark.operators.components as comp
+
+    base = [
+        (1, 1), (1, 2), (1, 3),  # order 1: parts {1,2,3}
+        (2, 3), (2, 4),          # order 2: {3,4}
+        (3, 1), (3, 4),          # order 3: {1,4}
+        (4, 5), (4, 6),          # isolated pair
+    ]
+    # every basket twice (distinct order keys) so each edge clears the
+    # TRI_MIN_SUPPORT = 2 threshold
+    rows = base + [(ok + 10, pk) for ok, pk in base]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+    out = {r.part: r for r in comp.part_triangle_counts(spark, "x").collect()}
+    assert len(out) == 6
+    want = {
+        1: (3, 2, 2 * 2 / (3 * 2)),
+        2: (2, 1, 1.0),
+        3: (3, 2, 2 * 2 / (3 * 2)),
+        4: (2, 1, 1.0),
+        5: (1, 0, 0.0),
+        6: (1, 0, 0.0),
+    }
+    for p, (deg, tri, cc) in want.items():
+        assert (out[p].degree, out[p].n_triangles) == (deg, tri), p
+        assert abs(out[p].clustering_coeff - cc) < 1e-12, p

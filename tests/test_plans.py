@@ -542,6 +542,14 @@ CROSS_JOIN_EXEMPT = {
     # misread as an equi-key (the ADVICE r7 masked-true-positive case).
     "knn_bruteforce",
     "media_embed_knn",
+    # quantized_knn_recall is the same broadcast-query shape: its crossJoin
+    # right side is the vec_id < N_QUERIES literal slice of the pinned code
+    # frame (broadcast), its only condition the NOT(query_id = vec_id)
+    # self-exclusion; the corpus side is scanned ONCE — linear, not
+    # quadratic. (Its sibling ivf_probe_recall has the same exact-side
+    # shape but sits behind the pair-frame pin, so the detector never sees
+    # that join.)
+    "quantized_knn_recall",
     # ann_recall_report's exact side is the same broadcast-query shape with
     # a vec_id < 200 literal slice (ANN_EVAL_QUERIES); the banded side is
     # embedding_ann_top1's bounded bucket pipeline

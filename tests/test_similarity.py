@@ -702,3 +702,47 @@ def test_kcenter_coreset_tiny_corpus_ends_early(spark, monkeypatch):
     )
     assert [r.k for r in rows] == [2, 3]
     assert {r.center_vec_id for r in rows} == {1, 2}
+
+
+def test_quantized_knn_recall_matches_numpy_reference(spark, monkeypatch):
+    """Full numpy replication of the int8 retrieval scorecard: global
+    max-abs scale, half-away-from-zero rounding to codes, exact-side
+    ranking on the rounded inner product, quantized-side ranking on the
+    integer code dot — every matched/exact count must agree."""
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(31)
+    n, d = 90, 16
+    x = rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+
+    s = 127.0 / np.abs(x).max()
+    # Spark ROUND is half away from zero
+    q = np.sign(x * s) * np.floor(np.abs(x * s) + 0.5)
+    want = []
+    for k in sim.QKNN_TOPKS:
+        matched = 0
+        n_exact = 0
+        for qi in range(sim.N_QUERIES):
+            others = [i for i in range(n) if i != qi]
+            ex = sorted(
+                others, key=lambda i: (-round(float(x[qi] @ x[i]), 6), i)
+            )[:k]
+            qz = sorted(others, key=lambda i: (-float(q[qi] @ q[i]), i))[:k]
+            matched += len(set(ex) & set(qz))
+            n_exact += len(ex)
+        want.append((k, matched, n_exact, matched / n_exact))
+
+    got = sorted(
+        sim.quantized_knn_recall(spark, "x").collect(), key=lambda r: r.topk
+    )
+    assert [
+        (r.topk, r.n_matched, r.n_exact, r.recall) for r in got
+    ] == want
+    assert all(0.0 <= r.recall <= 1.0 for r in got)
