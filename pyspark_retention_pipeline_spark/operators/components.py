@@ -529,3 +529,118 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(TRI_TOP)
     )
+
+
+# --- k-core peeling curve ---------------------------------------------------
+KCORE_K = 2
+KCORE_ITERS = 4
+
+
+def _kcore_oracle(k: int = KCORE_K, iters: int = KCORE_ITERS) -> str:
+    """Unrolled peeling: per round, degrees over the surviving edge set,
+    keep nodes with degree >= k, keep edges with both ends kept. Every
+    statistic is a BIGINT count — nothing to round."""
+    parts = [
+        f"""op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    )"""
+    ]
+    stats = []
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""k{t} AS MATERIALIZED (
+      SELECT part FROM (
+        SELECT part, COUNT(*) AS d
+        FROM (SELECT p1 AS part FROM e{t - 1}
+              UNION ALL SELECT p2 FROM e{t - 1})
+        GROUP BY part) WHERE d >= {k}
+    ), e{t} AS MATERIALIZED (
+      SELECT p1, p2 FROM e{t - 1}
+      WHERE p1 IN (SELECT part FROM k{t})
+        AND p2 IN (SELECT part FROM k{t})
+    )"""
+        )
+        stats.append(
+            f"""SELECT {t} AS iteration,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k{t}) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{t}) AS n_edges"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(stats)
+    )
+
+
+@query(
+    "kcore_rounds",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling curve over the support-thresholded part
+    co-occurrence graph — the CORENESS tier completing the graph family
+    (:func:`connected_components` reachability,
+    :func:`part_pagerank_rounds` centrality, :func:`part_triangle_counts`
+    cohesion): per round, drop every node with degree < {KCORE_K} in the
+    SURVIVING subgraph and the edges it carried, and emit
+    (iteration, n_nodes, n_edges). Where the curve stabilizes is the
+    {KCORE_K}-core — the standard graph-cleaning step (fringe removal)
+    web-graph pipelines run before centrality. {KCORE_ITERS} unrolled
+    rounds, the Lloyd/PageRank oracle convention.
+
+    Exactness is UNCONDITIONAL: every statistic is a BIGINT count over
+    set-membership operations — no float exists anywhere in the plan.
+    Scale shape: per round one degree rollup (edge grain, map-side
+    combinable) and two semi-joins on 8-byte keys to drop dead edges;
+    the edge frame only ever SHRINKS, each round pinned with a lazy
+    localCheckpoint (the :func:`connected_components` rule). No window,
+    no sort, no collect in the loop; the same peeling at a 100 TB edge
+    list is the textbook distributed k-core (rounds bounded by the
+    peeling depth, each a pair of shuffles)."""
+    from .analytics_extra import part_pair_counts_frame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        part_pair_counts_frame(li)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for t in range(1, KCORE_ITERS + 1):
+        keep = (
+            edges.select(F.col("p1").alias("part"))
+            .unionByName(edges.select(F.col("p2").alias("part")))
+            .groupBy("part")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("part")
+            .localCheckpoint(eager=False)  # two semi-joins + the count read it
+        )
+        edges = (
+            edges.join(
+                keep.select(F.col("part").alias("p1")), "p1", "left_semi"
+            )
+            .join(keep.select(F.col("part").alias("p2")), "p2", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        stats = (
+            keep.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(
+                edges.agg(F.count("*").cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(t).cast("int").alias("iteration"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

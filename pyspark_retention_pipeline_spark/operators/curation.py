@@ -1630,3 +1630,112 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
     )
+
+
+# Heaps'-law bins: the corpus id-range splits into this many prefix bins.
+HEAPS_BINS = 10
+
+
+@query(
+    "heaps_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), nm AS (
+      SELECT MAX(doc_id) + 1 AS m FROM d
+    ), pd AS (
+      SELECT (doc_id * {HEAPS_BINS}) // m AS b,
+             CAST(len(t) AS BIGINT) AS n_toks
+      FROM d, nm
+    ), own AS (
+      SELECT tok, MIN(doc_id) AS owner
+      FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+      GROUP BY tok
+    ), tb AS (
+      SELECT b, CAST(SUM(n_toks) AS BIGINT) AS toks FROM pd GROUP BY b
+    ), yb AS (
+      SELECT (owner * {HEAPS_BINS}) // m AS b,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM own, nm GROUP BY 1
+    )
+    SELECT b AS bin,
+           CAST(SUM(toks) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types
+    FROM (SELECT tb.b, tb.toks, COALESCE(yb.new_types, 0) AS new_types
+          FROM tb LEFT JOIN yb USING (b))
+    WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+    tags=("text", "vocabulary", "heaps-law"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct token
+    TYPES vs cumulative TOKENS over {HEAPS_BINS} doc-id prefix bins of
+    the corpus — the third corner of the vocabulary triptych
+    (:func:`~.tokenizer.vocab_coverage_curve` covers frequency-rank
+    coverage, :func:`doc_novelty_score` per-document novelty; this is
+    corpus-GROWTH, the V(n) ≈ K·n^β diagnostic that sizes vocabulary
+    and dedup expectations as a crawl grows — public corpus-statistics
+    practice). A type's bin is its FIRST-occurrence bin (MIN doc_id —
+    the same keep-first ownership convention as the novelty score), so
+    each bin's new-type count sums exactly once and the cumulative curve
+    is the true prefix vocabulary size.
+
+    Shape: one token explode feeds both the per-doc token counts (an
+    in-row ``size(split)``, no explode needed for that side) and the
+    type-ownership aggregate (gram-hash MIN, map-side combinable);
+    everything after is ≤ {HEAPS_BINS} rows, where the running window
+    is Aggregate-bounded. Bins derive from the doc-id RANGE
+    (``(doc_id·{HEAPS_BINS}) div (max+1)`` — exact integer arithmetic on
+    both engines), so the binning needs no sort and no rank. The oracle
+    re-derives ownership from token STRINGS against the engine's 64-bit
+    token hashes (the novelty-score convention). Counts are BIGINTs end
+    to end — nothing to round. The tokenized doc frame and the 1-row
+    max-id frame are pinned: unpinned, every consumer (token counts,
+    ownership, BOTH bin expressions through the max-id scalar)
+    re-scanned documents — 4 parquet reads where one suffices, the
+    multi-branch recompute trap `test_registry_scan_budget` exists to
+    catch (and did, in this operator's first cut)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).localCheckpoint(eager=False)  # counts + ownership + max-id reads
+    # nm stays UNpinned: both bin expressions re-run this 1-row MAX over
+    # the pinned staged RDD (trivial), and the visible Aggregate is what
+    # lets the cross-join invariant prove the broadcast side bounded — a
+    # pin here erases it from the lineage (the theilsen lesson).
+    nm = staged.agg((F.max("doc_id") + 1).alias("m"))
+    pd_frame = staged.crossJoin(F.broadcast(nm)).select(
+        F.expr(f"(doc_id * {HEAPS_BINS}) div m").alias("b"),
+        F.size(F.col("t")).cast("long").alias("n_toks"),
+    )
+    own = (
+        staged.select("doc_id", F.explode(F.col("t")).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("owner"))
+    )
+    tb = pd_frame.groupBy("b").agg(F.sum("n_toks").alias("toks"))
+    yb = (
+        own.crossJoin(F.broadcast(nm))
+        .select(F.expr(f"(owner * {HEAPS_BINS}) div m").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    w = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tb.join(yb, "b", "left")
+        .select(
+            "b",
+            "toks",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .select(
+            F.col("b").alias("bin"),
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )

@@ -48,7 +48,7 @@ _REGISTRY: dict[str, Query] = {}
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
 # script's output. Round-12 composition: no plan-changed queries; the
-# ELEVEN new queries (bpe_merge_rounds — unrolled BPE merge training
+# THIRTEEN new queries (bpe_merge_rounds — unrolled BPE merge training
 # rounds — bpe_encode_stats — the applied-compression curve —
 # crossdoc_span_rewrite — the ExactSubstr cross-document span rewrite —
 # crossdoc_span_profile — the span-length S-curve scorecard —
@@ -58,15 +58,17 @@ _REGISTRY: dict[str, Query] = {}
 # ivf_probe_recall — the IVF probe-depth recall scorecard —
 # part_pagerank_rounds — integer fixed-point PageRank over the part
 # co-occurrence graph — quantized_knn_recall — the int8-retrieval
-# recall scorecard — and part_triangle_counts — triangle counting /
-# clustering coefficient) enter via the never-verified tier, then the
-# flagship, then 38 stalest-green backfill seats — the 3-name r6-tier
-# remainder (round-11's DEFERRED_TO_R12: time_to_conversion,
-# top_revenue_suppliers, tumbling_hourly) and 35 of the 42-name r7 tier
-# (the last seven — unigram_logprob_score, user_type_entropy,
-# variant_props_histogram, weekday_hour_heatmap, weighted_doc_sample,
-# winnowing_fingerprints, winsorized_spend_stats — defer to round 13),
-# moving the staleness floor to r7.
+# recall scorecard — part_triangle_counts — triangle counting /
+# clustering coefficient — kcore_rounds — the k-core peeling curve —
+# and heaps_vocab_growth — the vocabulary-growth curve) enter via the
+# never-verified tier, then the flagship, then 36 stalest-green
+# backfill seats — the 3-name r6-tier remainder (round-11's
+# DEFERRED_TO_R12: time_to_conversion, top_revenue_suppliers,
+# tumbling_hourly) and 33 of the 42-name r7 tier (the last nine —
+# top_session_paths, udtf_sentence_split, unigram_logprob_score,
+# user_type_entropy, variant_props_histogram, weekday_hour_heatmap,
+# weighted_doc_sample, winnowing_fingerprints, winsorized_spend_stats —
+# defer to round 13), moving the staleness floor to r7.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
@@ -75,12 +77,14 @@ _FRONT: tuple[str, ...] = (
     "crossdoc_span_rewrite",
     "crossdoc_span_profile",
     "doc_novelty_score",
+    "heaps_vocab_growth",
     "quantized_knn_recall",
     "semdedup_tau_curve",
     "kcenter_coreset",
     "ivf_probe_recall",
     "part_pagerank_rounds",
     "part_triangle_counts",
+    "kcore_rounds",
     "churn_features",
     "time_to_conversion",
     "top_revenue_suppliers",
@@ -118,8 +122,6 @@ _FRONT: tuple[str, ...] = (
     "snapshot_diff_summary",
     "source_temperature_weights",
     "top_parts_per_segment",
-    "top_session_paths",
-    "udtf_sentence_split",
 )
 
 

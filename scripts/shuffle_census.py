@@ -50,6 +50,7 @@ SKIP = {
     # catch a regression inside the loop.
     "kcenter_coreset",
     "part_pagerank_rounds",
+    "kcore_rounds",
     "dedup_clusters",
     "dedup_clusters_portable",
     "curate_corpus_neardup",

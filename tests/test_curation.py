@@ -528,3 +528,41 @@ def test_doc_novelty_score_planted(spark, monkeypatch):
     total_novel = sum(r.n_novel for r in out.values())
     distinct_grams = 5  # abcde, bcdef, xyzwv, yzwvu, bcde-zz
     assert total_novel == distinct_grams
+
+
+def test_heaps_vocab_growth_planted(spark, monkeypatch):
+    """Planted 10-doc corpus (doc_ids 0..9 → one per bin): cumulative
+    token and type counts are hand-checkable; a type repeated in a later
+    bin counts only at its first-occurrence bin, and the final row equals
+    the corpus totals."""
+    import pyspark_retention_pipeline_spark.operators.curation as cur
+
+    texts = {
+        0: "a b c",      # 3 toks, 3 new types
+        1: "a b",        # 2 toks, 0 new
+        2: "d d d d",    # 4 toks, 1 new
+        3: "a c d",      # 3 toks, 0 new
+        4: "e",          # 1 tok, 1 new
+        5: "e e a",      # 3 toks, 0 new
+        6: "f g",        # 2 toks, 2 new
+        7: "g",          # 1 tok, 0 new
+        8: "h",          # 1 tok, 1 new
+        9: "a h i",      # 3 toks, 1 new
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    monkeypatch.setattr(cur, "load_table", lambda *_: docs)
+    got = sorted(
+        cur.heaps_vocab_growth(spark, "x").collect(), key=lambda r: r.bin
+    )
+    toks = [3, 2, 4, 3, 1, 3, 2, 1, 1, 3]
+    news = [3, 0, 1, 0, 1, 0, 2, 0, 1, 1]
+    want = []
+    ct = cy = 0
+    for b in range(10):
+        ct += toks[b]
+        cy += news[b]
+        want.append((b, ct, cy))
+    assert [(r.bin, r.cum_tokens, r.cum_types) for r in got] == want
+    assert got[-1].cum_tokens == 23 and got[-1].cum_types == 9

@@ -536,3 +536,39 @@ def test_part_triangle_counts_planted_graph(spark, monkeypatch):
     for p, (deg, tri, cc) in want.items():
         assert (out[p].degree, out[p].n_triangles) == (deg, tri), p
         assert abs(out[p].clustering_coeff - cc) < 1e-12, p
+
+
+def test_kcore_rounds_matches_python_reference(spark, monkeypatch):
+    """Planted graph vs a set-based Python peeler: a 3-clique core with a
+    pendant chain — round 1 drops the chain tail, round 2 the rest of the
+    chain, and the clique survives every round. Each basket is doubled so
+    every edge clears TRI_MIN_SUPPORT."""
+    import pyspark_retention_pipeline_spark.operators.components as comp
+
+    base = [
+        (1, 1), (1, 2), (1, 3),  # clique {1,2,3}
+        (2, 3), (2, 7),          # chain 3-7
+        (3, 7), (3, 8),          # chain 7-8
+        (4, 8), (4, 9),          # chain 8-9 (9 is the degree-1 tail)
+    ]
+    rows = base + [(ok + 10, pk) for ok, pk in base]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+
+    edges = {(1, 2), (1, 3), (2, 3), (3, 7), (7, 8), (8, 9)}
+    want = []
+    for it in range(1, comp.KCORE_ITERS + 1):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= comp.KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        want.append((it, len(keep), len(edges)))
+
+    got = sorted(
+        comp.kcore_rounds(spark, "x").collect(), key=lambda r: r.iteration
+    )
+    assert [(r.iteration, r.n_nodes, r.n_edges) for r in got] == want
+    # the clique is a 2-core: the curve must stabilize at 3 nodes/3 edges
+    assert got[-1].n_nodes == 3 and got[-1].n_edges == 3

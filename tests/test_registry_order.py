@@ -11,14 +11,14 @@ script's small per-round config, and the anchor test here asserts
 that diverges fails loudly (VERDICT r7 item 7).
 
 Round-12 policy (docs/ROUND12_ROTATION.md): (a) the changed tier — EMPTY
-(no previously-seated plan changed); (b) the eleven new round-12 queries
+(no previously-seated plan changed); (b) the thirteen new round-12 queries
 via the never-verified tier (bpe_merge_rounds, bpe_encode_stats,
 crossdoc_span_rewrite, crossdoc_span_profile, doc_novelty_score,
 semdedup_tau_curve, kcenter_coreset, ivf_probe_recall,
-part_pagerank_rounds, quantized_knn_recall, part_triangle_counts);
-(c) the flagship;
+part_pagerank_rounds, quantized_knn_recall, part_triangle_counts,
+kcore_rounds, heaps_vocab_growth); (c) the flagship;
 (d) stalest-green backfill: the 3-name r6-tier remainder (round 11's
-DEFERRED_TO_R12) and 35 of the 42-name r7 tier — the last seven r7
+DEFERRED_TO_R12) and 33 of the 42-name r7 tier — the last nine r7
 names defer to round 13, moving the staleness floor to r7.
 """
 
@@ -54,18 +54,22 @@ BACKLOG_R12 = {
     "ivf_probe_recall",  # new in round 12 (IVF probe-depth recall curve)
     "quantized_knn_recall",  # new in round 12 (int8-retrieval scorecard)
     "part_triangle_counts",  # new in round 12 (triangles / clustering)
+    "kcore_rounds",  # new in round 12 (k-core peeling curve)
+    "heaps_vocab_growth",  # new in round 12 (vocabulary-growth curve)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 13: the seven new-query seats
-# beyond the first four displace the LAST seven r7-tier names in
+# Boundary-tier backfill deferred to round 13: the nine new-query seats
+# beyond the first four displace the LAST nine r7-tier names in
 # (round, name) order, so those lead the round-13 backfill pool,
 # followed by the whole r8 tier — names only needed by the boundary
 # test below, which checks the first few in (round, name) order stay
 # outside.
 DEFERRED_TO_R13 = {
+    "top_session_paths",  # r7 tail displaced by the new-query seats
+    "udtf_sentence_split",  # r7 tail displaced by the new-query seats
     "unigram_logprob_score",  # r7 tail displaced by the new-query seats
     "user_type_entropy",  # r7 tail displaced by the new-query seats
     "variant_props_histogram",  # r7 tail displaced by the new-query seats
