@@ -40,88 +40,75 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-12 rotation (docs/ROUND12_ROTATION.md) — GENERATED:
+# Round-13 rotation (docs/ROUND13_ROTATION.md) — GENERATED:
 # ``scripts/derive_front.py`` derives this window mechanically from the
 # committed CORRECTNESS_r*.json driver artifacts (rounds BEFORE the
 # configured one only, so the derivation is stable whenever the current
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-12 composition: no plan-changed queries; the
-# THIRTEEN new queries (bpe_merge_rounds — unrolled BPE merge training
-# rounds — bpe_encode_stats — the applied-compression curve —
-# crossdoc_span_rewrite — the ExactSubstr cross-document span rewrite —
-# crossdoc_span_profile — the span-length S-curve scorecard —
-# doc_novelty_score — per-doc corpus-novelty attribution —
-# semdedup_tau_curve — the SemDeDup τ operating-point scorecard —
-# kcenter_coreset — greedy farthest-point diverse selection —
-# ivf_probe_recall — the IVF probe-depth recall scorecard —
-# part_pagerank_rounds — integer fixed-point PageRank over the part
-# co-occurrence graph — quantized_knn_recall — the int8-retrieval
-# recall scorecard — part_triangle_counts — triangle counting /
-# clustering coefficient — kcore_rounds — the k-core peeling curve —
-# and heaps_vocab_growth — the vocabulary-growth curve) enter via the
-# never-verified tier, then the flagship, then 36 stalest-green
-# backfill seats — the 3-name r6-tier remainder (round-11's
-# DEFERRED_TO_R12: time_to_conversion, top_revenue_suppliers,
-# tumbling_hourly) and 33 of the 42-name r7 tier (the last nine —
-# top_session_paths, udtf_sentence_split, unigram_logprob_score,
-# user_type_entropy, variant_props_histogram, weekday_hour_heatmap,
-# weighted_doc_sample, winnowing_fingerprints, winsorized_spend_stats —
-# defer to round 13), moving the staleness floor to r7.
+# script's output. Round-13 composition at round start: no plan-changed
+# queries yet, never-verified backlog EMPTY (round 12 seated all
+# thirteen of its additions and every one came back hash-green), so the
+# flagship leads and 49 stalest-green backfill seats follow — the
+# nine-name r7-tier remainder (round 12's DEFERRED_TO_R13:
+# top_session_paths … winsorized_spend_stats) and 40 of the 45-name r8
+# tier in (round, name) order from ab_conversion_ztest through
+# theilsen_revenue_trend (the last five r8 names defer to round 14),
+# moving the staleness floor to r8.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "bpe_merge_rounds",
-    "bpe_encode_stats",
-    "crossdoc_span_rewrite",
-    "crossdoc_span_profile",
-    "doc_novelty_score",
-    "heaps_vocab_growth",
-    "quantized_knn_recall",
-    "semdedup_tau_curve",
-    "kcenter_coreset",
-    "ivf_probe_recall",
-    "part_pagerank_rounds",
-    "part_triangle_counts",
-    "kcore_rounds",
     "churn_features",
-    "time_to_conversion",
-    "top_revenue_suppliers",
-    "tumbling_hourly",
-    "audience_overlap",
-    "basket_lift",
-    "bounce_rate_daily",
-    "bucketed_join_revenue",
-    "cdc_multi_action_apply",
-    "centroid_inertia",
-    "cumulative_new_users",
-    "daily_anomaly_zscore",
-    "dq_constraint_report",
-    "heavy_hitter_tokens",
-    "join_key_skew_profile",
-    "lorenz_deciles",
-    "merge_upsert_snapshot",
-    "minhash_signatures",
-    "nation_revenue_trend",
-    "part_cooccurrence",
-    "partition_pruned_revenue",
-    "prefix_edit_distance_pairs",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_stock",
-    "q2_min_cost_supplier",
-    "recursive_month_spine",
-    "retention_by_first_touch",
-    "revenue_gini",
-    "revenue_mom_growth",
-    "revenue_trend_forecast",
-    "rfm_segments",
-    "scd2_order_versions",
-    "simhash64",
-    "snapshot_diff_summary",
-    "source_temperature_weights",
-    "top_parts_per_segment",
+    "top_session_paths",
+    "udtf_sentence_split",
+    "unigram_logprob_score",
+    "user_type_entropy",
+    "variant_props_histogram",
+    "weekday_hour_heatmap",
+    "weighted_doc_sample",
+    "winnowing_fingerprints",
+    "winsorized_spend_stats",
+    "ab_conversion_ztest",
+    "above_avg_orders",
+    "active_customers_semi",
+    "all_orders_finished",
+    "best_threshold",
+    "bigram_logprob_score",
+    "bootstrap_revenue_ci",
+    "cast_projection",
+    "churned_customers",
+    "class_weights",
+    "cohort_filter",
+    "csv_roundtrip_customers",
+    "curate_corpus",
+    "dependent_funnel",
+    "embedding_outliers",
+    "group_split_leakage_audit",
+    "hapax_rate_by_source",
+    "interarrival_acf",
+    "jsonl_roundtrip_events",
+    "km_session_survival",
+    "ks_price_drift",
+    "lang_id_confusion",
+    "lateral_recent_orders",
+    "locf_fill",
+    "media_dedup_exact",
+    "ngram_dup_rate",
+    "orc_roundtrip_revenue",
+    "pareto_concentration",
+    "per_source_sample",
+    "pipe_sql_revenue_flow",
+    "psi_price_drift",
+    "quality_zscore_by_lang",
+    "rare_token_rate",
+    "retention_decay_fit",
+    "simhash_candidates",
+    "simhash_jaccard_verify",
+    "source_overlap_matrix",
+    "split_leakage_check",
+    "tfidf_top_terms",
+    "theilsen_revenue_trend",
 )
 
 

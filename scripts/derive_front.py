@@ -49,20 +49,11 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 12
+ROUND = 13
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 12: none (the thirteen NEW queries —
-# crossdoc_span_rewrite, crossdoc_span_profile, bpe_merge_rounds,
-# bpe_encode_stats, semdedup_tau_curve, kcenter_coreset,
-# part_pagerank_rounds, doc_novelty_score, ivf_probe_recall,
-# quantized_knn_recall, part_triangle_counts, kcore_rounds,
-# heaps_vocab_growth — enter via the never-verified tier automatically;
-# docstring-only edits to dsir_importance_select / kmeans_lloyd_curve /
-# semdedup_keep do not change plans, the review-pass fixes landed
-# before any driver gate ran, i.e. while all were still never-verified,
-# and the part_cooccurrence / semdedup_keep-oracle / ivf_knn-oracle
-# refactors are pure extractions — plans and oracle strings
-# byte-identical).
+# listed in change order. Round 13: empty at round start; update as
+# changes land (new queries enter via the never-verified tier
+# automatically and do NOT belong here).
 CHANGED: tuple[str, ...] = ()
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

@@ -10,16 +10,14 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-12 policy (docs/ROUND12_ROTATION.md): (a) the changed tier — EMPTY
-(no previously-seated plan changed); (b) the thirteen new round-12 queries
-via the never-verified tier (bpe_merge_rounds, bpe_encode_stats,
-crossdoc_span_rewrite, crossdoc_span_profile, doc_novelty_score,
-semdedup_tau_curve, kcenter_coreset, ivf_probe_recall,
-part_pagerank_rounds, quantized_knn_recall, part_triangle_counts,
-kcore_rounds, heaps_vocab_growth); (c) the flagship;
-(d) stalest-green backfill: the 3-name r6-tier remainder (round 11's
-DEFERRED_TO_R12) and 33 of the 42-name r7 tier — the last nine r7
-names defer to round 13, moving the staleness floor to r7.
+Round-13 policy (docs/ROUND13_ROTATION.md): (a) the changed tier — empty
+at round start, updated as round-13 changes land; (b) never-verified
+backlog — EMPTY at rotation time (round 12 seated all thirteen of its
+additions and every one came back hash-green); round-13 additions enter
+here as registered; (c) the flagship leads the window; (d) stalest-green
+backfill: the nine-name r7-tier remainder (round 12's DEFERRED_TO_R13)
+and 40 of the 45-name r8 tier — the last five r8 names defer to round
+14, moving the staleness floor to r8.
 """
 
 import importlib.util
@@ -34,54 +32,32 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 12 — plan-change rule makes seating
+# (a) implementation changed in round 13 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-# Empty at round start: round 12's additions are NEW queries, and the
-# ADVICE-r11 items were docstring-only.
-CHANGED_R12: set[str] = set()
+CHANGED_R13: set[str] = set()
 
-# (b) never-driver-verified backlog: ZERO at rotation time (round 11
-# seated all of it); the round-12 additions enter here as registered.
-BACKLOG_R12 = {
-    "bpe_merge_rounds",  # new in round 12 (unrolled BPE merge training)
-    "bpe_encode_stats",  # new in round 12 (applied-compression curve)
-    "crossdoc_span_rewrite",  # new in round 12 (ExactSubstr span rewrite)
-    "crossdoc_span_profile",  # new in round 12 (span-length S-curve)
-    "semdedup_tau_curve",  # new in round 12 (SemDeDup τ scorecard)
-    "kcenter_coreset",  # new in round 12 (greedy farthest-point coreset)
-    "part_pagerank_rounds",  # new in round 12 (fixed-point PageRank)
-    "doc_novelty_score",  # new in round 12 (corpus-novelty attribution)
-    "ivf_probe_recall",  # new in round 12 (IVF probe-depth recall curve)
-    "quantized_knn_recall",  # new in round 12 (int8-retrieval scorecard)
-    "part_triangle_counts",  # new in round 12 (triangles / clustering)
-    "kcore_rounds",  # new in round 12 (k-core peeling curve)
-    "heaps_vocab_growth",  # new in round 12 (vocabulary-growth curve)
-}
+# (b) never-driver-verified backlog: ZERO at rotation time (round 12
+# seated all thirteen of its additions, all hash-green); round-13
+# additions enter here as registered.
+BACKLOG_R13: set[str] = set()
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 13: the nine new-query seats
-# beyond the first four displace the LAST nine r7-tier names in
-# (round, name) order, so those lead the round-13 backfill pool,
-# followed by the whole r8 tier — names only needed by the boundary
-# test below, which checks the first few in (round, name) order stay
-# outside.
-DEFERRED_TO_R13 = {
-    "top_session_paths",  # r7 tail displaced by the new-query seats
-    "udtf_sentence_split",  # r7 tail displaced by the new-query seats
-    "unigram_logprob_score",  # r7 tail displaced by the new-query seats
-    "user_type_entropy",  # r7 tail displaced by the new-query seats
-    "variant_props_histogram",  # r7 tail displaced by the new-query seats
-    "weekday_hour_heatmap",  # r7 tail displaced by the new-query seats
-    "weighted_doc_sample",  # r7 tail displaced by the new-query seats
-    "winnowing_fingerprints",  # r7 tail displaced by the new-query seats
-    "winsorized_spend_stats",  # r7 tail displaced by the new-query seats
-    "ab_conversion_ztest",  # r8 tier starts here
-    "above_avg_orders",
-    "active_customers_semi",
-    "all_orders_finished",
-    "best_threshold",
+# Boundary-tier backfill deferred to round 14: with an empty backlog the
+# 49 backfill seats absorb the whole nine-name r7 remainder plus 40 of
+# the 45-name r8 tier; the last five r8 names in (round, name) order
+# lead the round-14 pool — the boundary test below checks they (and the
+# head of the r9 tier) stay outside this round's window.
+DEFERRED_TO_R14 = {
+    "time_decay_attribution",  # r8 tail past theilsen_revenue_trend
+    "token_pmi_collocations",  # r8 tail
+    "user_value_twap",  # r8 tail
+    "word_jaccard_pairs",  # r8 tail
+    "zorder_scan_revenue",  # r8 tail — r8 tier ends here
+    "acctbal_histogram",  # r9 tier starts here
+    "bpe_pair_counts",
+    "cube_status_priority",
 }
 
 
@@ -113,22 +89,22 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R12 | BACKLOG_R12 | FLAGSHIP) - window
+    missing = (CHANGED_R13 | BACKLOG_R13 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
     """The whole backlog must carry oracles — a rows-only seat would burn a
     slot on a weaker check (rows-only ops re-seat only on change)."""
-    missing = BACKLOG_R12 - set(all_oracle_sql())
+    missing = BACKLOG_R13 - set(all_oracle_sql())
     assert not missing, f"backlog entries missing oracles: {missing}"
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R13 <= set(qs)
+    assert DEFERRED_TO_R14 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R13 & window
+    overlap = DEFERRED_TO_R14 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
