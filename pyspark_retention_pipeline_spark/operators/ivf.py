@@ -704,7 +704,7 @@ _SEMDEDUP_TAU_ORACLE = _SEMDEDUP_ASSIGN_CTES + f""",
 )
 def semdedup_tau_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SemDeDup OPERATING-POINT scorecard: for every threshold τ in
-    {{0.1 … 0.9}}, how much of the corpus survives keep-first semantic
+    {0.1 … 0.9}, how much of the corpus survives keep-first semantic
     dedup at that τ — the curve a practitioner reads to pick
     ``SEMDEDUP_TAU`` (Abbas et al. 2023 sweep ~0.1-0.9 per fig. 3 before
     fixing their ε). Completes the scorecard convention for the semantic

@@ -1179,7 +1179,7 @@ _QKNN_ORACLE = f"""
     tags=("similarity", "quantization", "scorecard"),
 )
 def quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The int8-quantization RETRIEVAL scorecard: recall@{{1,{TOP_K}}} of
+    """The int8-quantization RETRIEVAL scorecard: recall@{1,{TOP_K}} of
     max-inner-product search on int8 codes vs the same search on full
     doubles, for the standard {N_QUERIES}-query workload.
     :func:`~.analytics_extra.embedding_quantize_stats` reports the

@@ -47,18 +47,21 @@ _REGISTRY: dict[str, Query] = {}
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-13 composition at round start: no plan-changed
-# queries yet, never-verified backlog EMPTY (round 12 seated all
-# thirteen of its additions and every one came back hash-green), so the
-# flagship leads and 49 stalest-green backfill seats follow — the
-# nine-name r7-tier remainder (round 12's DEFERRED_TO_R13:
-# top_session_paths … winsorized_spend_stats) and 40 of the 45-name r8
+# script's output. Round-13 composition: the changed tier seats
+# media_embed_knn (explicit F.broadcast pin on its bounded query side —
+# round-12 verdict item 6, a plan change); never-verified backlog EMPTY
+# at rotation time (round 12 seated all thirteen of its additions and
+# every one came back hash-green) — round-13 additions enter there as
+# registered; then the flagship and 48 stalest-green backfill seats —
+# the nine-name r7-tier remainder (round 12's DEFERRED_TO_R13:
+# top_session_paths … winsorized_spend_stats) and 39 of the 45-name r8
 # tier in (round, name) order from ab_conversion_ztest through
-# theilsen_revenue_trend (the last five r8 names defer to round 14),
-# moving the staleness floor to r8.
+# tfidf_top_terms (the last six r8 names defer to round 14), moving
+# the staleness floor to r8.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
+    "media_embed_knn",
     "churn_features",
     "top_session_paths",
     "udtf_sentence_split",
@@ -108,7 +111,6 @@ _FRONT: tuple[str, ...] = (
     "source_overlap_matrix",
     "split_leakage_check",
     "tfidf_top_terms",
-    "theilsen_revenue_trend",
 )
 
 

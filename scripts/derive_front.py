@@ -51,10 +51,12 @@ WINDOW = 50
 # Update each round; everything else is derived from committed artifacts.
 ROUND = 13
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 13: empty at round start; update as
-# changes land (new queries enter via the never-verified tier
-# automatically and do NOT belong here).
-CHANGED: tuple[str, ...] = ()
+# listed in change order. Round 13: media_embed_knn gained the explicit
+# F.broadcast pin on its bounded query side (round-12 verdict item 6 —
+# the BNLJ physical choice is now hint-determined, a plan change). New
+# queries enter via the never-verified tier automatically and do NOT
+# belong here.
+CHANGED: tuple[str, ...] = ("media_embed_knn",)
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()

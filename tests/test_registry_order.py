@@ -10,13 +10,13 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-13 policy (docs/ROUND13_ROTATION.md): (a) the changed tier — empty
-at round start, updated as round-13 changes land; (b) never-verified
-backlog — EMPTY at rotation time (round 12 seated all thirteen of its
-additions and every one came back hash-green); round-13 additions enter
-here as registered; (c) the flagship leads the window; (d) stalest-green
+Round-13 policy (docs/ROUND13_ROTATION.md): (a) the changed tier —
+media_embed_knn (broadcast-hint pin, round-12 verdict item 6); (b)
+never-verified backlog — EMPTY at rotation time (round 12 seated all
+thirteen of its additions and every one came back hash-green); round-13
+additions enter here as registered; (c) the flagship; (d) stalest-green
 backfill: the nine-name r7-tier remainder (round 12's DEFERRED_TO_R13)
-and 40 of the 45-name r8 tier — the last five r8 names defer to round
+and 39 of the 45-name r8 tier — the last six r8 names defer to round
 14, moving the staleness floor to r8.
 """
 
@@ -34,7 +34,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (a) implementation changed in round 13 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-CHANGED_R13: set[str] = set()
+# media_embed_knn: explicit F.broadcast pin on the bounded query side
+# (round-12 verdict item 6) — the physical join choice is now
+# hint-determined, a plan change.
+CHANGED_R13: set[str] = {"media_embed_knn"}
 
 # (b) never-driver-verified backlog: ZERO at rotation time (round 12
 # seated all thirteen of its additions, all hash-green); round-13
@@ -44,13 +47,15 @@ BACKLOG_R13: set[str] = set()
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 14: with an empty backlog the
-# 49 backfill seats absorb the whole nine-name r7 remainder plus 40 of
-# the 45-name r8 tier; the last five r8 names in (round, name) order
-# lead the round-14 pool — the boundary test below checks they (and the
-# head of the r9 tier) stay outside this round's window.
+# Boundary-tier backfill deferred to round 14: the changed-tier seat
+# (media_embed_knn) leaves 48 backfill seats, absorbing the whole
+# nine-name r7 remainder plus 39 of the 45-name r8 tier; the last six
+# r8 names in (round, name) order lead the round-14 pool — the boundary
+# test below checks they (and the head of the r9 tier) stay outside
+# this round's window.
 DEFERRED_TO_R14 = {
-    "time_decay_attribution",  # r8 tail past theilsen_revenue_trend
+    "theilsen_revenue_trend",  # r8 tail past tfidf_top_terms
+    "time_decay_attribution",  # r8 tail
     "token_pmi_collocations",  # r8 tail
     "user_value_twap",  # r8 tail
     "word_jaccard_pairs",  # r8 tail
