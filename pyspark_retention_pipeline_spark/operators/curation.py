@@ -1564,6 +1564,172 @@ def crossdoc_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Cascade levels for the variable-length span rewrite: the profile grid,
+# longest first — the decision order is part of the semantics.
+CASCADE_KS = tuple(sorted(SPAN_PROFILE_KS, reverse=True))
+
+
+def _span_cascade_oracle(ks=CASCADE_KS) -> str:
+    """String-span twin of :func:`crossdoc_span_rewrite_maximal`: per
+    cascade level a span CTE, its frequency/owner table, and a covered-
+    position CTE carrying the same ``2k + is_victim`` code; MAX(code)
+    per (doc_id, position) is the longest-level decision, odd = remove."""
+    parts = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )"""
+    ]
+    unions = []
+    for k in ks:
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT doc_id, s.i AS pos,
+             array_to_string(list_slice(t, s.i + 1, s.i + {k}), ' ') AS g
+      FROM toks,
+           UNNEST(range(0, greatest(len(t) - {k}, 0) + 1)) AS s(i)
+    ), f{k} AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS min_doc
+      FROM s{k} GROUP BY g
+    ), c{k} AS (
+      SELECT s.doc_id, s.pos + j.o AS rp,
+             {2 * k} + CASE WHEN s.doc_id > f.min_doc THEN 1 ELSE 0 END
+               AS code
+      FROM s{k} s JOIN f{k} f ON s.g = f.g,
+           UNNEST(range(0, {k})) AS j(o)
+      WHERE f.n_docs >= 2
+    )"""
+        )
+        unions.append(f"SELECT * FROM c{k}")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""", cov AS (
+      SELECT doc_id, rp, MAX(code) AS win
+      FROM ({' UNION ALL '.join(unions)}) GROUP BY doc_id, rp
+    ), rm_agg AS (
+      SELECT doc_id, list(rp) AS rms FROM cov WHERE win % 2 = 1
+      GROUP BY doc_id
+    ), rewritten AS (
+      SELECT t.doc_id, t.t,
+             list_filter(
+               t.t,
+               (x, i) -> NOT list_contains(
+                 COALESCE(r.rms, CAST([] AS BIGINT[])),
+                 CAST(i - 1 AS BIGINT))
+             ) AS kept
+      FROM toks t LEFT JOIN rm_agg r USING (doc_id)
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, ' '), '') AS text_rewritten,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+    FROM rewritten
+    """
+    )
+
+
+@query(
+    "crossdoc_span_rewrite_maximal",
+    oracle=_span_cascade_oracle(),
+    tags=("dedup-crossdoc", "exact-substr", "rewrite", "curation"),
+)
+def crossdoc_span_rewrite_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr rewrite — the multi-k cascade
+    approximation of Lee et al.'s MAXIMAL repeated-substring removal
+    (arXiv:2107.06499 use a suffix array to find maximal repeats;
+    distributed recipes approximate with fixed-k hashed spans). The
+    fixed-k form (:func:`crossdoc_span_rewrite`) decides ownership at the
+    {SPAN}-token window grain, which over-removes long shared regions: when
+    a 16-token region is shared by docs A < B and one of its 8-token
+    sub-spans also occurs in an even lower doc_id, that sub-window's owner
+    differs from the region's, and NO document keeps the region intact.
+    Here each token position is decided at the LONGEST cascade level
+    {CASCADE_KS} that covers it with a duplicated span: victim at that
+    level → dropped, canonical at that level → kept, and shorter levels
+    are consulted only where every longer level found nothing — so the
+    lowest-doc_id copy of a long repeated region survives UNTOUCHED at
+    the region grain while isolated short repeats still dedup at theirs.
+
+    Shape at 100 TB: ONE corpus scan — tokens hash once into the pinned
+    ``(doc_id, th)`` frame (:func:`_token_hash_frame`, the
+    ``crossdoc_span_profile`` staging), then per level k an in-row gram
+    transform, a span-grain frequency+owner aggregate (map-side
+    combinable), a span-grain equi-join back, and a bounded ×k position
+    expand of duplicated spans only. The cascade decision itself is ONE
+    integer aggregate at (doc, position) grain: each covered position
+    carries code ``2k + is_victim``; MAX(code) picks the longest covering
+    level and, within it, victim-over-canonical — no per-level anti-joins,
+    no window, no all-pairs term anywhere. The rewrite tail is the
+    fixed-k operator's: hash-based ``array_except`` keep-positions plus
+    an in-order gather, O(L + |removed|) per document. Position codes
+    for truncated spans may exceed the doc length (the short-doc
+    NULL-skip convention); ``array_except`` over the real position range
+    ignores them, same as the oracle's positional ``list_filter``. Unlike
+    the fixed-k form this pass is NOT idempotent by construction: a
+    region kept at a long level can lose its duplicate partner to a
+    shorter-level removal elsewhere and re-dedup at the shorter grain on
+    a second pass — the documented trade of grain-local ownership (the
+    planted test pins the first-pass semantics; real pipelines run one
+    pass). The oracle derives the identical decision from span STRINGS,
+    so the hash gate also validates the per-level 64-bit span-hash
+    identity."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = _token_hash_frame(d).localCheckpoint(
+        eager=False
+    )  # one token pass feeds every cascade level
+    per_level = []
+    for k in CASCADE_KS:
+        spans = staged.select(
+            "doc_id", F.posexplode(_gram_array(k)).alias("pos", "gram")
+        ).localCheckpoint(eager=False)  # frequency side + victim side
+        freq = spans.groupBy("gram").agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        dupes = spans.join(freq, "gram").filter(F.col("n_docs") >= 2)
+        per_level.append(
+            dupes.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+                ).alias("rp"),
+                (
+                    F.lit(2 * k)
+                    + F.when(F.col("doc_id") > F.col("min_doc"), 1).otherwise(0)
+                ).alias("code"),
+            )
+        )
+    covered = per_level[0]
+    for lvl in per_level[1:]:
+        covered = covered.unionByName(lvl)
+    rm_agg = (
+        covered.groupBy("doc_id", "rp")
+        .agg(F.max("code").alias("win"))
+        .filter(F.col("win") % 2 == 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("rp").alias("rms"))
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("t") - 1),
+        F.coalesce(F.col("rms"), F.array().cast("array<int>")),
+    )
+    rewritten = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .join(rm_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "t",
+            F.transform(kept_pos, lambda p: F.get("t", p)).alias("kept"),
+        )
+    )
+    return rewritten.select(
+        "doc_id",
+        F.array_join("kept", " ").alias("text_rewritten"),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size("kept")).cast("long").alias("n_removed"),
+    )
+
+
 @query(
     "doc_novelty_score",
     oracle=f"""

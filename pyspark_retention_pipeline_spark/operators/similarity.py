@@ -1265,3 +1265,230 @@ def quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         (F.col("n_matched") / F.col("n_exact")).alias("recall"),
     )
+
+
+# --- product-quantization ADC retrieval scorecard -------------------------
+# M subquantizers over contiguous subvector slices, K_PQ centroids each:
+# 16^8 effective codewords from a 16-row codebook — the standard next rung
+# past global int8 scaling for 10^9+ vector corpora (Jegou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search").
+PQ_M = 8
+PQ_SUB = _EMB_DIMS // PQ_M
+PQ_K = 16
+
+_PQ_CASES = ",\n             ".join(
+    f"SUM(CASE WHEN rne <= {k} AND rnq <= {k} THEN 1 ELSE 0 END) AS m{k},\n"
+    f"             SUM(CASE WHEN rne <= {k} THEN 1 ELSE 0 END) AS e{k}"
+    for k in QKNN_TOPKS
+)
+_PQ_UNION = "\n      UNION ALL ".join(
+    f"SELECT {k} AS topk, m{k} AS n_matched, e{k} AS n_exact FROM agg"
+    for k in QKNN_TOPKS
+)
+
+_PQ_ORACLE = f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cbv AS MATERIALIZED (
+      -- deterministic codebook: the {PQ_K} md5-first vectors, cid = rank
+      -- (the ivf_knn codebook convention, reused per subspace)
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM vecs
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})
+    ), assign AS (
+      -- per (vector, subspace m): nearest centroid slice by QUANTIZED
+      -- squared L2 (ROUND(d2*1e6) BIGINT — the Lloyd-assignment exact-
+      -- integer-compare rule), ties to the lowest cid
+      SELECT vec_id, m, cid FROM (
+        SELECT n.vec_id, mm.m, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id, mm.m
+                 ORDER BY CAST(ROUND(1000000 * list_dot_product(
+                     [n.v[mm.m * {PQ_SUB} + i] - c.cv[mm.m * {PQ_SUB} + i]
+                      FOR i IN range(1, {PQ_SUB} + 1)],
+                     [n.v[mm.m * {PQ_SUB} + i] - c.cv[mm.m * {PQ_SUB} + i]
+                      FOR i IN range(1, {PQ_SUB} + 1)])) AS BIGINT),
+                   c.cid) AS rn
+        FROM vecs n, UNNEST(range(0, {PQ_M})) AS mm(m), cbv c
+      ) WHERE rn = 1
+    ), recon AS MATERIALIZED (
+      -- reconstruction = the chosen centroid slices concatenated in
+      -- subspace order
+      SELECT a.vec_id,
+             flatten(list(list_slice(c.cv, a.m * {PQ_SUB} + 1,
+                                     (a.m + 1) * {PQ_SUB}) ORDER BY a.m))
+               AS r
+      FROM assign a JOIN cbv c USING (cid)
+      GROUP BY a.vec_id
+    ), pairs AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v), 6) AS xdot,
+             ROUND(list_dot_product(q.v, r.r), 6) AS adc
+      FROM vecs q
+           JOIN vecs c ON c.vec_id <> q.vec_id
+           JOIN recon r ON r.vec_id = c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY xdot DESC, neighbor_id) AS rne,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rnq
+      FROM pairs
+    ), agg AS (
+      SELECT {_PQ_CASES}
+      FROM ranked
+    )
+    SELECT topk, CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           n_matched / n_exact AS recall
+    FROM ({_PQ_UNION})
+"""
+
+
+@query(
+    "pq_adc_recall",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "quantization", "pq", "scorecard"),
+)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval scorecard: recall@{1,{TOP_K}} of
+    asymmetric-distance max-inner-product search against exact full-double
+    search, for the standard {N_QUERIES}-query workload — the rung above
+    :func:`quantized_knn_recall` on the compression ladder (global int8 =
+    4×; PQ at {PQ_M}×log2({PQ_K}) bits = 64× against 32-bit floats), the
+    standard memory layout for 10⁹+ vector ANN and composable with
+    :func:`~.ivf.ivf_knn`'s cell pruning (IVF-PQ). Codebooks are
+    deterministic: ONE md5-ranked {PQ_K}-vector pick (the
+    ``deterministic_codebook_frame`` convention, ivf.py) serves all
+    {PQ_M} subspaces — each subspace's codebook is the picked vectors'
+    m-th {PQ_SUB}-dim slice, so DuckDB re-derives the identical codes
+    with no trainer in the loop (the production path would swap in
+    per-subspace k-means centroids exactly like ``build_ivf_index`` swaps
+    in MLlib KMeans — same shapes, different codebook rows).
+
+    Shape at 100 TB: the codebook collapses to a ONE-row broadcast array
+    ({PQ_K}·{_EMB_DIMS} doubles); encoding is an IN-ROW argmin fold per
+    subspace over the broadcast array — zero shuffle for the corpus-wide
+    stage, emitting the reconstruction inline (at deployment the {PQ_M}
+    uint4 codes are the stored column and reconstruction happens against
+    the resident codebook — ADC's point is that the corpus never keeps
+    full vectors). The scorecard tail is the ``quantized_knn_recall``
+    skeleton: one bounded pair pass (corpus × broadcast {N_QUERIES}-row
+    query slice, never corpus × corpus), TWO rankings over the same frame.
+    Cross-engine exactness: per-subspace assignment compares
+    ``ROUND(d2·10⁶)`` BIGINTs with a cid tie-break (the Lloyd
+    exact-integer-compare rule — raw-double argmin could flip on a ULP);
+    both final scores rank on ROUND(·, 6) with neighbor-id tie-break (the
+    standard 1-ulp rule); ADC reconstruction values are raw parquet
+    doubles, so ``dot``'s strict left fold and DuckDB's
+    ``list_dot_product`` see identical inputs in identical order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=False)  # codebook pick + corpus + query slice
+    md5k = F.md5(F.col("vec_id").cast("string"))
+    cb = (
+        staged.select(md5k.alias("k"), "vec_id", "v")
+        .orderBy("k", "vec_id")
+        .limit(PQ_K)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("k", "vec_id", F.col("v").alias("cv")))
+                ),
+                lambda s, i: F.struct(
+                    (i + 1).cast("int").alias("cid"), s["cv"].alias("cv")
+                ),
+            ).alias("cb")
+        )
+    )
+
+    def _sub_qd2(cv, m):
+        # quantized squared L2 between the m-th PQ_SUB-dim slices of the
+        # row vector and centroid cv: strict left fold over (diff·diff)
+        # terms in index order — the same add sequence as the oracle's
+        # list_dot_product over the difference list
+        diffs = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+            lambda i: (
+                F.get(F.col("v"), m * PQ_SUB + i) - F.get(cv, m * PQ_SUB + i)
+            ),
+        )
+        d2 = F.aggregate(
+            F.transform(diffs, lambda d: d * d),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(d2 * 1_000_000).cast("long")
+
+    def _best_slice(m):
+        # in-row argmin over the broadcast codebook: lexicographic
+        # array_min of struct(qd2, cid) = (lowest distance, lowest cid);
+        # the winning slice is re-read from the cid-ordered array
+        best = F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    _sub_qd2(c["cv"], m).alias("qd2"), c["cid"].alias("cid")
+                ),
+            )
+        )
+        return F.slice(
+            F.element_at(F.col("cb"), best["cid"])["cv"],
+            m * PQ_SUB + 1,
+            F.lit(PQ_SUB),
+        )
+
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)), lambda m: _best_slice(m)
+        )
+    )
+    coded = staged.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "v", recon.alias("r")
+    )
+    qf = staged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        coded.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")), 6).alias("xdot"),
+            F.round(dot(F.col("qv"), F.col("r")), 6).alias("adc"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.desc("xdot"), F.asc("neighbor_id")
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        F.row_number().over(w_ex).alias("rne"),
+        F.row_number().over(w_pq).alias("rnq"),
+    )
+    cases = []
+    for k in QKNN_TOPKS:
+        cases.append(
+            F.sum(
+                F.when((F.col("rne") <= k) & (F.col("rnq") <= k), 1).otherwise(0)
+            ).alias(f"m{k}")
+        )
+        cases.append(
+            F.sum(F.when(F.col("rne") <= k, 1).otherwise(0)).alias(f"e{k}")
+        )
+    agg = ranked.agg(*cases)
+    stack_args = ", ".join(f"{k}, m{k}, e{k}" for k in QKNN_TOPKS)
+    return agg.selectExpr(
+        f"stack({len(QKNN_TOPKS)}, {stack_args})"
+        " AS (topk, n_matched, n_exact)"
+    ).select(
+        F.col("topk").cast("int").alias("topk"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_matched") / F.col("n_exact")).alias("recall"),
+    )

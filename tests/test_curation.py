@@ -501,6 +501,129 @@ def test_crossdoc_span_profile_hand_checked(spark, monkeypatch):
     assert rows[16] == (24, 12, 0.5, 4)
 
 
+def test_crossdoc_span_rewrite_maximal_longest_level_wins(spark, monkeypatch):
+    """The over-removal case the cascade exists for (round-12 verdict
+    item 2): docs 10 < 11 share a verbatim 16-token region R, and an
+    8-token sub-span of R also occurs standalone in doc 9 (a LOWER id).
+    Fixed-k=8 ownership mangles every copy of R — doc 11 loses all of it
+    and doc 10 loses the sub-window owned by doc 9 — so no intact copy
+    survives. The cascade decides doc 10's R positions at the 16 level
+    (canonical → untouched), doc 11's at 16 (victim → dropped), and doc
+    9's at 8 (canonical → untouched): exactly one intact copy of R plus
+    the standalone sub-span survive."""
+    region = " ".join(f"r{i}" for i in range(16))
+    sub = " ".join(f"r{i}" for i in range(4, 12))  # 8-token sub-span of R
+    rows = [
+        (9, "m0 m1 " + sub + " m2 m3"),
+        (10, "x0 x1 " + region + " y0 y1"),
+        (11, "u0 u1 u2 " + region + " v0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {
+        r["doc_id"]: r
+        for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
+    }
+    assert out[9]["n_removed"] == 0 and out[9]["text_rewritten"] == rows[0][1]
+    assert out[10]["n_removed"] == 0 and out[10]["text_rewritten"] == rows[1][1]
+    assert out[11]["n_removed"] == 16
+    assert out[11]["text_rewritten"] == "u0 u1 u2 v0"
+    # pin the distinction: the fixed-k=8 rewrite DOES carve the sub-window
+    # owned by doc 9 out of doc 10's canonical copy of R
+    fixed = {
+        r["doc_id"]: r for r in cu.crossdoc_span_rewrite(spark, "x").collect()
+    }
+    assert fixed[10]["n_removed"] == 8
+
+
+def test_crossdoc_span_rewrite_maximal_short_level_fallback(spark, monkeypatch):
+    """Shorter cascade levels apply exactly where every longer level found
+    nothing: a pair sharing only a 4-gram dedups at the 4 grain (victim
+    loses those 4 tokens), and on the standard planted corpus the cascade
+    reproduces the fixed-k expectations (no 16-token dup exists between
+    docs 0/1, so the 8-level decides; exact dups fall at 16)."""
+    rows = [
+        (20, "p0 p1 q0 q1 q2 q3 p2 p3"),
+        (21, "z0 z1 z2 q0 q1 q2 q3 z3 z4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {
+        r["doc_id"]: r
+        for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
+    }
+    assert out[20]["n_removed"] == 0 and out[20]["text_rewritten"] == rows[0][1]
+    assert out[21]["n_removed"] == 4
+    assert out[21]["text_rewritten"] == "z0 z1 z2 z3 z4"
+
+    docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    out = {
+        r["doc_id"]: r
+        for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
+    }
+    src = dict(_span_rows())
+    for i in (0, 2, 3, 5, 7):  # canonical / unique docs untouched
+        assert out[i]["text_rewritten"] == src[i] and out[i]["n_removed"] == 0
+    assert out[1]["text_rewritten"] == " ".join(f"b{i}" for i in range(10))
+    assert out[4]["text_rewritten"] == "" and out[4]["n_removed"] == 20
+    assert out[6]["text_rewritten"] == "" and out[6]["n_removed"] == 5
+
+
+def _cascade_reference(rows, ks=cu.CASCADE_KS):
+    """Pure-python reimplementation of the cascade definition (string
+    spans, longest-covering-level decision, victim-over-canonical within
+    the level) — the agreement baseline for the randomized test."""
+    toks = {d: t.split(" ") for d, t in rows}
+    codes: dict[tuple[int, int], int] = {}
+    for k in ks:
+        occ: dict[tuple, list[tuple[int, int]]] = {}
+        for d, t in toks.items():
+            for s in range(0, max(len(t) - k, 0) + 1):
+                occ.setdefault(tuple(t[s : s + k]), []).append((d, s))
+        for g, sites in occ.items():
+            owners = {d for d, _ in sites}
+            if len(owners) < 2:
+                continue
+            lo = min(owners)
+            for d, s in sites:
+                code = 2 * k + (1 if d > lo else 0)
+                for p in range(s, s + k):
+                    if codes.get((d, p), -1) < code:
+                        codes[(d, p)] = code
+    out = {}
+    for d, t in toks.items():
+        kept = [
+            tok
+            for p, tok in enumerate(t)
+            if codes.get((d, p), 0) % 2 == 0
+        ]
+        out[d] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def test_crossdoc_span_rewrite_maximal_matches_reference(spark, monkeypatch):
+    """Randomized agreement with the pure-python cascade reference: a
+    small vocabulary forces dense span collisions at every level, so the
+    longest-wins tie-breaking, victim attribution, and truncated-span
+    conventions are all exercised beyond the hand-planted cases."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 28))))
+        for d in range(14)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    got = {
+        r["doc_id"]: (r["text_rewritten"], r["n_tokens"], r["n_removed"])
+        for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
+    }
+    assert got == _cascade_reference(rows)
+
+
 def test_doc_novelty_score_planted(spark, monkeypatch):
     """Planted corpus: a verbatim duplicate owns nothing (novelty 0), the
     first copy owns everything it contains (novelty 1), a distinct doc is

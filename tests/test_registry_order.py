@@ -13,11 +13,11 @@ that diverges fails loudly (VERDICT r7 item 7).
 Round-13 policy (docs/ROUND13_ROTATION.md): (a) the changed tier —
 media_embed_knn (broadcast-hint pin, round-12 verdict item 6); (b)
 never-verified backlog — EMPTY at rotation time (round 12 seated all
-thirteen of its additions and every one came back hash-green); round-13
-additions enter here as registered; (c) the flagship; (d) stalest-green
-backfill: the nine-name r7-tier remainder (round 12's DEFERRED_TO_R13)
-and 39 of the 45-name r8 tier — the last six r8 names defer to round
-14, moving the staleness floor to r8.
+thirteen of its additions and every one came back hash-green), so it
+holds exactly the round-13 additions; (c) the flagship; (d)
+stalest-green backfill: the nine-name r7-tier remainder (round 12's
+DEFERRED_TO_R13) and 37 of the 45-name r8 tier — the last eight r8
+names defer to round 14, moving the staleness floor to r8.
 """
 
 import importlib.util
@@ -42,19 +42,24 @@ CHANGED_R13: set[str] = {"media_embed_knn"}
 # (b) never-driver-verified backlog: ZERO at rotation time (round 12
 # seated all thirteen of its additions, all hash-green); round-13
 # additions enter here as registered.
-BACKLOG_R13: set[str] = set()
+BACKLOG_R13: set[str] = {
+    "crossdoc_span_rewrite_maximal",  # new in round 13 (multi-k cascade)
+    "pq_adc_recall",  # new in round 13 (PQ-ADC retrieval scorecard)
+}
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 14: the changed-tier seat
-# (media_embed_knn) leaves 48 backfill seats, absorbing the whole
-# nine-name r7 remainder plus 39 of the 45-name r8 tier; the last six
+# Boundary-tier backfill deferred to round 14: the changed-tier and
+# never-verified seats leave 46 backfill seats, absorbing the whole
+# nine-name r7 remainder plus 37 of the 45-name r8 tier; the last eight
 # r8 names in (round, name) order lead the round-14 pool — the boundary
 # test below checks they (and the head of the r9 tier) stay outside
 # this round's window.
 DEFERRED_TO_R14 = {
-    "theilsen_revenue_trend",  # r8 tail past tfidf_top_terms
+    "split_leakage_check",  # r8 tail past source_overlap_matrix
+    "tfidf_top_terms",  # r8 tail
+    "theilsen_revenue_trend",  # r8 tail
     "time_decay_attribution",  # r8 tail
     "token_pmi_collocations",  # r8 tail
     "user_value_twap",  # r8 tail
