@@ -77,9 +77,17 @@ def build_churn_pipeline(feature_cols: list[str] | None = None) -> Pipeline:
 
 
 def _prepare(features: DataFrame, feature_cols: list[str]) -> DataFrame:
-    casted = features
-    for c in feature_cols:
-        casted = casted.withColumn(c, F.col(c).cast("double"))
+    # ONE select, not a withColumn-per-feature loop: each withColumn nests
+    # a fresh Project, and analysis cost grows quadratically in the column
+    # count — harmless at the churn tier's 8 features, a multi-second
+    # plan-build cliff at the quality classifier's 256 (round 13).
+    fc = set(feature_cols)
+    casted = features.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in fc else F.col(c)
+            for c in features.columns
+        ]
+    )
     return add_class_weight(casted)
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
+from ..tables import load_table
 from .retention import churn_feature_frame
 
 
@@ -96,4 +97,151 @@ def ml_threshold_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", "precision", "recall", "f1")
         .orderBy(F.col("f1").desc(), F.col("t").asc())
         .limit(1)
+    )
+
+
+# --- learned quality classifier (fastText shape) ---------------------------
+# Hashed bag-of-n-grams → weighted LR: the in-engine counterpart of the
+# fastText-style quality/target classifiers public LLM pipelines train
+# (GPT-3 / LLaMA data recipes: label a reference signal, learn a cheap
+# classifier over hashed n-gram features, score the whole corpus). Here the
+# reference signal is the corpus-trained unigram LM score
+# (text_quality.unigram_logprob_score) split at its median — a DISTILLATION
+# of the expensive token-grain signal into a fixed-width feature model, the
+# loop-closer between the curation tier's corpus statistics and the ML tier
+# (round-12 verdict item 4). Unigram + bigram hashes (fastText wordNgrams=2)
+# fold into QC_BUCKETS hashed features.
+QC_BUCKETS = 256
+QC_GRAM_K = 2
+_QC_FEATURE_COLS = [f"f{b}" for b in range(QC_BUCKETS)]
+_QC_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def quality_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f0..f{QC_BUCKETS-1}, label): normalized hashed-n-gram bucket
+    fractions plus the distillation label (above-median corpus unigram-LM
+    score).
+
+    Shape at 100 TB: tokens hash once (curation's ``_token_hash_frame``
+    staging); unigram+bigram hashes explode to (doc, bucket) rows and a
+    doc-grain count + pivot over the FIXED {QC_BUCKETS}-value bucket domain
+    builds the histogram in one corpus-token-grain shuffle — O(L) per
+    document, never O(L × buckets) per row (the size(filter(...))-per-bucket
+    form re-scans the gram array {QC_BUCKETS} times). The label side reuses
+    the unigram LM frame and broadcasts its 1-row median."""
+    from .curation import _gram_array, _token_hash_frame
+    from .text_quality import unigram_logprob_score
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = _token_hash_frame(d)
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("th"), _gram_array(QC_GRAM_K))
+        ).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id", F.pmod(F.col("g"), F.lit(QC_BUCKETS)).alias("b")
+    ).localCheckpoint(eager=False)  # one gram pass: histogram + doc totals
+    hist = (
+        bucketed.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .pivot("b", list(range(QC_BUCKETS)))
+        .sum("c")
+        .na.fill(0)
+    )
+    totals = bucketed.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("n_g")
+    )
+    # n_g comes from its own doc-grain aggregate: summing the 256 pivot
+    # columns inside each of the 256 divisions builds a ~65k-node
+    # expression tree and stalls analysis/codegen for tens of seconds
+    feats = hist.join(totals, "doc_id").select(
+        "doc_id",
+        *[
+            (F.col(str(b)) / F.col("n_g")).alias(f"f{b}")
+            for b in range(QC_BUCKETS)
+        ],
+    )
+    lm = unigram_logprob_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    med = lm.agg(F.expr("median(avg_logprob)").alias("qc_med"))
+    labeled = (
+        feats.join(lm, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .withColumn(
+            "label", (F.col("avg_logprob") >= F.col("qc_med")).cast("int")
+        )
+        .drop("qc_med", "avg_logprob")
+    )
+    return labeled
+
+
+def _train_quality(spark: SparkSession, sf_dir: str):
+    """Session-cached quality-classifier fit — the ``_train`` convention
+    (one training per (session, sf_dir); stale-app eviction).
+
+    The pipeline object IS the M1–M5 builder's (Imputer → Assembler →
+    Scaler → weighted LR), but the fit is staged by hand with a
+    MATERIALIZED 3-column frame in front of the LR: ``Pipeline.fit`` runs
+    LBFGS's 80 treeAggregate jobs against the lazy featurization plan, and
+    at 256 hashed features the per-job whole-stage-codegen of that
+    256-column projection dominates — measured 315 s at sf0.001 vs ~25 s
+    staged (the churn tier's 8 columns never hit this cliff). Identical
+    math: Pipeline.fit is exactly this sequential stage loop, minus the
+    checkpoint."""
+    from pyspark.ml import PipelineModel
+
+    from ..ml.pipeline import _prepare, build_churn_pipeline
+
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _QC_CACHE if k[0] != app_id]
+    for k in stale:
+        del _QC_CACHE[k]
+    key = (app_id, sf_dir)
+    if key not in _QC_CACHE:
+        features = quality_feature_frame(spark, sf_dir).cache()
+        prepared = _prepare(features, _QC_FEATURE_COLS).cache()
+        stages = build_churn_pipeline(_QC_FEATURE_COLS).getStages()
+        fitted = []
+        cur = prepared
+        for st in stages[:-1]:
+            if hasattr(st, "fit"):
+                st = st.fit(cur)
+            fitted.append(st)
+            cur = st.transform(cur)
+        lr_input = cur.select(
+            "features_scaled", "label", "class_weight"
+        ).localCheckpoint()  # eager: LBFGS iterates over materialized rows
+        lr_model = stages[-1].fit(lr_input)
+        _QC_CACHE[key] = (PipelineModel(fitted + [lr_model]), features)
+    return _QC_CACHE[key]
+
+
+@query("quality_classifier_scores", tags=("ml", "text-quality", "fasttext-shape"))
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the learned quality classifier: P(above-
+    median corpus-LM quality) from hashed n-gram features alone — the
+    fastText-shape scorer a production pipeline would train once on a
+    labeled reference slice and apply to 100 TB (scoring is one Imputer/
+    Scaler/LR transform over fixed-width features; the model is KB-sized
+    and rides the closure). Rows-only for the driver (MLlib training is not
+    SQL-expressible); tests/test_ml.py pins planted separability and the
+    agreement with the unigram-LM signal it distills
+    (Spearman + accuracy-vs-label bands)."""
+    from pyspark.ml.functions import vector_to_array
+
+    model, features = _train_quality(spark, sf_dir)
+    fc = set(_QC_FEATURE_COLS)
+    prepared = features.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in fc else F.col(c)
+            for c in features.columns
+        ]
+    )
+    return model.transform(prepared).select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(vector_to_array("probability")[1], 6).alias("qc_score"),
+        F.col("prediction").cast("long").alias("pred"),
     )

@@ -143,3 +143,55 @@ def test_golden_auc_and_threshold_on_reference_shaped_split(spark):
             best_f1, best_t = f1, t
     assert best["t"] == pytest.approx(best_t, abs=1e-12)
     assert best["f1"] == pytest.approx(best_f1, abs=1e-9)
+
+
+def test_quality_classifier_planted_separability(spark, monkeypatch):
+    """fastText-shape quality classifier on a planted bimodal corpus:
+    'fluent' docs reuse a tiny frequent vocabulary (high unigram-LM score),
+    'gibberish' docs are corpus-wide hapax storms (very negative score) —
+    the hashed-n-gram LR must separate them near-perfectly and rank every
+    fluent doc above every gibberish doc."""
+    import pyspark_retention_pipeline_spark.operators.mlops as mo
+    import pyspark_retention_pipeline_spark.operators.text_quality as tq
+
+    good = [
+        (i, " ".join(["the cat sat on the mat and the dog ran"] * 2))
+        for i in range(30)
+    ]
+    bad = [
+        (100 + i, " ".join(f"zz{i}x{j}" for j in range(20)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(good + bad, "doc_id long, text string")
+    monkeypatch.setattr(mo, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tq, "load_table", lambda *_: docs)
+    mo._QC_CACHE.clear()
+    out = mo.quality_classifier_scores(spark, "planted-qc").toPandas()
+    mo._QC_CACHE.clear()
+    assert len(out) == 60
+    acc = (out.label == out.pred).mean()
+    assert acc >= 0.95, f"planted separability acc {acc}"
+    good_scores = out[out.doc_id < 100].qc_score
+    bad_scores = out[out.doc_id >= 100].qc_score
+    assert good_scores.min() > bad_scores.max()
+
+
+def test_quality_classifier_agrees_with_unigram_lm(spark, sf_dir):
+    """The distillation target check (round-12 verdict item 4): on the real
+    corpus the learned scores must track the unigram-LM signal they distill
+    — high label accuracy and strongly positive rank correlation with
+    avg_logprob (measured 1.00 / 0.86 at sf0.001; bands leave noise room)."""
+    import pyspark_retention_pipeline_spark.operators.mlops as mo
+    from pyspark_retention_pipeline_spark.operators.text_quality import (
+        unigram_logprob_score,
+    )
+
+    out = mo.quality_classifier_scores(spark, sf_dir).toPandas()
+    acc = (out.label == out.pred).mean()
+    assert acc >= 0.9, f"label accuracy {acc}"
+    lm = unigram_logprob_score(spark, sf_dir).toPandas()
+    merged = out.merge(lm, on="doc_id")
+    rho = merged[["qc_score", "avg_logprob"]].corr(method="spearman").iloc[0, 1]
+    assert rho >= 0.6, f"spearman vs distillation signal {rho}"
+    # scores are probabilities
+    assert out.qc_score.between(0.0, 1.0).all()

@@ -568,6 +568,13 @@ CROSS_JOIN_EXEMPT = {
     # shape but sits behind the pair-frame pin, so the detector never sees
     # that join.)
     "quantized_knn_recall",
+    # pq_adc_recall is the identical broadcast-query shape: its crossJoin
+    # right side is the vec_id < N_QUERIES literal slice of the pinned
+    # staged frame (broadcast), its only condition the
+    # NOT(query_id = vec_id) self-exclusion; the corpus side is scanned
+    # ONCE — linear, not quadratic (its other crossJoin broadcasts the
+    # 1-row codebook aggregate, which the detector already proves bounded)
+    "pq_adc_recall",
     # ann_recall_report's exact side is the same broadcast-query shape with
     # a vec_id < 200 literal slice (ANN_EVAL_QUERIES); the banded side is
     # embedding_ann_top1's bounded bucket pipeline
