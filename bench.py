@@ -123,6 +123,14 @@ HEADLINE = [
     # keep their dominant join/rollup stages in-timer (measured
     # write >= build) and stay.
     "crossdoc_span_rewrite",
+    # round 13: the variable-length multi-k-cascade ExactSubstr rewrite —
+    # the widest new plan (3 span-length passes off one pinned token-hash
+    # frame + the (doc, position) MAX-code cascade aggregate). Its pins are
+    # lazy and the dominant frequency/join/rollup stages run at ACTION
+    # time (not the compute-at-build class — measured write >> build).
+    # Added with bench-line shrink lever 3 (run_spread_med_pct moved
+    # local-only) per docs/ROUND13_ROTATION.md.
+    "crossdoc_span_rewrite_maximal",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded
@@ -295,8 +303,11 @@ def emit_line(result: dict) -> str:
     * ``vs_baseline.regr_names`` — names of queries with a >1.5×
       like-for-like ratio; the ratios themselves are derivable from this
       round's and the baseline round's ``queries`` maps;
-    * ``run_spread_p90_pct`` rides only the local artifact (the median is
-      the primary noise floor and stays on the line);
+    * ``run_spread_med_pct`` / ``run_spread_p90_pct`` ride only the local
+      artifact (both spreads moved off the line in round 13 — shrink
+      lever 3, taken with the 60th headline query; the driver's gate
+      reads only the totals, and noise-floor context lives in
+      docs/BENCH_LOCAL.json and the round docs);
     * ``ml_pipeline_wall`` rides only the local artifact (since round 12:
       it is a cold single-run MLlib CV wall — the noisiest number in the
       artifact, never part of the headline total or the 2× gate, and the
@@ -305,6 +316,7 @@ def emit_line(result: dict) -> str:
       round 9)."""
     budget = 1950  # driver tail is 2000; leave newline + margin
     line_result = dict(result)
+    line_result.pop("run_spread_med_pct", None)
     line_result.pop("run_spread_p90_pct", None)
     line_result.pop("ml_pipeline_wall", None)
     # 2-dp per-query timings are the LINE's standard precision (round 10:
