@@ -1125,3 +1125,286 @@ def ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- IVF-PQ: coarse cells × product-quantized codes ------------------------
+# The FAISS-standard composition for 10⁹+ vectors (Jegou et al. 2011 §V):
+# the IVF codebook prunes the candidate set to n_probe cells, and within
+# them ranking runs on PQ asymmetric distances against the resident
+# codebook — the corpus stores only the cell id and PQ_M uint4 codes.
+# Grid and conventions come verbatim from the two parents: N_CELLS/N_PROBE
+# cells (ivf_knn), PQ_M×PQ_K subquantizer codebook + quantized-BIGINT
+# per-subspace assignment + ROUND(·,6)/neighbor-id ranking (pq_adc_recall).
+
+
+def _ivf_pq_oracle() -> str:
+    from .similarity import PQ_K, PQ_M, PQ_SUB, QKNN_TOPKS
+
+    cases = ",\n             ".join(
+        f"SUM(CASE WHEN rne <= {k} AND rnq <= {k} THEN 1 ELSE 0 END) AS m{k},\n"
+        f"             SUM(CASE WHEN rne <= {k} THEN 1 ELSE 0 END) AS e{k}"
+        for k in QKNN_TOPKS
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {k} AS topk, m{k} AS n_matched, e{k} AS n_exact FROM agg"
+        for k in QKNN_TOPKS
+    )
+    return (
+        _IVF_BASE_CTES
+        + f""", pqcb AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM n
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})
+    ), pq_assign AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT a.vec_id, mm.m, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id, mm.m
+                 ORDER BY CAST(ROUND(1000000 * list_dot_product(
+                     [a.v[mm.m * {PQ_SUB} + i] - c.cv[mm.m * {PQ_SUB} + i]
+                      FOR i IN range(1, {PQ_SUB} + 1)],
+                     [a.v[mm.m * {PQ_SUB} + i] - c.cv[mm.m * {PQ_SUB} + i]
+                      FOR i IN range(1, {PQ_SUB} + 1)])) AS BIGINT),
+                   c.cid) AS rn
+        FROM n a, UNNEST(range(0, {PQ_M})) AS mm(m), pqcb c
+      ) WHERE rn = 1
+    ), recon AS MATERIALIZED (
+      SELECT a.vec_id,
+             flatten(list(list_slice(c.cv, a.m * {PQ_SUB} + 1,
+                                     (a.m + 1) * {PQ_SUB}) ORDER BY a.m))
+               AS r
+      FROM pq_assign a JOIN pqcb c USING (cid)
+      GROUP BY a.vec_id
+    ), probed AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT n.vec_id, n.v, code.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, code.cv)
+                                / (n.nrm * code.cnrm), 6) DESC, code.cell
+               ) AS rn
+        FROM n CROSS JOIN code WHERE n.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}
+    ), cand AS MATERIALIZED (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qv, r.r), 6) AS adc
+      FROM probed p
+           JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           JOIN recon r ON r.vec_id = a.vec_id
+    ), cd AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rnq
+      FROM cand
+    ), ex AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_dot_product(q.v, c.v), 6) DESC,
+                        c.vec_id) AS rne
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), nc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand
+    ), joined AS (
+      SELECT e2.rne, c2.rnq
+      FROM ex e2 LEFT JOIN cd c2 USING (query_id, neighbor_id)
+    ), agg AS (
+      SELECT {cases}
+      FROM joined
+    )
+    SELECT topk, CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           n_matched / n_exact AS recall,
+           n_candidates
+    FROM ({union}) CROSS JOIN nc
+"""
+    )
+
+
+@query(
+    "ivf_pq_recall",
+    oracle=_ivf_pq_oracle(),
+    tags=("similarity", "ann-ivf", "quantization", "pq", "scorecard"),
+)
+def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end retrieval scorecard: recall@{1,{TOP_K}} of the
+    composed index — IVF cell pruning (top-{N_PROBE} of {N_CELLS} cells per
+    query) with PQ asymmetric-distance ranking inside the probed cells —
+    against exact full-double max-inner-product search, plus the total
+    candidate volume the pruning admitted. This is the memory layout
+    production ANN actually deploys at 10⁹+ vectors (cell id + {PQ_M}
+    uint4 codes per vector ≈ 64× smaller than the floats): ``ivf_knn``
+    grades the pruning with exact distances, ``pq_adc_recall`` grades the
+    quantization with no pruning; this grades what a user gets when both
+    approximations stack — always ≤ either parent's recall, with
+    n_candidates quantifying the scan saving that buys.
+
+    Shape at 100 TB: both codebooks are one-row broadcast arrays; cell
+    assignment AND the PQ reconstruction are in-row folds over them —
+    the corpus-wide stage is shuffle-free and at deployment both collapse
+    into write-time layout (cell = partition column, codes = stored
+    column). Search touches only probed-cell members (cell-grain equi-join
+    against the broadcast {N_QUERIES}×{N_PROBE} probe frame); the exact
+    baseline is the standard bounded broadcast-query scan. All ranking
+    conventions inherited: rounded-cosine probe order with cell tie-break,
+    quantized-BIGINT subspace argmin, ROUND(·,6) + neighbor-id final
+    ranks."""
+    from .similarity import PQ_K, PQ_M, PQ_SUB, QKNN_TOPKS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = (
+        e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)  # codebooks + corpus + query slice
+    )
+    cb = deterministic_codebook_frame(staged)
+    md5k = F.md5(F.col("vec_id").cast("string"))
+    pqcb = (
+        staged.select(md5k.alias("k"), "vec_id", "v")
+        .orderBy("k", "vec_id")
+        .limit(PQ_K)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("k", "vec_id", F.col("v").alias("cv")))
+                ),
+                lambda s, i: F.struct(
+                    (i + 1).cast("int").alias("cid"), s["cv"].alias("cv")
+                ),
+            ).alias("pqcb")
+        )
+    )
+    withcb = staged.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(pqcb))
+
+    # IVF side: rounded cosine to every cell centroid, staged as one array
+    # (the ivf_knn fold — lexicographic array_max = highest cosine, lowest
+    # cell via the negated cell id)
+    scored_col = F.transform(
+        F.col("cb"),
+        lambda x: F.struct(
+            F.round(
+                dot(F.col("v"), x["cv"]) / (F.col("nrm") * x["cnrm"]), 6
+            ).alias("c"),
+            (-x["cell"]).alias("negcell"),
+        ),
+    )
+
+    # PQ side: per-subspace argmin over the broadcast codebook, quantized-
+    # BIGINT distances (the pq_adc_recall fold), reconstruction in-row
+    def _sub_qd2(cv, m):
+        diffs = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+            lambda i: (
+                F.get(F.col("v"), m * PQ_SUB + i) - F.get(cv, m * PQ_SUB + i)
+            ),
+        )
+        d2 = F.aggregate(
+            F.transform(diffs, lambda d: d * d),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(d2 * 1_000_000).cast("long")
+
+    def _best_slice(m):
+        best = F.array_min(
+            F.transform(
+                F.col("pqcb"),
+                lambda c: F.struct(
+                    _sub_qd2(c["cv"], m).alias("qd2"), c["cid"].alias("cid")
+                ),
+            )
+        )
+        return F.slice(
+            F.element_at(F.col("pqcb"), best["cid"])["cv"],
+            m * PQ_SUB + 1,
+            F.lit(PQ_SUB),
+        )
+
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)), lambda m: _best_slice(m)
+        )
+    )
+    scored = withcb.select(
+        "vec_id", "v", "nrm", scored_col.alias("scored"), recon.alias("r")
+    )
+    assigned = scored.select(
+        "vec_id",
+        "r",
+        (-F.array_max("scored")["negcell"]).cast("int").alias("cell"),
+    )
+    probed = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort("scored")), 1, N_PROBE)
+            ).alias("p"),
+        )
+        .select(
+            "query_id", "qv", (-F.col("p")["negcell"]).cast("int").alias("cell")
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("r")), 6).alias("adc"),
+        )
+        .localCheckpoint(eager=False)  # ranked side + candidate count
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    cd = cand.select(
+        "query_id", "neighbor_id", F.row_number().over(wq).alias("rnq")
+    )
+    qf = staged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("xdot"), F.asc("neighbor_id")
+    )
+    ex = (
+        staged.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")), 6).alias("xdot"),
+        )
+        .select("query_id", "neighbor_id", F.row_number().over(we).alias("rne"))
+    )
+    joined = ex.join(cd, ["query_id", "neighbor_id"], "left")
+    cases = []
+    for k in QKNN_TOPKS:
+        cases.append(
+            F.sum(
+                F.when((F.col("rne") <= k) & (F.col("rnq") <= k), 1).otherwise(0)
+            ).alias(f"m{k}")
+        )
+        cases.append(
+            F.sum(F.when(F.col("rne") <= k, 1).otherwise(0)).alias(f"e{k}")
+        )
+    agg = joined.agg(*cases)
+    nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    stack_args = ", ".join(f"{k}, m{k}, e{k}" for k in QKNN_TOPKS)
+    return (
+        agg.selectExpr(
+            f"stack({len(QKNN_TOPKS)}, {stack_args})"
+            " AS (topk, n_matched, n_exact)"
+        )
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("topk").cast("int").alias("topk"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_matched") / F.col("n_exact")).alias("recall"),
+            "n_candidates",
+        )
+    )

@@ -575,6 +575,10 @@ CROSS_JOIN_EXEMPT = {
     # ONCE — linear, not quadratic (its other crossJoin broadcasts the
     # 1-row codebook aggregate, which the detector already proves bounded)
     "pq_adc_recall",
+    # ivf_pq_recall's exact baseline is the same broadcast-query slice ×
+    # one corpus scan; the IVF-PQ side itself is a cell-grain equi-join
+    # (and its codebook crossJoins broadcast 1-row aggregates)
+    "ivf_pq_recall",
     # ann_recall_report's exact side is the same broadcast-query shape with
     # a vec_id < 200 literal slice (ANN_EVAL_QUERIES); the banded side is
     # embedding_ann_top1's bounded bucket pipeline

@@ -16,7 +16,7 @@ never-verified backlog — EMPTY at rotation time (round 12 seated all
 thirteen of its additions and every one came back hash-green), so it
 holds exactly the round-13 additions; (c) the flagship; (d)
 stalest-green backfill: the nine-name r7-tier remainder (round 12's
-DEFERRED_TO_R13) and 37 of the 45-name r8 tier — the last eight r8
+DEFERRED_TO_R13) and 36 of the 45-name r8 tier — the last nine r8
 names defer to round 14, moving the staleness floor to r8.
 """
 
@@ -45,19 +45,21 @@ CHANGED_R13: set[str] = {"media_embed_knn"}
 BACKLOG_R13: set[str] = {
     "crossdoc_span_rewrite_maximal",  # new in round 13 (multi-k cascade)
     "pq_adc_recall",  # new in round 13 (PQ-ADC retrieval scorecard)
+    "ivf_pq_recall",  # new in round 13 (composed IVF-PQ scorecard)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 14: the changed-tier and
-# never-verified seats leave 46 backfill seats, absorbing the whole
-# nine-name r7 remainder plus 37 of the 45-name r8 tier; the last eight
+# never-verified seats leave 45 backfill seats, absorbing the whole
+# nine-name r7 remainder plus 36 of the 45-name r8 tier; the last nine
 # r8 names in (round, name) order lead the round-14 pool — the boundary
 # test below checks they (and the head of the r9 tier) stay outside
 # this round's window.
 DEFERRED_TO_R14 = {
-    "split_leakage_check",  # r8 tail past source_overlap_matrix
+    "source_overlap_matrix",  # r8 tail past simhash_jaccard_verify
+    "split_leakage_check",  # r8 tail
     "tfidf_top_terms",  # r8 tail
     "theilsen_revenue_trend",  # r8 tail
     "time_decay_attribution",  # r8 tail

@@ -808,3 +808,92 @@ def test_pq_adc_recall_matches_numpy_reference(spark, monkeypatch):
     # PQ reconstruction must beat random ordering badly enough to retrieve
     # SOMETHING on a correlated ranking task at these sizes
     assert got[-1].n_matched > 0
+
+
+def test_ivf_pq_recall_matches_numpy_reference(spark, monkeypatch):
+    """Full numpy replication of the composed IVF-PQ scorecard: md5 cell
+    codebook + rounded-cosine argmax assignment and probing, md5 PQ
+    codebook + quantized-L2 subspace assignment + reconstruction, ADC
+    ranking inside probed cells vs exact full-precision ranking — counts,
+    recalls, and the candidate volume must all agree exactly."""
+    import hashlib
+
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.ivf as iv
+    import pyspark_retention_pipeline_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(59)
+    n, d = 70, sim._EMB_DIMS
+    x = rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(iv, "load_table", lambda *_: emb)
+
+    order = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    nrm = np.linalg.norm(x, axis=1)
+    cells = order[: iv.N_CELLS]  # cell id = 1-based rank
+    def cell_scores(vi):
+        return [
+            (
+                -round(float(x[vi] @ x[c]) / (nrm[vi] * nrm[c]), 6),
+                cid + 1,
+            )
+            for cid, c in enumerate(cells)
+        ]
+    assign = {
+        vi: min(cell_scores(vi))[1] for vi in range(n)
+    }
+    probes = {
+        qi: [cid for _, cid in sorted(cell_scores(qi))[: iv.N_PROBE]]
+        for qi in range(sim.N_QUERIES)
+    }
+
+    pq_cents = x[order[: sim.PQ_K]]
+    sub = sim.PQ_SUB
+    recon = np.empty_like(x)
+    for vi in range(n):
+        for m in range(sim.PQ_M):
+            qd2 = []
+            for c in range(sim.PQ_K):
+                d2 = 0.0
+                for j in range(sub):
+                    diff = x[vi, m * sub + j] - pq_cents[c, m * sub + j]
+                    d2 += diff * diff
+                qd2.append(int(np.floor(d2 * 1_000_000 + 0.5)))
+            best = min(range(sim.PQ_K), key=lambda c: (qd2[c], c))
+            recon[vi, m * sub : (m + 1) * sub] = pq_cents[
+                best, m * sub : (m + 1) * sub
+            ]
+
+    n_cand = 0
+    want = []
+    per_q_sets = {}
+    for qi in range(sim.N_QUERIES):
+        cand = [
+            i for i in range(n) if i != qi and assign[i] in probes[qi]
+        ]
+        n_cand += len(cand)
+        ranked_pq = sorted(
+            cand, key=lambda i: (-round(float(x[qi] @ recon[i]), 6), i)
+        )
+        others = [i for i in range(n) if i != qi]
+        ranked_ex = sorted(
+            others, key=lambda i: (-round(float(x[qi] @ x[i]), 6), i)
+        )
+        per_q_sets[qi] = (ranked_ex, ranked_pq)
+    for k in sim.QKNN_TOPKS:
+        matched = sum(
+            len(set(ex[:k]) & set(pq[:k])) for ex, pq in per_q_sets.values()
+        )
+        n_exact = sum(len(ex[:k]) for ex, _ in per_q_sets.values())
+        want.append((k, matched, n_exact, matched / n_exact, n_cand))
+
+    got = sorted(iv.ivf_pq_recall(spark, "x").collect(), key=lambda r: r.topk)
+    assert [
+        (r.topk, r.n_matched, r.n_exact, r.recall, r.n_candidates) for r in got
+    ] == want
