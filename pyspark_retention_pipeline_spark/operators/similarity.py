@@ -1492,3 +1492,92 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         (F.col("n_matched") / F.col("n_exact")).alias("recall"),
     )
+
+
+# --- hard-negative mining for contrastive training -------------------------
+# DPR/SimCSE-style: for each query vector, the top-HN_K nearest CROSS-LABEL
+# neighbors under a near-duplicate ceiling — close enough to be hard,
+# different class so they are true negatives, and not so close that they
+# are likely mislabeled duplicates (the false-negative filter public
+# contrastive-training recipes apply before mining).
+HN_K = 5
+HN_TAU = 0.99
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH xn AS MATERIALIZED (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.vec_id AS neighbor_id, c.label AS n_label,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM xn q JOIN xn c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, q_label, neighbor_id, n_label, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs WHERE cosine < {HN_TAU}
+    ) WHERE rn <= {HN_K}
+    """,
+    tags=("similarity", "contrastive", "training-data"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per query
+    (the standard {N_QUERIES}-vector workload) the top-{HN_K} most-similar
+    vectors with a DIFFERENT label and cosine below the {HN_TAU}
+    near-duplicate ceiling — the negatives that actually move a
+    contrastive loss (random negatives are trivially separable; same-label
+    or near-duplicate ones are false negatives). The mined
+    (query, negative) pairs feed the training-data pipeline alongside the
+    dedup/curation tiers.
+
+    Shape at 100 TB: the exact broadcast-query scan of ``knn_bruteforce``
+    with the label predicate and the duplicate ceiling pushed into the
+    pair stream BEFORE the per-query window, so the rank exchange carries
+    only surviving cross-label pairs; the corpus is scanned once, never
+    corpus × corpus. At deployment the exact scan swaps for the banded/IVF
+    candidate generators (``embedding_ann_top1`` / ``ivf_knn``) with the
+    same post-filters — the scorecards for that swap are
+    ``ann_recall_report`` / ``ivf_probe_recall``. Ranking follows the
+    rounded-cosine + neighbor-id convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xn = e.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = xn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        xn.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("q_label") != F.col("label"))
+        )
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < HN_TAU)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .select("query_id", "q_label", "neighbor_id", "n_label", "cosine")
+    )

@@ -1724,3 +1724,134 @@ def simhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.alias("n_common"),
         F.round(inter / union.cast("double"), 6).alias("jaccard"),
     )
+
+
+# --- BM25 retrieval scorecard ----------------------------------------------
+# Okapi BM25 (Robertson/Lucene form) over the corpus with a deterministic
+# in-corpus query workload: the token sets of the first BM25_QUERIES
+# documents. k1/b are the standard defaults; per-(term, doc) contributions
+# quantize to BIGINT micro-units BEFORE the per-doc sum (the LP_SCALE rule
+# — a float sum's fold order moves across partitions and engines).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES = 3
+BM25_TOP_K = 10
+_BM25_SCALE = 1_000_000
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tfc AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY doc_id
+    ), dfc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY token
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), q AS (
+      SELECT doc_id AS query_id, token FROM tfc
+      WHERE doc_id < {BM25_QUERIES}
+    ), contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(ROUND(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * ({BM25_K1} + 1))
+               / (t.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+               * {_BM25_SCALE}) AS BIGINT) AS qc
+      FROM tfc t
+           JOIN q ON q.token = t.token
+           JOIN dfc d ON d.token = t.token
+           JOIN dl l ON l.doc_id = t.doc_id
+           CROSS JOIN stats s
+    ), scores AS (
+      SELECT query_id, doc_id, CAST(SUM(qc) AS BIGINT) AS s
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id,
+           ROUND(s / {_BM25_SCALE}.0, 6) AS bm25
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id) AS rn
+      FROM scores
+    ) WHERE rn <= {BM25_TOP_K}
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOP_K} retrieval for a deterministic in-corpus
+    query workload (the token sets of docs 0..{BM25_QUERIES}-1) — the
+    lexical-retrieval operator a curation pipeline uses for
+    dedup-by-retrieval, eval-set contamination probes, and RAG source
+    selection. IDF is the Lucene/Robertson form
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` with k1={BM25_K1}, b={BM25_B}.
+
+    Shape at 100 TB: ONE token pass into the pinned (doc, token, tf)
+    aggregate — the same frame answers document frequency (per-token row
+    count), document length (per-doc tf sum), the corpus stats, AND the
+    query-term slice (the ``tfidf_top_terms`` single-scan discipline).
+    The query side is a broadcast ≤|q|·vocab sliver; df is vocab-sized and
+    broadcast; the dl join is doc-grain equi left to AQE; only documents
+    CONTAINING a query term enter scoring (absent terms contribute 0 by
+    construction, never materialized). Cross-engine exactness: each
+    (term, doc) contribution is one arithmetic expression evaluated
+    identically on both engines and quantized to a BIGINT micro-unit
+    BEFORE the per-doc sum (integer fold — order-free); ranking is on the
+    integer score with doc-id tie-break. The ln's 1-ulp engine gap can
+    flip a quantized contribution only when contrib·10⁶ sits within that
+    ulp of a half-integer — the accepted LP_SCALE-family trade."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tfc = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # df + dl + stats + queries + scoring
+    )
+    dl = tfc.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfc = tfc.groupBy("token").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    q = tfc.filter(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tfc.join(F.broadcast(q), "token")
+        .join(F.broadcast(dfc), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tf_part * _BM25_SCALE).cast("long").alias("qc"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("qc").cast("long").alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("s") / float(_BM25_SCALE), 6).alias("bm25"),
+        )
+    )

@@ -99,13 +99,15 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
         "ml_churn_metrics",
         "ml_threshold_from_scores",
         "kmeans_lloyd_curve",  # bounded driver loop; builds run jobs
-        # knn_bruteforce / ann_recall_report / media_embed_knn broadcast
-        # their query side — a literal-bounded slice of embeddings /
-        # documents (<=10 / <=200 / <=8 rows; the broadcast-the-queries ANN
-        # pattern). Bounded by a Filter, which the inspector can't prove.
+        # knn_bruteforce / ann_recall_report / media_embed_knn /
+        # hard_negative_mining broadcast their query side — a
+        # literal-bounded slice of embeddings / documents (<=10 / <=200 /
+        # <=8 / <=10 rows; the broadcast-the-queries ANN pattern). Bounded
+        # by a Filter, which the inspector can't prove.
         "knn_bruteforce",
         "ann_recall_report",
         "media_embed_knn",
+        "hard_negative_mining",
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -579,6 +581,11 @@ CROSS_JOIN_EXEMPT = {
     # one corpus scan; the IVF-PQ side itself is a cell-grain equi-join
     # (and its codebook crossJoins broadcast 1-row aggregates)
     "ivf_pq_recall",
+    # hard_negative_mining is the same broadcast-query scan with the
+    # cross-label and near-dup-ceiling predicates pushed into the pair
+    # stream — its only conditions are NOT(query_id = vec_id) and
+    # NOT(q_label = label); the corpus side is scanned once
+    "hard_negative_mining",
     # ann_recall_report's exact side is the same broadcast-query shape with
     # a vec_id < 200 literal slice (ANN_EVAL_QUERIES); the banded side is
     # embedding_ann_top1's bounded bucket pipeline

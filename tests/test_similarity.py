@@ -897,3 +897,48 @@ def test_ivf_pq_recall_matches_numpy_reference(spark, monkeypatch):
     assert [
         (r.topk, r.n_matched, r.n_exact, r.recall, r.n_candidates) for r in got
     ] == want
+
+
+def test_hard_negative_mining_invariants(spark, monkeypatch):
+    """Planted contract: mined negatives are always cross-label, never the
+    query itself, never above the near-dup ceiling (a planted same-label
+    twin AND a planted cross-label near-duplicate must both be excluded),
+    and per query they are exactly the top-HN_K cross-label cosines."""
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(71)
+    n, d = 40, 16
+    x = rng.normal(size=(n, d))
+    labels = [i % 4 for i in range(n)]
+    x[20] = x[0] * 1.001  # cross-label near-duplicate of query 0 ...
+    labels[20] = 1        # ... different label, cosine ~1 → ceiling excludes
+    x[24] = x[0] + rng.normal(size=d) * 0.001
+    labels[24] = 0        # same-label twin → label filter excludes
+    emb = spark.createDataFrame(
+        [
+            (i, [float(v) for v in x[i]], labels[i])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    out = sim.hard_negative_mining(spark, "x").collect()
+    by_q = {}
+    for r in out:
+        assert r.q_label != r.n_label
+        assert r.neighbor_id != r.query_id
+        assert r.cosine < sim.HN_TAU
+        by_q.setdefault(r.query_id, []).append(r)
+    q0 = {r.neighbor_id for r in by_q[0]}
+    assert 20 not in q0 and 24 not in q0
+    # exact top-HN_K reference for query 0
+    nx = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = {i: round(float(nx[0] @ nx[i]), 6) for i in range(1, n)}
+    ref = sorted(
+        (i for i in cos if labels[i] != labels[0] and cos[i] < sim.HN_TAU),
+        key=lambda i: (-cos[i], i),
+    )[: sim.HN_K]
+    got = [r.neighbor_id for r in sorted(by_q[0], key=lambda r: (-r.cosine, r.neighbor_id))]
+    assert got == ref

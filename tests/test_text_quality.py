@@ -406,3 +406,76 @@ def test_bigram_logprob_properties(spark, sf_dir):
         assert r.n_bigrams == ntok[r.doc_id] - 1
     # every >=2-token doc is scored
     assert len(rows) == sum(1 for n in ntok.values() if n >= 2)
+
+
+def test_bm25_topk_planted_semantics(spark, monkeypatch):
+    """BM25 invariants on a planted corpus: self-retrieval (the query doc
+    ranks first — it contains every query term), docs with no query term
+    never appear, tf saturates (k1 bound: 10× the term ≠ 10× the score),
+    and length normalization prefers the shorter doc at equal tf. Checked
+    against a pure-python replication of the exact scoring (same IDF form,
+    same micro-unit quantization before the sum)."""
+    import math
+
+    import pyspark_retention_pipeline_spark.operators.text as tx
+
+    rows = [
+        (0, "apple banana cherry"),  # the query doc (BM25_QUERIES = 3 → ids 0-2)
+        (1, "k0 k1 k2 k3"),
+        (2, "m0 m1 m2"),
+        (5, "apple apple apple apple apple"),
+        (6, "apple " + " ".join(f"z{i}" for i in range(29))),
+        (7, "banana banana"),
+        (8, " ".join(f"f{i}" for i in range(10))),  # no query-term overlap
+        (9, " ".join(f"g{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    out = tx.bm25_topk(spark, "x").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.doc_id, r.bm25))
+
+    # python replication
+    toks = {d: t.split(" ") for d, t in rows}
+    tf = {d: {} for d in toks}
+    for d, t in toks.items():
+        for w in t:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    n = len(toks)
+    df = {}
+    for d in toks:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    avgdl = sum(len(t) for t in toks.values()) / n
+    want = {}
+    for qid in (0, 1, 2):
+        scores = {}
+        for d in toks:
+            s = 0
+            for w in tf[qid]:
+                t = tf[d].get(w, 0)
+                if t == 0:
+                    continue
+                idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                c = idf * (t * (tx.BM25_K1 + 1)) / (
+                    t
+                    + tx.BM25_K1
+                    * (1 - tx.BM25_B + tx.BM25_B * len(toks[d]) / avgdl)
+                )
+                s += int(math.floor(c * 1_000_000 + 0.5))
+            if s or tf[d].keys() & tf[qid].keys():
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[qid] = [
+            (d, round(s / 1_000_000, 6)) for d, s in ranked[: tx.BM25_TOP_K]
+        ]
+    assert got == want
+
+    q0 = dict(got[0])
+    assert got[0][0][0] == 0  # self-retrieval: doc 0 tops its own query
+    assert 8 not in q0 and 9 not in q0  # no-overlap docs never scored
+    # tf saturation: doc 5 (apple ×5, short) beats doc 6 (apple ×1, long)
+    # but by far less than 5× on the apple term alone
+    assert q0[5] > q0[6]
+    assert q0[5] < 5 * q0[6]
