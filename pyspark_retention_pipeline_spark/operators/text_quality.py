@@ -540,3 +540,120 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP)
         .select("w1", "w2", "c2", F.round("pmi", 6).alias("pmi"))
     )
+
+
+# Absolute-discount constant for interpolated Kneser-Ney (the standard
+# fixed D; a production KenLM estimates D from count-of-count statistics —
+# same plan shape, different constant).
+KN_D = 0.75
+
+
+@query(
+    "kneser_ney_bigram_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[s.i + 1] AS w1, t[s.i + 2] AS w2
+      FROM tok, UNNEST(range(0, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 2
+    ), c2 AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS nf
+      FROM c2 GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c2 GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM c2
+    ), lp AS (
+      SELECT c2.w1, c2.w2,
+             CAST(ROUND(ln((c2 - {KN_D}) / c1
+                           + ({KN_D} * nf / c1) * (nb / nbb))
+                        * {LP_SCALE}) AS BIGINT) AS lp
+      FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ), doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS s
+      FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(ROUND(s / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+             / {LP_SCALE}.0 AS avg_kn_logprob
+    FROM doc
+    """,
+    tags=("text-quality", "language-model", "perplexity", "kneser-ney"),
+)
+def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document — the smoothing
+    real KenLM-class quality filters use, one rung past
+    :func:`bigram_logprob_score`'s raw MLE:
+    ``P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) + D·N₁₊(w₁,·)/c(w₁·) · P_cont(w₂)``
+    with ``P_cont(w₂) = N₁₊(·,w₂)/N₁₊(··)`` and fixed ``D = {KN_D}``
+    (Kneser & Ney 1995). The continuation term is the part MLE cannot
+    see: a token that follows MANY distinct contexts keeps probability in
+    novel contexts, while a token welded to one collocation partner
+    (the "Francisco" effect) is discounted — so word salads assembled
+    from common-but-unrelated tokens score lower than under MLE even when
+    every bigram is corpus-attested.
+
+    Shape at 100 TB (the ``bigram_logprob_score`` discipline): one bigram
+    explode reused for LM counts and the per-doc probe; the pinned
+    (w₁, w₂, c) table derives ALL four statistics — context totals AND
+    distinct-continuation counts per w₁ in one aggregate, continuation
+    counts per w₂, and the 1-row bigram-type total — no second corpus
+    pass; every LM join is vocab²-sized (Zipf-bounded) and left to AQE.
+    Per-bigram ln(p) quantizes to BIGINT before the per-doc sum (LP_SCALE
+    rule); the inner arithmetic is one expression evaluated with
+    identical association on both engines. Self-scored corpus ⇒ every
+    probed bigram has c ≥ 1 > D, so the discounted term is never
+    clamped and no unseen-bigram branch is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = _bigram_frame(d)
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint(eager=False)  # ctx + cont + tot + lp join
+    )
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("nf"),
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").cast("long").alias("nb"))
+    tot = c2.agg(F.count("*").cast("long").alias("nbb"))
+    p = (F.col("c2") - KN_D) / F.col("c1") + (
+        KN_D * F.col("nf") / F.col("c1")
+    ) * (F.col("nb") / F.col("nbb"))
+    lp = (
+        c2.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p) * LP_SCALE).cast("long").alias("lp"),
+        )
+    )
+    doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("long").alias("s"),
+        )
+    )
+    # Final average rounds in INTEGER µunit space — ROUND(s/n) on a
+    # bit-identical double, then an exact division — not the decimal
+    # ROUND(s/10⁶/n, 6): the µunit sum for one sf0.1 document landed the
+    # 6th decimal exactly on .5 and the two engines' decimal rounding of
+    # that non-dyadic boundary disagreed by one ulp (round-13 diagnosis:
+    # all 931 per-bigram lp values identical, only the final round split).
+    return doc.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.round(F.col("s") / F.col("n_bigrams").cast("double")).cast("long")
+            / float(LP_SCALE)
+        ).alias("avg_kn_logprob"),
+    )

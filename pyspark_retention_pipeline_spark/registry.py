@@ -50,23 +50,25 @@ _REGISTRY: dict[str, Query] = {}
 # script's output. Round-13 composition: the changed tier seats
 # media_embed_knn (explicit F.broadcast pin on its bounded query side —
 # round-12 verdict item 6, a plan change); the never-verified tier seats
-# the FIVE round-13 additions in registration order (bm25_topk — Okapi
-# BM25 retrieval — crossdoc_span_rewrite_maximal — the variable-length
-# multi-k-cascade ExactSubstr rewrite — pq_adc_recall — the
-# product-quantization asymmetric-distance retrieval scorecard —
+# the SIX round-13 additions in registration order (bm25_topk — Okapi
+# BM25 retrieval — kneser_ney_bigram_score — the interpolated-KN
+# smoothed LM score — crossdoc_span_rewrite_maximal — the
+# variable-length multi-k-cascade ExactSubstr rewrite — pq_adc_recall —
+# the product-quantization asymmetric-distance retrieval scorecard —
 # hard_negative_mining — contrastive cross-label negatives — and
 # ivf_pq_recall — the composed IVF-PQ end-to-end scorecard); then the
-# flagship and 43 stalest-green backfill seats — the nine-name r7-tier
+# flagship and 42 stalest-green backfill seats — the nine-name r7-tier
 # remainder (round 12's DEFERRED_TO_R13: top_session_paths …
-# winsorized_spend_stats) and 34 of the 45-name r8 tier in (round,
-# name) order from ab_conversion_ztest through retention_decay_fit
-# (the last eleven r8 names defer to round 14), moving the staleness
+# winsorized_spend_stats) and 33 of the 45-name r8 tier in (round,
+# name) order from ab_conversion_ztest through rare_token_rate
+# (the last twelve r8 names defer to round 14), moving the staleness
 # floor to r8.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
     "media_embed_knn",
     "bm25_topk",
+    "kneser_ney_bigram_score",
     "crossdoc_span_rewrite_maximal",
     "pq_adc_recall",
     "hard_negative_mining",
@@ -114,7 +116,6 @@ _FRONT: tuple[str, ...] = (
     "psi_price_drift",
     "quality_zscore_by_lang",
     "rare_token_rate",
-    "retention_decay_fit",
 )
 
 

@@ -479,3 +479,86 @@ def test_bm25_topk_planted_semantics(spark, monkeypatch):
     # but by far less than 5× on the apple term alone
     assert q0[5] > q0[6]
     assert q0[5] < 5 * q0[6]
+
+
+def test_kneser_ney_bigram_score_matches_python_and_sees_continuations(
+    spark, monkeypatch
+):
+    """Exact python replication of the interpolated-KN scoring on a planted
+    corpus, plus the property MLE cannot express: with every per-bigram MLE
+    count equal, the doc whose continuation word follows MANY distinct
+    contexts outscores the doc whose continuation word is welded to one
+    context (the 'Francisco' effect)."""
+    import math
+
+    rows = [
+        # 'common' follows five distinct contexts (one bigram each);
+        # 'rareco' follows only 'y0'. All eight probe bigrams have c2 = 1.
+        (0, "a0 common a1 common a2 common a3 common a4 common"),
+        (1, "y0 rareco y1 y2"),
+        (2, "x0 common"),  # probe: continuation-rich w2
+        (3, "y0 rareco"),  # probe: continuation-poor w2 (same c2, c1 shape)
+        (4, "x0 common"),  # duplicate keeps c(x0 common)=c(y0 rareco)=2... 
+    ]
+    # make c1 and c2 of the two probe bigrams IDENTICAL: add a second
+    # (y0 rareco) occurrence so both are c2=2 with c1(x0)=2, c1(y0)=2
+    rows.append((5, "y0 rareco"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import pyspark_retention_pipeline_spark.operators.text_quality as tqmod
+
+    monkeypatch.setattr(tqmod, "load_table", lambda *_: docs)
+    out = {
+        r["doc_id"]: r
+        for r in tqmod.kneser_ney_bigram_score(spark, "x").collect()
+    }
+
+    # python replication (identical quantization)
+    toks = {d: t.split(" ") for d, t in rows}
+    bgs = {}
+    for d, t in toks.items():
+        for i in range(len(t) - 1):
+            bgs[(t[i], t[i + 1])] = bgs.get((t[i], t[i + 1]), 0) + 1
+    c1, nf, nb = {}, {}, {}
+    for (w1, w2), c in bgs.items():
+        c1[w1] = c1.get(w1, 0) + c
+        nf[w1] = nf.get(w1, 0) + 1
+        nb[w2] = nb.get(w2, 0) + 1
+    nbb = len(bgs)
+    D = tqmod.KN_D
+    lp = {
+        k: int(
+            math.floor(
+                math.log(
+                    (c - D) / c1[k[0]] + (D * nf[k[0]] / c1[k[0]]) * (nb[k[1]] / nbb)
+                )
+                * tqmod.LP_SCALE
+                + 0.5
+            )
+        )
+        if math.log(
+            (c - D) / c1[k[0]] + (D * nf[k[0]] / c1[k[0]]) * (nb[k[1]] / nbb)
+        )
+        >= 0
+        else -int(
+            math.floor(
+                -math.log(
+                    (c - D) / c1[k[0]] + (D * nf[k[0]] / c1[k[0]]) * (nb[k[1]] / nbb)
+                )
+                * tqmod.LP_SCALE
+                + 0.5
+            )
+        )
+        for k, c in bgs.items()
+    }
+    for d, t in toks.items():
+        if len(t) < 2:
+            continue
+        probes = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        s = sum(lp[p] for p in probes)
+        assert out[d]["n_bigrams"] == len(probes)
+        # integer µunit-space rounding (half away from zero), then exact /10⁶
+        q = s / len(probes)
+        q = math.floor(q + 0.5) if q >= 0 else -math.floor(-q + 0.5)
+        assert out[d]["avg_kn_logprob"] == q / tqmod.LP_SCALE
+    # the continuation effect: identical c2/c1 shapes, different N1+(·,w2)
+    assert out[2]["avg_kn_logprob"] > out[3]["avg_kn_logprob"]
