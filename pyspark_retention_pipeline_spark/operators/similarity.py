@@ -1581,3 +1581,245 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HN_K)
         .select("query_id", "q_label", "neighbor_id", "n_label", "cosine")
     )
+
+
+# --- MMR diverse reranking --------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily rerank a
+# bounded candidate list so each pick balances relevance to the query
+# against redundancy with what is already picked — the standard diversity
+# stage after any retrieval tier (BM25 / ANN / IVF-PQ above) and the
+# text-retrieval twin of kcenter_coreset's farthest-point selection.
+MMR_CAND = 12  # candidate pool per query (top-C by cosine)
+MMR_PICKS = 5
+# λ = 0.7 as the integer pair (7, 3): all MMR arithmetic stays in exact
+# BIGINT micro-units — su = 7·rel_u − 3·max_sim_u — because decimal
+# rounding of a DERIVED double is the weakest cross-engine link (the
+# kneser_ney final-round lesson, round 13).
+MMR_LAMBDA_NUM = 7
+MMR_DIV_NUM = 3
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"""xn AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ), cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel_u FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS rel_u,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                                * 1000000) DESC, c.vec_id) AS rn
+        FROM xn q JOIN xn c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {MMR_CAND}
+    ), sims AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+             CAST(ROUND(list_dot_product(x1.v, x2.v) / (x1.nrm * x2.nrm)
+                        * 1000000) AS BIGINT) AS sim_u
+      FROM cand a JOIN cand b
+             ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+           JOIN xn x1 ON x1.vec_id = a.neighbor_id
+           JOIN xn x2 ON x2.vec_id = b.neighbor_id
+    ), p1 AS (
+      SELECT query_id, neighbor_id,
+             CAST({MMR_LAMBDA_NUM} AS BIGINT) * rel_u AS su,
+             1 AS pick_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel_u DESC, neighbor_id)
+                        AS rn FROM cand)
+      WHERE rn = 1
+    )"""
+    ]
+    prev_union = "SELECT query_id, neighbor_id FROM p1"
+    for r in range(2, MMR_PICKS + 1):
+        parts.append(
+            f"""picked{r} AS (
+      {prev_union}
+    ), p{r} AS (
+      SELECT query_id, neighbor_id, su, {r} AS pick_rank FROM (
+        SELECT c.query_id, c.neighbor_id,
+               {MMR_LAMBDA_NUM} * c.rel_u - {MMR_DIV_NUM} * MAX(s.sim_u)
+                 AS su,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {MMR_LAMBDA_NUM} * c.rel_u
+                          - {MMR_DIV_NUM} * MAX(s.sim_u) DESC,
+                          c.neighbor_id) AS rn
+        FROM cand c
+             JOIN picked{r} p ON p.query_id = c.query_id
+             JOIN sims s ON s.query_id = c.query_id
+                        AND s.na = c.neighbor_id
+                        AND s.nb = p.neighbor_id
+             LEFT JOIN picked{r} px ON px.query_id = c.query_id
+                                   AND px.neighbor_id = c.neighbor_id
+        WHERE px.neighbor_id IS NULL
+        GROUP BY c.query_id, c.neighbor_id, c.rel_u
+      ) WHERE rn = 1
+    )"""
+        )
+        prev_union += f"\n      UNION ALL SELECT query_id, neighbor_id FROM p{r}"
+    finals = "\n      UNION ALL ".join(
+        f"SELECT query_id, pick_rank, neighbor_id, su FROM p{r}"
+        for r in range(1, MMR_PICKS + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, CAST(pick_rank AS INT) AS pick_rank, neighbor_id,
+           su / 10000000.0 AS mmr_score
+    FROM ({finals})
+"""
+    )
+
+
+@query(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "retrieval", "diversity", "mmr"),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse rerank: for each standard query, greedily pick
+    {MMR_PICKS} of the top-{MMR_CAND} cosine candidates maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-picked`` (λ = 0.7) — the
+    diversity stage a retrieval/data-selection pipeline runs after any of
+    the tiers above (BM25, banded ANN, IVF-PQ), and the retrieval twin of
+    :func:`~.ivf.kcenter_coreset`'s farthest-point selection (pure
+    diversity = λ→0; pure relevance = λ→1).
+
+    Shape at 100 TB: the candidate pool bounds everything — after the one
+    broadcast-query corpus scan (the ``knn_bruteforce`` shape) the frames
+    are ≤ queries×{MMR_CAND} rows and the {MMR_PICKS}-round greedy unroll
+    is window/join work on those slivers; nothing downstream of the pool
+    touches corpus grain. Exactness: relevance and pairwise similarity
+    quantize ONCE to cosine micro-units (BIGINT), and every MMR score is
+    the exact integer ``7·rel_u − 3·max_sim_u`` — ranked and emitted
+    (÷10⁷) without ever decimal-rounding a derived double (the
+    kneser_ney round-13 lesson); ties break on neighbor_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xn = (
+        e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)  # query slice + corpus + sim lookups
+    )
+    q = xn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel_u = (
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")) * 1_000_000
+        )
+        .cast("long")
+        .alias("rel_u")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_u"), F.asc("neighbor_id")
+    )
+    cand = (
+        xn.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), rel_u)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # pool: sims + every greedy round
+    )
+    x1 = xn.select(
+        F.col("vec_id").alias("na"), F.col("v").alias("va"), F.col("nrm").alias("nrma")
+    )
+    x2 = xn.select(
+        F.col("vec_id").alias("nb"), F.col("v").alias("vb"), F.col("nrm").alias("nrmb")
+    )
+    sims = (
+        cand.select("query_id", F.col("neighbor_id").alias("na"))
+        .join(
+            cand.select(
+                F.col("query_id").alias("qb"), F.col("neighbor_id").alias("nb")
+            ),
+            (F.col("query_id") == F.col("qb")) & (F.col("na") != F.col("nb")),
+        )
+        .drop("qb")
+        .join(x1, "na")
+        .join(x2, "nb")
+        .select(
+            "query_id",
+            "na",
+            "nb",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("nrma") * F.col("nrmb"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_u"),
+        )
+        .localCheckpoint(eager=False)  # reused every greedy round
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_u"), F.asc("neighbor_id")
+    )
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(MMR_LAMBDA_NUM).cast("long") * F.col("rel_u")).alias("su"),
+            F.lit(1).alias("pick_rank"),
+        )
+    )
+    out = picked
+    for r in range(2, MMR_PICKS + 1):
+        prev = out.select("query_id", "neighbor_id")
+        remaining = cand.join(prev, ["query_id", "neighbor_id"], "left_anti")
+        # join the remaining pool against the picked set's pairwise sims
+        # (na = candidate, nb = picked) and keep the worst-case redundancy
+        scored = (
+            remaining.alias("c")
+            .join(
+                prev.select(
+                    F.col("query_id").alias("pq"),
+                    F.col("neighbor_id").alias("pn"),
+                ),
+                F.col("c.query_id") == F.col("pq"),
+            )
+            .join(
+                sims.alias("s"),
+                (F.col("s.query_id") == F.col("c.query_id"))
+                & (F.col("s.na") == F.col("c.neighbor_id"))
+                & (F.col("s.nb") == F.col("pn")),
+            )
+            .groupBy("c.query_id", "c.neighbor_id", "c.rel_u")
+            .agg(F.max("s.sim_u").alias("max_sim_u"))
+            .select(
+                F.col("query_id"),
+                F.col("neighbor_id"),
+                (
+                    F.lit(MMR_LAMBDA_NUM).cast("long") * F.col("rel_u")
+                    - F.lit(MMR_DIV_NUM).cast("long") * F.col("max_sim_u")
+                ).alias("su"),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("su"), F.asc("neighbor_id")
+        )
+        pick_r = (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "neighbor_id", "su", F.lit(r).alias("pick_rank")
+            )
+        )
+        out = out.unionByName(pick_r)
+    return out.select(
+        "query_id",
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+        "neighbor_id",
+        (F.col("su") / 10_000_000.0).alias("mmr_score"),
+    )

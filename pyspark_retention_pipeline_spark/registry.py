@@ -50,19 +50,19 @@ _REGISTRY: dict[str, Query] = {}
 # script's output. Round-13 composition: the changed tier seats
 # media_embed_knn (explicit F.broadcast pin on its bounded query side —
 # round-12 verdict item 6, a plan change); the never-verified tier seats
-# the SIX round-13 additions in registration order (bm25_topk — Okapi
+# the SEVEN round-13 additions in registration order (bm25_topk — Okapi
 # BM25 retrieval — kneser_ney_bigram_score — the interpolated-KN
 # smoothed LM score — crossdoc_span_rewrite_maximal — the
 # variable-length multi-k-cascade ExactSubstr rewrite — pq_adc_recall —
 # the product-quantization asymmetric-distance retrieval scorecard —
-# hard_negative_mining — contrastive cross-label negatives — and
-# ivf_pq_recall — the composed IVF-PQ end-to-end scorecard); then the
-# flagship and 42 stalest-green backfill seats — the nine-name r7-tier
-# remainder (round 12's DEFERRED_TO_R13: top_session_paths …
-# winsorized_spend_stats) and 33 of the 45-name r8 tier in (round,
-# name) order from ab_conversion_ztest through rare_token_rate
-# (the last twelve r8 names defer to round 14), moving the staleness
-# floor to r8.
+# hard_negative_mining — contrastive cross-label negatives —
+# mmr_rerank — MMR diverse reranking — and ivf_pq_recall — the composed
+# IVF-PQ end-to-end scorecard); then the flagship and 41 stalest-green
+# backfill seats — the nine-name r7-tier remainder (round 12's
+# DEFERRED_TO_R13: top_session_paths … winsorized_spend_stats) and 32
+# of the 45-name r8 tier in (round, name) order from ab_conversion_ztest
+# through quality_zscore_by_lang (the last thirteen r8 names defer to
+# round 14), moving the staleness floor to r8.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
@@ -72,6 +72,7 @@ _FRONT: tuple[str, ...] = (
     "crossdoc_span_rewrite_maximal",
     "pq_adc_recall",
     "hard_negative_mining",
+    "mmr_rerank",
     "ivf_pq_recall",
     "churn_features",
     "top_session_paths",
@@ -115,7 +116,6 @@ _FRONT: tuple[str, ...] = (
     "pipe_sql_revenue_flow",
     "psi_price_drift",
     "quality_zscore_by_lang",
-    "rare_token_rate",
 )
 
 

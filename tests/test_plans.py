@@ -586,6 +586,11 @@ CROSS_JOIN_EXEMPT = {
     # stream — its only conditions are NOT(query_id = vec_id) and
     # NOT(q_label = label); the corpus side is scanned once
     "hard_negative_mining",
+    # mmr_rerank's candidate pool is the same broadcast-query scan
+    # (NOT(query_id = vec_id) the only condition); everything downstream
+    # of the ≤ N_QUERIES×MMR_CAND pool is sliver-sized, and its
+    # within-query sims join carries the query_id equi-key
+    "mmr_rerank",
     # ann_recall_report's exact side is the same broadcast-query shape with
     # a vec_id < 200 literal slice (ANN_EVAL_QUERIES); the banded side is
     # embedding_ann_top1's bounded bucket pipeline

@@ -16,7 +16,7 @@ never-verified backlog — EMPTY at rotation time (round 12 seated all
 thirteen of its additions and every one came back hash-green), so it
 holds exactly the round-13 additions; (c) the flagship; (d)
 stalest-green backfill: the nine-name r7-tier remainder (round 12's
-DEFERRED_TO_R13) and 33 of the 45-name r8 tier — the last twelve r8
+DEFERRED_TO_R13) and 32 of the 45-name r8 tier — the last thirteen r8
 names defer to round 14, moving the staleness floor to r8.
 """
 
@@ -48,6 +48,7 @@ BACKLOG_R13: set[str] = {
     "crossdoc_span_rewrite_maximal",  # new in round 13 (multi-k cascade)
     "pq_adc_recall",  # new in round 13 (PQ-ADC retrieval scorecard)
     "hard_negative_mining",  # new in round 13 (contrastive negatives)
+    "mmr_rerank",  # new in round 13 (MMR diverse reranking)
     "ivf_pq_recall",  # new in round 13 (composed IVF-PQ scorecard)
 }
 
@@ -55,13 +56,14 @@ BACKLOG_R13: set[str] = {
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 14: the changed-tier and
-# never-verified seats leave 42 backfill seats, absorbing the whole
-# nine-name r7 remainder plus 33 of the 45-name r8 tier; the last
-# twelve r8 names in (round, name) order lead the round-14 pool — the boundary
+# never-verified seats leave 41 backfill seats, absorbing the whole
+# nine-name r7 remainder plus 32 of the 45-name r8 tier; the last
+# thirteen r8 names in (round, name) order lead the round-14 pool — the boundary
 # test below checks they (and the head of the r9 tier) stay outside
 # this round's window.
 DEFERRED_TO_R14 = {
-    "retention_decay_fit",  # r8 tail past rare_token_rate
+    "rare_token_rate",  # r8 tail past quality_zscore_by_lang
+    "retention_decay_fit",  # r8 tail
     "simhash_candidates",  # r8 tail
     "simhash_jaccard_verify",  # r8 tail
     "source_overlap_matrix",  # r8 tail

@@ -942,3 +942,82 @@ def test_hard_negative_mining_invariants(spark, monkeypatch):
     )[: sim.HN_K]
     got = [r.neighbor_id for r in sorted(by_q[0], key=lambda r: (-r.cosine, r.neighbor_id))]
     assert got == ref
+
+
+def test_mmr_rerank_prefers_diversity_and_matches_reference(spark, monkeypatch):
+    """MMR contract on a planted pool: query 0 points at the centroid of
+    three ORTHOGONAL clusters, with the u-cluster nudged to top relevance —
+    plain top-3 cosine picks only u-members, while MMR's first three picks
+    span all three clusters. The full pick sequence must also equal a
+    pure-python greedy replication of the exact integer scoring."""
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(83)
+    d = 16
+    basis = np.linalg.qr(rng.normal(size=(d, 3)))[0].T  # u, w, z orthonormal
+    u, w, z = basis
+    q0 = (u + w + z) / np.sqrt(3)
+    vecs = {}
+    for qid in range(sim.N_QUERIES):
+        vecs[qid] = rng.normal(size=d) if qid else q0
+    for i in range(4):  # the swept clique: top relevance, mutually ~identical
+        vecs[100 + i] = u + 0.05 * q0 + rng.normal(size=d) * 0.005
+    for i in range(3):
+        vecs[200 + i] = w + rng.normal(size=d) * 0.005
+        vecs[210 + i] = z + rng.normal(size=d) * 0.005
+    for i in range(300, 330):  # irrelevant filler
+        vecs[i] = rng.normal(size=d)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    out = sorted(
+        sim.mmr_rerank(spark, "x").collect(),
+        key=lambda r: (r.query_id, r.pick_rank),
+    )
+
+    # python greedy replication (identical integer scoring)
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    nrm = np.linalg.norm(mat, axis=1)
+    idx = {v: k for k, v in enumerate(ids)}
+
+    def cos_u(a, b):
+        return round(
+            float(mat[idx[a]] @ mat[idx[b]]) / (nrm[idx[a]] * nrm[idx[b]]) * 1e6
+        )
+
+    want = []
+    for qid in range(sim.N_QUERIES):
+        others = [i for i in ids if i != qid]
+        pool = sorted(others, key=lambda i: (-cos_u(qid, i), i))[: sim.MMR_CAND]
+        rel = {i: cos_u(qid, i) for i in pool}
+        picked = [max(pool, key=lambda i: (rel[i], -i))]
+        sus = [7 * rel[picked[0]]]
+        while len(picked) < sim.MMR_PICKS:
+            rem = [i for i in pool if i not in picked]
+            su = {i: 7 * rel[i] - 3 * max(cos_u(i, p) for p in picked) for i in rem}
+            nxt = max(rem, key=lambda i: (su[i], -i))
+            picked.append(nxt)
+            sus.append(su[nxt])
+        for rank, (i, s) in enumerate(zip(picked, sus), 1):
+            want.append((qid, rank, i, s / 1e7))
+    assert [
+        (r.query_id, r.pick_rank, r.neighbor_id, r.mmr_score) for r in out
+    ] == want
+
+    # diversity property on query 0
+    clusters = {
+        **{100 + i: "u" for i in range(4)},
+        **{200 + i: "w" for i in range(3)},
+        **{210 + i: "z" for i in range(3)},
+    }
+    plain3 = sorted(
+        (i for i in ids if i != 0), key=lambda i: (-cos_u(0, i), i)
+    )[:3]
+    assert {clusters.get(i) for i in plain3} == {"u"}  # top-k sweeps the clique
+    first3 = [r.neighbor_id for r in out if r.query_id == 0][:3]
+    assert {clusters.get(i) for i in first3} == {"u", "w", "z"}
