@@ -82,6 +82,12 @@ def _prepare(features: DataFrame, feature_cols: list[str]) -> DataFrame:
     # count — harmless at the churn tier's 8 features, a multi-second
     # plan-build cliff at the quality classifier's 256 (round 13).
     fc = set(feature_cols)
+    missing = fc - set(features.columns)
+    if missing:
+        # Fail fast on a typoed feature name (round-13 ADVICE: the old
+        # withColumn loop raised immediately; the select silently skipped,
+        # deferring to a less clear Imputer missing-column error).
+        raise ValueError(f"feature columns not in frame: {sorted(missing)}")
     casted = features.select(
         *[
             F.col(c).cast("double").alias(c) if c in fc else F.col(c)

@@ -616,8 +616,13 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`part_cooccurrence`'s raw counts that turns them into a
     recommendation signal. The basket side reuses the one-shuffle in-row
     pair generation (never the oracle's double lineitem self-join); item
-    supports come from the same per-order grain, are vocabulary-sized, and
-    broadcast onto the pair frame; the order total is a broadcast scalar.
+    supports come from the same per-order grain. The support joins carry
+    NO broadcast hint: the support frame is PART-GRAIN — it scales with
+    the corpus (TPC-H part is SF·200k rows; the round-14 guard sweep
+    flagged the old forced broadcast as the same 100-TB failure class as
+    bm25's vocab-grain df side) — so AQE picks broadcast only when the
+    runtime size allows, and the equi-keys (p1/p2) let it shuffle-join
+    otherwise. Only the 1-row order total is hint-broadcast.
     Every metric derives from exact BIGINT counts via float DIVISIONS
     formed before any product — (n_pair/n1)·(n_orders/n2), each factor
     bounded by n — so no integer product can overflow at any corpus size,
@@ -657,8 +662,8 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
     i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
     out = (
-        pair_counts.join(F.broadcast(i1), "p1")
-        .join(F.broadcast(i2), "p2")
+        pair_counts.join(i1, "p1")
+        .join(i2, "p2")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "p1",

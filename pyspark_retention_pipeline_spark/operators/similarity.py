@@ -1816,7 +1816,13 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id", "neighbor_id", "su", F.lit(r).alias("pick_rank")
             )
         )
-        out = out.unionByName(pick_r)
+        # Pin each round's union: pick_r's plan embeds `out` twice (the
+        # anti-join AND the picked-set join), so an unpinned unroll doubles
+        # the plan per round — ~2^MMR_PICKS duplication, measured as the
+        # 361-shuffle census outlier vs single digits for every sibling
+        # (round-13 ADVICE item 3). Pinned, round r reads round r-1's rows
+        # once and the unroll is linear in plan size.
+        out = out.unionByName(pick_r).localCheckpoint(eager=False)
     return out.select(
         "query_id",
         F.col("pick_rank").cast("int").alias("pick_rank"),

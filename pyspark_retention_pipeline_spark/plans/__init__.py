@@ -1,6 +1,7 @@
 """Physical-plan inspection helpers (scale hygiene checks)."""
 
 from .inspect import (
+    BOUNDED_GRAIN_KEYS,
     SCALING_TABLES,
     explain_str,
     forced_broadcast_tables,
@@ -9,11 +10,13 @@ from .inspect import (
     scan_columns,
     shuffle_count,
     unbounded_cross_joins,
+    unbounded_hinted_broadcasts,
     unbounded_global_sorts,
     unpartitioned_corpus_windows,
 )
 
 __all__ = [
+    "BOUNDED_GRAIN_KEYS",
     "SCALING_TABLES",
     "explain_str",
     "forced_broadcast_tables",
@@ -22,6 +25,7 @@ __all__ = [
     "scan_columns",
     "shuffle_count",
     "unbounded_cross_joins",
+    "unbounded_hinted_broadcasts",
     "unbounded_global_sorts",
     "unpartitioned_corpus_windows",
 ]

@@ -14,10 +14,13 @@ Rotation policy (docs/ROUND8_ROTATION.md, unchanged since round 5):
 1. **Plan-change rule** — every query whose implementation changed this
    round MUST be seated (declared in the round config; not derivable from
    artifacts).
-2. **Never-driver-verified backlog** — oracle-backed queries with no green
-   driver row in ANY ``CORRECTNESS_r0*.json``, stalest-registered first
-   (registration order is the stable mechanical proxy for age; rows-only
-   ops re-seat only on change, rule 1).
+2. **Never-driver-verified backlog** — queries with no green driver row in
+   ANY ``CORRECTNESS_r0*.json``, stalest-registered first (registration
+   order is the stable mechanical proxy for age). Rows-only registrations
+   are seated here too — ONCE, for their rows-only driver record (round-13
+   ADVICE: the old oracle-only tier left quality_classifier_scores with no
+   driver row ever, the round-5 failure mode the rotation exists to
+   prevent); after that first record they re-seat only on change (rule 1).
 3. **Flagship continuity** — ``churn_features`` every round.
 4. **Backfill** — remaining slots take oracle-backed queries with the
    OLDEST green driver row, ``(last_green_round, name)`` ascending.
@@ -49,14 +52,16 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 13
+ROUND = 14
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 13: media_embed_knn gained the explicit
-# F.broadcast pin on its bounded query side (round-12 verdict item 6 —
-# the BNLJ physical choice is now hint-determined, a plan change). New
-# queries enter via the never-verified tier automatically and do NOT
-# belong here.
-CHANGED: tuple[str, ...] = ("media_embed_knn",)
+# listed in change order. Round 14: bm25_topk (vocab-grain df semi-joined
+# to the query-token sliver before any broadcast + oracle-association
+# byte-match — round-13 verdict item 1 / ADVICE item 1), basket_lift
+# (part-grain support broadcast hints dropped, found by the new
+# boundedness sweep), mmr_rerank (per-round localCheckpoint pin — ADVICE
+# item 3, 361→0 census shuffles). New queries enter via the
+# never-verified tier automatically and do NOT belong here.
+CHANGED: tuple[str, ...] = ("bm25_topk", "basket_lift", "mmr_rerank")
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()
@@ -119,9 +124,11 @@ def derive_front() -> list[str]:
                 "plan-changed queries MUST be seatable"
             )
         seat(name)
-    # 2. Never-driver-verified, oracle-backed, registration order.
+    # 2. Never-driver-verified, registration order. Rows-only registrations
+    # seat here ONCE for their rows-only driver record (round-13 ADVICE);
+    # thereafter only rule 1 re-seats them — backfill stays oracle-backed.
     for name in registered:
-        if name not in last and name in oracle_backed:
+        if name not in last:
             seat(name)
     # 3. Flagship.
     seat(FLAGSHIP)
