@@ -1138,16 +1138,27 @@ def ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_oracle() -> str:
-    from .similarity import PQ_K, PQ_M, PQ_SUB, QKNN_TOPKS
+    from .similarity import _EMB_DIMS, PQ_K, PQ_M, PQ_SUB, QKNN_TOPKS
 
     cases = ",\n             ".join(
-        f"SUM(CASE WHEN rne <= {k} AND rnq <= {k} THEN 1 ELSE 0 END) AS m{k},\n"
+        f"SUM(CASE WHEN rne <= {k} AND rnq_raw <= {k} THEN 1 ELSE 0 END)"
+        f" AS mr{k},\n"
+        f"             SUM(CASE WHEN rne <= {k} AND rnq_res <= {k} THEN 1"
+        f" ELSE 0 END) AS ms{k},\n"
         f"             SUM(CASE WHEN rne <= {k} THEN 1 ELSE 0 END) AS e{k}"
         for k in QKNN_TOPKS
     )
     union = "\n      UNION ALL ".join(
-        f"SELECT {k} AS topk, m{k} AS n_matched, e{k} AS n_exact FROM agg"
-        for k in QKNN_TOPKS
+        [
+            f"SELECT 'pq_raw' AS variant, {k} AS topk,"
+            f" mr{k} AS n_matched, e{k} AS n_exact FROM agg"
+            for k in QKNN_TOPKS
+        ]
+        + [
+            f"SELECT 'pq_residual' AS variant, {k} AS topk,"
+            f" ms{k} AS n_matched, e{k} AS n_exact FROM agg"
+            for k in QKNN_TOPKS
+        ]
     )
     return (
         _IVF_BASE_CTES
@@ -1176,6 +1187,59 @@ def _ivf_pq_oracle() -> str:
                AS r
       FROM pq_assign a JOIN pqcb c USING (cid)
       GROUP BY a.vec_id
+    ), cdim AS (
+      -- per-(cell, dim) member sums in integer micro-units: a double SUM's
+      -- fold order moves across partitions and engines (the LP_SCALE rule),
+      -- an integer SUM is order-free — so the recentred centroid is
+      -- bit-identical on both engines.
+      SELECT a.cell, d.i,
+             SUM(CAST(ROUND(1000000 * a.v[d.i]) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS nm
+      FROM assign a, UNNEST(range(1, {_EMB_DIMS} + 1)) AS d(i)
+      GROUP BY a.cell, d.i
+    ), cmean AS MATERIALIZED (
+      -- recentred cell centroid = member mean (the one-Lloyd-step coarse
+      -- quantizer FAISS IVFADC trains; the md5 codebook only seeds the
+      -- assignment)
+      SELECT cell,
+             list(CAST(s AS DOUBLE) / nm / 1000000.0 ORDER BY i) AS mv
+      FROM cdim GROUP BY cell
+    ), res AS MATERIALIZED (
+      -- residual vs the recentred centroid (true IVFADC: the PQ codebook
+      -- trains and encodes on residuals, not raw vectors)
+      SELECT a.vec_id, a.cell, m.mv,
+             [a.v[i] - m.mv[i] FOR i IN range(1, {_EMB_DIMS} + 1)] AS r
+      FROM assign a JOIN cmean m USING (cell)
+    ), rqcb AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS cid, r AS cv
+      FROM (SELECT vec_id, r FROM res
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})
+    ), rq_assign AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT a.vec_id, mm.m, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id, mm.m
+                 ORDER BY CAST(ROUND(1000000 * list_dot_product(
+                     [a.r[mm.m * {PQ_SUB} + i] - c.cv[mm.m * {PQ_SUB} + i]
+                      FOR i IN range(1, {PQ_SUB} + 1)],
+                     [a.r[mm.m * {PQ_SUB} + i] - c.cv[mm.m * {PQ_SUB} + i]
+                      FOR i IN range(1, {PQ_SUB} + 1)])) AS BIGINT),
+                   c.cid) AS rn
+        FROM res a, UNNEST(range(0, {PQ_M})) AS mm(m), rqcb c
+      ) WHERE rn = 1
+    ), rrecon AS MATERIALIZED (
+      SELECT a.vec_id,
+             flatten(list(list_slice(c.cv, a.m * {PQ_SUB} + 1,
+                                     (a.m + 1) * {PQ_SUB}) ORDER BY a.m))
+               AS rr
+      FROM rq_assign a JOIN rqcb c USING (cid)
+      GROUP BY a.vec_id
+    ), rfull AS MATERIALIZED (
+      SELECT s.vec_id,
+             [s.mv[i] + rc.rr[i] FOR i IN range(1, {_EMB_DIMS} + 1)]
+               AS recon
+      FROM rrecon rc JOIN res s ON s.vec_id = rc.vec_id
     ), probed AS (
       SELECT vec_id AS query_id, v AS qv, cell FROM (
         SELECT n.vec_id, n.v, code.cell,
@@ -1188,14 +1252,20 @@ def _ivf_pq_oracle() -> str:
       WHERE rn <= {N_PROBE}
     ), cand AS MATERIALIZED (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             ROUND(list_dot_product(p.qv, r.r), 6) AS adc
+             ROUND(list_dot_product(p.qv, r.r), 6) AS adc_raw,
+             ROUND(list_dot_product(p.qv, rf.recon), 6) AS adc_res
       FROM probed p
            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
            JOIN recon r ON r.vec_id = a.vec_id
+           JOIN rfull rf ON rf.vec_id = a.vec_id
     ), cd AS (
       SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adc DESC, neighbor_id) AS rnq
+                                ORDER BY adc_raw DESC, neighbor_id)
+               AS rnq_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_res DESC, neighbor_id)
+               AS rnq_res
       FROM cand
     ), ex AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1208,13 +1278,13 @@ def _ivf_pq_oracle() -> str:
     ), nc AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand
     ), joined AS (
-      SELECT e2.rne, c2.rnq
+      SELECT e2.rne, c2.rnq_raw, c2.rnq_res
       FROM ex e2 LEFT JOIN cd c2 USING (query_id, neighbor_id)
     ), agg AS (
       SELECT {cases}
       FROM joined
     )
-    SELECT topk, CAST(n_matched AS BIGINT) AS n_matched,
+    SELECT variant, topk, CAST(n_matched AS BIGINT) AS n_matched,
            CAST(n_exact AS BIGINT) AS n_exact,
            n_matched / n_exact AS recall,
            n_candidates
@@ -1233,13 +1303,20 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed index — IVF cell pruning (top-{N_PROBE} of {N_CELLS} cells per
     query) with PQ asymmetric-distance ranking inside the probed cells —
     against exact full-double max-inner-product search, plus the total
-    candidate volume the pruning admitted. This is the memory layout
-    production ANN actually deploys at 10⁹+ vectors (cell id + {PQ_M}
-    uint4 codes per vector ≈ 64× smaller than the floats): ``ivf_knn``
-    grades the pruning with exact distances, ``pq_adc_recall`` grades the
-    quantization with no pruning; this grades what a user gets when both
-    approximations stack — always ≤ either parent's recall, with
-    n_candidates quantifying the scan saving that buys.
+    candidate volume the pruning admitted, for BOTH PQ encodings side by
+    side: ``pq_raw`` (codebook trained/encoded on raw vectors) and
+    ``pq_residual`` (FAISS-standard IVFADC: trained/encoded on the
+    residual vs the assigned cell centroid, reconstruction = centroid +
+    decoded residual — round-13 verdict item 3; residuals concentrate
+    around 0 so the same code budget spends its resolution where the
+    in-cell variation actually lives, which is what a deployed composed
+    index uses). This is the memory layout production ANN actually
+    deploys at 10⁹+ vectors (cell id + {PQ_M} uint4 codes per vector ≈
+    64× smaller than the floats): ``ivf_knn`` grades the pruning with
+    exact distances, ``pq_adc_recall`` grades the quantization with no
+    pruning; this grades what a user gets when the approximations stack
+    — always ≤ either parent's recall, with n_candidates quantifying the
+    scan saving that buys.
 
     Shape at 100 TB: both codebooks are one-row broadcast arrays; cell
     assignment AND the PQ reconstruction are in-row folds over them —
@@ -1291,13 +1368,81 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    # PQ side: per-subspace argmin over the broadcast codebook, quantized-
-    # BIGINT distances (the pq_adc_recall fold), reconstruction in-row
-    def _sub_qd2(cv, m):
+    # Cell assignment FIRST (both variants need it; the residual variant
+    # recentres each cell on its member mean).
+    based = withcb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        "pqcb",
+        scored_col.alias("scored"),
+        (-F.array_max("scored")["negcell"]).cast("int").alias("cell"),
+    ).localCheckpoint(eager=False)  # mean aggregate + residual join
+    # Recentred cell centroid = member mean (the one-Lloyd-step coarse
+    # quantizer FAISS IVFADC trains — the md5 codebook only seeds the
+    # assignment; a SAMPLED vector as "centroid" makes residuals BIGGER
+    # than the vectors on isotropic data, measured recall 0). Per-dim sums
+    # in integer micro-units: a double SUM's fold order moves across
+    # partitions and engines (the LP_SCALE rule), an integer SUM is
+    # order-free, so the mean is bit-identical on both engines. The
+    # (cell, dim) aggregate is N_CELLS×dims rows — map-side combined,
+    # shuffle-free at any corpus size; the mean join back is cell-grain
+    # equi with a 16-row side, left to AQE.
+    dim_sums = (
+        based.select("cell", F.posexplode("v").alias("i", "comp"))
+        .groupBy("cell", "i")
+        .agg(
+            F.sum(F.round(F.col("comp") * 1_000_000).cast("long")).alias("s"),
+            F.count("*").alias("nm"),
+        )
+    )
+    means = dim_sums.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s", "nm"))),
+            lambda t: t["s"].cast("double") / t["nm"] / 1_000_000.0,
+        ).alias("mv")
+    )
+    # residual vs the recentred centroid — the true-IVFADC encode input;
+    # pinned because it feeds BOTH the residual codebook and the encode.
+    staged2 = (
+        based.join(means, "cell")
+        .select(
+            "*", F.zip_with("v", "mv", lambda a, b: a - b).alias("res")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # Residual PQ codebook: the SAME md5-deterministic selection as pqcb,
+    # but over the residuals (FAISS-standard IVFADC trains sub-quantizers
+    # on residuals — round-13 verdict item 3).
+    rqcb = (
+        staged2.select(md5k.alias("k"), "vec_id", "res")
+        .orderBy("k", "vec_id")
+        .limit(PQ_K)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("k", "vec_id", F.col("res").alias("cv"))
+                    )
+                ),
+                lambda s, i: F.struct(
+                    (i + 1).cast("int").alias("cid"), s["cv"].alias("cv")
+                ),
+            ).alias("rqcb")
+        )
+    )
+    enc = staged2.crossJoin(F.broadcast(rqcb))
+
+    # PQ side: per-subspace argmin over a broadcast codebook, quantized-
+    # BIGINT distances (the pq_adc_recall fold), reconstruction in-row —
+    # parameterized over (source vector, codebook) so the raw and residual
+    # variants share one implementation.
+    def _sub_qd2(src, cv, m):
         diffs = F.transform(
             F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
             lambda i: (
-                F.get(F.col("v"), m * PQ_SUB + i) - F.get(cv, m * PQ_SUB + i)
+                F.get(F.col(src), m * PQ_SUB + i) - F.get(cv, m * PQ_SUB + i)
             ),
         )
         d2 = F.aggregate(
@@ -1307,34 +1452,44 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.round(d2 * 1_000_000).cast("long")
 
-    def _best_slice(m):
+    def _best_slice(src, book, m):
         best = F.array_min(
             F.transform(
-                F.col("pqcb"),
+                F.col(book),
                 lambda c: F.struct(
-                    _sub_qd2(c["cv"], m).alias("qd2"), c["cid"].alias("cid")
+                    _sub_qd2(src, c["cv"], m).alias("qd2"), c["cid"].alias("cid")
                 ),
             )
         )
         return F.slice(
-            F.element_at(F.col("pqcb"), best["cid"])["cv"],
+            F.element_at(F.col(book), best["cid"])["cv"],
             m * PQ_SUB + 1,
             F.lit(PQ_SUB),
         )
 
-    recon = F.flatten(
+    recon_raw = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)), lambda m: _best_slice(m)
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: _best_slice("v", "pqcb", m),
         )
     )
-    scored = withcb.select(
-        "vec_id", "v", "nrm", scored_col.alias("scored"), recon.alias("r")
+    recon_res = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: _best_slice("res", "rqcb", m),
+        )
     )
-    assigned = scored.select(
+    scored = enc.select(
         "vec_id",
-        "r",
-        (-F.array_max("scored")["negcell"]).cast("int").alias("cell"),
+        "v",
+        "nrm",
+        "scored",
+        "cell",
+        recon_raw.alias("r"),
+        # residual variant reconstructs recentred centroid + decoded residual
+        F.zip_with("mv", recon_res, lambda a, b: a + b).alias("rv"),
     )
+    assigned = scored.select("vec_id", "cell", "r", "rv")
     probed = (
         scored.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -1354,15 +1509,22 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qv"), F.col("r")), 6).alias("adc"),
+            F.round(dot(F.col("qv"), F.col("r")), 6).alias("adc_raw"),
+            F.round(dot(F.col("qv"), F.col("rv")), 6).alias("adc_res"),
         )
         .localCheckpoint(eager=False)  # ranked side + candidate count
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("adc"), F.asc("neighbor_id")
+    w_raw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_raw"), F.asc("neighbor_id")
+    )
+    w_res = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_res"), F.asc("neighbor_id")
     )
     cd = cand.select(
-        "query_id", "neighbor_id", F.row_number().over(wq).alias("rnq")
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_raw).alias("rnq_raw"),
+        F.row_number().over(w_res).alias("rnq_res"),
     )
     qf = staged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1385,22 +1547,35 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in QKNN_TOPKS:
         cases.append(
             F.sum(
-                F.when((F.col("rne") <= k) & (F.col("rnq") <= k), 1).otherwise(0)
-            ).alias(f"m{k}")
+                F.when(
+                    (F.col("rne") <= k) & (F.col("rnq_raw") <= k), 1
+                ).otherwise(0)
+            ).alias(f"mr{k}")
+        )
+        cases.append(
+            F.sum(
+                F.when(
+                    (F.col("rne") <= k) & (F.col("rnq_res") <= k), 1
+                ).otherwise(0)
+            ).alias(f"ms{k}")
         )
         cases.append(
             F.sum(F.when(F.col("rne") <= k, 1).otherwise(0)).alias(f"e{k}")
         )
     agg = joined.agg(*cases)
     nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-    stack_args = ", ".join(f"{k}, m{k}, e{k}" for k in QKNN_TOPKS)
+    stack_args = ", ".join(
+        [f"'pq_raw', {k}, mr{k}, e{k}" for k in QKNN_TOPKS]
+        + [f"'pq_residual', {k}, ms{k}, e{k}" for k in QKNN_TOPKS]
+    )
     return (
         agg.selectExpr(
-            f"stack({len(QKNN_TOPKS)}, {stack_args})"
-            " AS (topk, n_matched, n_exact)"
+            f"stack({2 * len(QKNN_TOPKS)}, {stack_args})"
+            " AS (variant, topk, n_matched, n_exact)"
         )
         .crossJoin(F.broadcast(nc))
         .select(
+            "variant",
             F.col("topk").cast("int").alias("topk"),
             F.col("n_matched").cast("long").alias("n_matched"),
             F.col("n_exact").cast("long").alias("n_exact"),

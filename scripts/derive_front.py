@@ -61,7 +61,14 @@ ROUND = 14
 # boundedness sweep), mmr_rerank (per-round localCheckpoint pin — ADVICE
 # item 3, 361→0 census shuffles). New queries enter via the
 # never-verified tier automatically and do NOT belong here.
-CHANGED: tuple[str, ...] = ("bm25_topk", "basket_lift", "mmr_rerank")
+CHANGED: tuple[str, ...] = (
+    "bm25_topk",
+    "basket_lift",
+    "mmr_rerank",
+    # ivf_pq_recall grew the pq_residual variant (true IVFADC, recentred
+    # micro-unit-exact cell means) — schema + plan change.
+    "ivf_pq_recall",
+)
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.
 EXCLUDE: tuple[str, ...] = ()
