@@ -1726,6 +1726,82 @@ def simhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_edit_verify",
+    oracle=f"""
+    WITH {{sigs}}
+    SELECT p.doc_id_a, p.doc_id_b, p.hamming,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           CAST(ROUND((GREATEST(length(da.text), length(db.text))
+                       - levenshtein(da.text, db.text)) * 1000000.0
+                      / GREATEST(length(da.text), length(db.text)))
+                AS BIGINT) / 1000000.0 AS edit_sim
+    FROM simhash_pairs p
+    JOIN documents da ON p.doc_id_a = da.doc_id
+    JOIN documents db ON p.doc_id_b = db.doc_id
+    """.replace(
+        "{sigs}", simhash_sigs_cte(f"WHERE doc_id % {_VERIFY_SLICE_MOD} = 0")
+    ),
+    tags=("dedup-neardup", "edit-distance", "verification"),
+)
+def neardup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level VERIFY rung for banded near-dup candidates — every
+    SimHash candidate pair re-scored with its exact full-text Levenshtein
+    distance and normalized edit similarity
+    ``(maxlen − lev) / maxlen`` (the RefinedWeb/Gopher discipline for
+    short documents, where token-set Jaccard saturates: a one-character
+    typo and a re-worded sentence can share the same token set, and only
+    the character-level measure separates them). Round-13 verdict item 4.
+    Completes the dedup ladder: banding proposes
+    (:func:`simhash_candidates`), token sets verify
+    (:func:`simhash_jaccard_verify`), characters confirm (this).
+
+    Scale shape: the O(len²) DP runs ONLY on the LSH-reduced pair set —
+    never all pairs — and the two doc_id joins re-attach text to that
+    reduced frame (identical plan shape to the Jaccard verify). The exact
+    quadratic baseline for the measure is
+    :func:`prefix_edit_distance_pairs` (doc_id-bounded); this operator is
+    its candidate-driven scale path. Cross-engine exactness: lev and the
+    lengths are exact integers; the similarity is ONE division quantized
+    to a BIGINT micro-unit at the INTEGER boundary (dyadic — both engines
+    round half away from zero identically), then exactly divided back
+    (the LP_SCALE rule; never ROUND(x, 6) of a derived double, the
+    round-13 kneser-ney lesson). Parity workload: the deterministic
+    ``doc_id % {_VERIFY_SLICE_MOD} = 0`` slice, same rationale as
+    :func:`simhash_jaccard_verify` — the oracle's banding-independent
+    all-pairs re-derivation is quadratic by design; the Spark plan is
+    identical in shape to the full-corpus form."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _VERIFY_SLICE_MOD == 0
+    )
+    texts = d.select("doc_id", "text")
+    pairs = simhash_candidate_frame(d)
+    j = (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("text").alias("ta")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("text").alias("tb")
+            ),
+            "doc_id_b",
+        )
+    )
+    lev = F.levenshtein("ta", "tb").cast("long")
+    maxlen = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    sim_u = F.round((maxlen - lev) * F.lit(1_000_000.0) / maxlen).cast("long")
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        "hamming",
+        lev.alias("edit_dist"),
+        (sim_u / F.lit(1_000_000.0)).alias("edit_sim"),
+    )
+
+
 # --- BM25 retrieval scorecard ----------------------------------------------
 # Okapi BM25 (Robertson/Lucene form) over the corpus with a deterministic
 # in-corpus query workload: the token sets of the first BM25_QUERIES

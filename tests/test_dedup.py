@@ -572,3 +572,55 @@ def test_kcore_rounds_matches_python_reference(spark, monkeypatch):
     assert [(r.iteration, r.n_nodes, r.n_edges) for r in got] == want
     # the clique is a 2-core: the curve must stabilize at 3 nodes/3 edges
     assert got[-1].n_nodes == 3 and got[-1].n_edges == 3
+
+
+def test_neardup_edit_verify_planted(spark, monkeypatch):
+    """Planted contract for the character-level verify rung: an exact dup
+    pair scores edit 0 / sim 1.0, a one-word near-miss scores the python
+    DP's exact distance with the micro-unit-quantized similarity, unrelated
+    docs never pair, and the doc_id % 3 parity slice excludes off-slice
+    twins. The one-word edit also demonstrates what Jaccard can't see
+    being seen here: token-set measures ignore ordering/characters; the
+    edit measure is positive for the near-miss while its band signature
+    still collides."""
+    import pyspark_retention_pipeline_spark.operators.text as tx
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+        + " ".join(f"pad{k}" for k in range(40))
+    )
+    near = base.replace("sigma", "sigmb")
+    rows = [
+        (0, base),
+        (3, base),           # exact dup, on-slice
+        (6, near),           # near-miss, on-slice
+        (4, base),           # exact dup but OFF the %3 slice — must not pair
+        (9, "filler " + " ".join(f"w{j}" for j in range(60))),
+    ]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.edit_dist, r.edit_sim)
+        for r in tx.neardup_edit_verify(spark, "x").collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    assert got[(0, 3)] == (0, 1.0)
+    d = lev(base, near)
+    assert d == 1  # one substituted character
+    ml = max(len(base), len(near))
+    sim = round((ml - d) * 1_000_000.0 / ml) / 1_000_000.0
+    assert got[(0, 6)] == (d, sim) and got[(3, 6)] == (d, sim)
+    assert 0.0 < sim < 1.0
+    assert not any(9 in p or 4 in p for p in got)
