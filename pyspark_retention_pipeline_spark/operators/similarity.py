@@ -1599,7 +1599,10 @@ MMR_LAMBDA_NUM = 7
 MMR_DIV_NUM = 3
 
 
-def _mmr_oracle() -> str:
+def _mmr_cte_parts() -> tuple[list[str], str]:
+    """The MMR greedy-unroll CTE chain (shared by the mmr_rerank oracle and
+    the graded-retrieval scorecard oracle so the two can never drift).
+    Returns (CTE parts, the pick-union SELECT)."""
     parts = [
         f"""xn AS MATERIALIZED (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
@@ -1666,6 +1669,11 @@ def _mmr_oracle() -> str:
         f"SELECT query_id, pick_rank, neighbor_id, su FROM p{r}"
         for r in range(1, MMR_PICKS + 1)
     )
+    return parts, finals
+
+
+def _mmr_oracle() -> str:
+    parts, finals = _mmr_cte_parts()
     return (
         "\n    WITH "
         + ",\n    ".join(parts)
@@ -1829,3 +1837,270 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         (F.col("su") / 10_000_000.0).alias("mmr_score"),
     )
+
+
+# --- Graded retrieval scorecard (MRR@k / nDCG@k) ----------------------------
+# Round-13 verdict item 5: the retrieval tier reported recall@k everywhere;
+# bm25_topk / mmr_rerank get graded rank-position metrics here. Relevance is
+# deterministic and in-corpus: for BM25, self + token-set near-duplicates
+# (Jaccard >= 1/2 decided by the EXACT integer predicate 2*inter >= union —
+# no float ever compared); for MMR, the exact cosine top-GR_MMR_REL set the
+# reranker's pool was built from (so nDCG measures the relevance cost the
+# diversity trade paid). Per-rank gains 1/r and 1/log2(r+1) are IRRATIONAL —
+# summing them in floats is fold-order- and engine-dependent — so both
+# engines read the SAME Python-computed micro-unit integer literals and all
+# aggregation is exact integer arithmetic (the ann_recall_report pattern
+# applied to graded metrics).
+GR_KS = (1, 5)
+GR_MMR_REL = MMR_PICKS
+# near-dup relevance threshold as an exact integer predicate:
+# jaccard >= GR_TAU_NUM/GR_TAU_DEN  <=>  DEN*inter >= NUM*union.
+# 9/10 measured as the discriminative point on the testdata corpus
+# (1-313 relevants/query across SFs; 1/2 swallowed ~85% of the corpus).
+GR_TAU_NUM = 9
+GR_TAU_DEN = 10
+
+
+def _gr_gain_tables() -> tuple[list[int], list[int], list[int]]:
+    import math
+    from itertools import accumulate
+
+    from .text import BM25_TOP_K
+
+    rr = [round(1_000_000 / r) for r in range(1, BM25_TOP_K + 1)]
+    dcg = [round(1_000_000 / math.log2(r + 1)) for r in range(1, BM25_TOP_K + 1)]
+    return rr, dcg, list(accumulate(dcg))
+
+
+def _graded_oracle() -> str:
+    from .text import _BM25_CTES, BM25_QUERIES, BM25_TOP_K
+
+    rr_u, dcg_u, pref_u = _gr_gain_tables()
+    rr = "[" + ", ".join(str(v) for v in rr_u) + "]"
+    dcg = "[" + ", ".join(str(v) for v in dcg_u) + "]"
+    pref = "[" + ", ".join(str(v) for v in pref_u) + "]"
+    parts, finals = _mmr_cte_parts()
+    per_k = []
+    for system, jn, nreln in (("bm25", "bjoin", "bnrel"), ("mmr", "mjoin", "mnrel")):
+        for k in GR_KS:
+            per_k.append(
+                f"""SELECT '{system}' AS system, {k} AS topk, j.query_id, n.n_rel,
+             MAX(CASE WHEN j.rel = 1 AND j.rank <= {k}
+                      THEN list_extract({rr}, j.rank) ELSE 0 END)
+               / 1000000.0 AS mrr,
+             CAST(SUM(CASE WHEN j.rel = 1 AND j.rank <= {k}
+                           THEN list_extract({dcg}, j.rank) ELSE 0 END)
+                  AS DOUBLE)
+               / list_extract({pref}, LEAST({k}, n.n_rel)) AS ndcg
+      FROM {jn} j JOIN {nreln} n USING (query_id)
+      GROUP BY j.query_id, n.n_rel"""
+            )
+    union = "\n      UNION ALL ".join(per_k)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""", {_BM25_CTES}, branked AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS rank
+        FROM scores
+      ) WHERE rank <= {BM25_TOP_K}
+    ), bsz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tfc GROUP BY doc_id
+    ), bint AS (
+      SELECT q.query_id, t.doc_id, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tfc t JOIN q ON q.token = t.token
+      GROUP BY 1, 2
+    ), brel AS (
+      SELECT i.query_id, i.doc_id
+      FROM bint i
+           JOIN bsz sq ON sq.doc_id = i.query_id
+           JOIN bsz sd ON sd.doc_id = i.doc_id
+      WHERE {GR_TAU_DEN} * i.inter >= {GR_TAU_NUM} * (sq.sz + sd.sz - i.inter)
+    ), bnrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM brel GROUP BY 1
+    ), bjoin AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM branked r LEFT JOIN brel b
+        ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+    ), mpicks AS (
+      SELECT query_id, pick_rank AS rank, neighbor_id FROM ({finals})
+    ), mrel AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel_u DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn <= {GR_MMR_REL}
+    ), mnrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM mrel GROUP BY 1
+    ), mjoin AS (
+      SELECT p.query_id, p.rank,
+             CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM mpicks p LEFT JOIN mrel m
+        ON m.query_id = p.query_id AND m.neighbor_id = p.neighbor_id
+    )
+    SELECT system, topk, query_id, n_rel, mrr, ndcg
+    FROM ({union})
+"""
+    )
+
+
+@query(
+    "retrieval_graded_metrics",
+    oracle=_graded_oracle(),
+    tags=("retrieval", "scorecard", "mrr", "ndcg"),
+)
+def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MRR@k / nDCG@k scorecard for the lexical and diversity
+    retrieval tiers (round-13 verdict item 5): grades
+    :func:`~.text.bm25_topk`'s ranking against the deterministic
+    self-+-near-dup relevance set (token-set Jaccard ≥ {GR_TAU_NUM}/{GR_TAU_DEN},
+    decided by the exact integer predicate ``DEN·inter ≥ NUM·union``), and
+    :func:`mmr_rerank`'s pick order against the exact cosine
+    top-{GR_MMR_REL} set its candidate pool ranks first — quantifying the
+    relevance cost of the diversity trade at each cutoff.
+
+    Exactness: per-rank gains (1/r, 1/log2(r+1)) are irrational, so both
+    engines consume the SAME Python-computed micro-unit integer literals;
+    per-query DCG/MRR are exact integer folds, and the only float ops are
+    one division per output cell of identical integer operands (never a
+    decimal ROUND of a derived double — the kneser-ney rule). Output is
+    per (system, topk, query) — no cross-query float mean whose fold
+    order could move.
+
+    Scale shape: both graded rankings are ≤ queries×k rows (bm25_topk and
+    mmr_rerank outputs); the only corpus-grain work is the two relevance
+    passes — the BM25 near-dup pass is ONE extra documents scan joined
+    against the broadcast ≤|q|-token sliver with doc-grain aggregates
+    (the bm25 discipline: the corpus-keyed size frames join WITHOUT
+    broadcast hints, AQE decides), and the MMR relevance pass is the
+    standard bounded broadcast-query scan (the knn_bruteforce shape)."""
+    from .text import BM25_QUERIES, bm25_topk
+
+    rr_u, dcg_u, pref_u = _gr_gain_tables()
+    rr_arr = F.array(*[F.lit(int(v)) for v in rr_u])
+    dcg_arr = F.array(*[F.lit(int(v)) for v in dcg_u])
+    pref_arr = F.array(*[F.lit(int(v)) for v in pref_u])
+
+    # --- BM25 side: ranks from the operator's own output (s/1e6 preserves
+    # the integer-score order), relevance from exact token-set Jaccard.
+    bm = bm25_topk(spark, sf_dir)
+    wb = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    branked = bm.select(
+        "query_id", "doc_id", F.row_number().over(wb).alias("rank")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    ).localCheckpoint(eager=False)  # sizes + query slice + intersection
+    qt = toks.filter(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        toks.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    brel = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("sq")),
+            "query_id",
+        )
+        .join(sizes.select("doc_id", F.col("sz").alias("sd")), "doc_id")
+        .filter(
+            GR_TAU_DEN * F.col("inter")
+            >= GR_TAU_NUM * (F.col("sq") + F.col("sd") - F.col("inter"))
+        )
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=False)  # n_rel + the rank join
+    )
+    bnrel = brel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_rel"))
+    bjoin = branked.join(
+        brel.withColumn("hit", F.lit(1)), ["query_id", "doc_id"], "left"
+    ).select(
+        "query_id", "rank", F.coalesce(F.col("hit"), F.lit(0)).alias("rel")
+    )
+
+    # --- MMR side: picks are already ranked; relevance = exact cosine
+    # top-GR_MMR_REL (the pool's own order, before the diversity trade).
+    mm = mmr_rerank(spark, sf_dir)
+    mpicks = mm.select(
+        "query_id", F.col("pick_rank").alias("rank"), "neighbor_id"
+    )
+    xn = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)  # query slice + corpus side
+    )
+    qe = xn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel_u = (
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")) * 1_000_000
+        )
+        .cast("long")
+        .alias("rel_u")
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_u"), F.asc("neighbor_id")
+    )
+    mrel = (
+        xn.crossJoin(F.broadcast(qe))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), rel_u)
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= GR_MMR_REL)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # n_rel + the rank join
+    )
+    mnrel = mrel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_rel"))
+    mjoin = mpicks.join(
+        mrel.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    ).select(
+        "query_id", "rank", F.coalesce(F.col("hit"), F.lit(0)).alias("rel")
+    )
+
+    def grade(system: str, joined: DataFrame, nrel: DataFrame) -> DataFrame:
+        out = None
+        for k in GR_KS:
+            hit = (F.col("rel") == 1) & (F.col("rank") <= k)
+            perq = (
+                joined.groupBy("query_id")
+                .agg(
+                    F.max(
+                        F.when(hit, F.element_at(rr_arr, F.col("rank"))).otherwise(0)
+                    ).alias("mrr_u"),
+                    F.sum(
+                        F.when(hit, F.element_at(dcg_arr, F.col("rank"))).otherwise(0)
+                    ).alias("dcg_u"),
+                )
+                .join(nrel, "query_id")
+                .select(
+                    F.lit(system).alias("system"),
+                    F.lit(k).cast("int").alias("topk"),
+                    "query_id",
+                    "n_rel",
+                    (F.col("mrr_u") / F.lit(1_000_000.0)).alias("mrr"),
+                    (
+                        F.col("dcg_u").cast("double")
+                        / F.element_at(
+                            pref_arr, F.least(F.lit(k), F.col("n_rel")).cast("int")
+                        )
+                    ).alias("ndcg"),
+                )
+            )
+            out = perq if out is None else out.unionByName(perq)
+        return out
+
+    return grade("bm25", bjoin, bnrel).unionByName(grade("mmr", mjoin, mnrel))

@@ -1815,10 +1815,10 @@ BM25_TOP_K = 10
 _BM25_SCALE = 1_000_000
 
 
-@query(
-    "bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+# The BM25 derivation CTE chain (through integer `scores`), shared by the
+# bm25_topk oracle and the graded-retrieval scorecard oracle
+# (similarity.retrieval_graded_metrics) so the two can never drift.
+_BM25_CTES = f"""tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ), tfc AS MATERIALIZED (
       SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1850,7 +1850,13 @@ _BM25_SCALE = 1_000_000
     ), scores AS (
       SELECT query_id, doc_id, CAST(SUM(qc) AS BIGINT) AS s
       FROM contrib GROUP BY query_id, doc_id
-    )
+    )"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc_id,
            ROUND(s / {_BM25_SCALE}.0, 6) AS bm25
     FROM (

@@ -118,6 +118,15 @@ BROADCAST_BOUNDEDNESS_EXEMPT: dict[str, frozenset[str]] = {
             "Deduplicate[token]>Filter[doc_id]>documents",
         }
     ),
+    # graded scorecard: inherits bm25_topk's query-side slices (it builds
+    # on bm25_topk's frame) plus its own doc_id < BM25_QUERIES token
+    # sliver for the Jaccard relevance pass — all ≤ 3-doc literal slices.
+    "retrieval_graded_metrics": frozenset(
+        {
+            "Filter[doc_id]>documents",
+            "Deduplicate[token]>Filter[doc_id]>documents",
+        }
+    ),
     # Misra-Gries candidate set: ≤ #partitions × (MG_K+1) rows by the
     # sketch's decrement bound (operators/text.py heavy_hitters_frame).
     "heavy_hitter_tokens": frozenset(

@@ -1113,3 +1113,115 @@ def test_mmr_rerank_prefers_diversity_and_matches_reference(spark, monkeypatch):
     assert {clusters.get(i) for i in plain3} == {"u"}  # top-k sweeps the clique
     first3 = [r.neighbor_id for r in out if r.query_id == 0][:3]
     assert {clusters.get(i) for i in first3} == {"u", "w", "z"}
+
+
+def test_retrieval_graded_metrics_matches_python(spark, monkeypatch):
+    """Pure-python replication of the graded scorecard on a planted corpus:
+    relevance sets (integer cross-multiplied Jaccard >= 9/10 for BM25;
+    micro-unit cosine top-GR_MMR_REL for MMR) and the MRR@k / nDCG@k
+    computation (independent gains from math.log2) are recomputed from the
+    raw planted data; the graded RANKINGS are taken from bm25_topk /
+    mmr_rerank, each already pinned by its own replication test. Also pins
+    the invariants: BM25 self-retrieval and MMR's pick-1-is-argmax both
+    force MRR@1 = 1.0."""
+    import math
+
+    import numpy as np
+
+    import pyspark_retention_pipeline_spark.operators.similarity as sim
+    import pyspark_retention_pipeline_spark.operators.text as tx
+
+    base = [f"w{i}" for i in range(40)]
+    docs = [
+        (0, " ".join(base)),
+        (1, " ".join(base[:39] + ["zz"])),          # near-dup of 0 (J=39/41)
+        (2, " ".join(base[:20] + [f"u{i}" for i in range(20)])),  # J=0.5 vs 0
+        (3, " ".join(f"v{i}" for i in range(40))),  # unrelated
+        (4, " ".join(base[:38] + ["y1", "y2"])),    # near-dup of 0 (J=38/42)
+    ]
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(30, sim._EMB_DIMS))
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    emb_df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(emb)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def fake_load(spark_, sf_dir_, name):
+        return docs_df if name == "documents" else emb_df
+
+    monkeypatch.setattr(tx, "load_table", fake_load)
+    monkeypatch.setattr(sim, "load_table", fake_load)
+
+    got = {
+        (r.system, r.topk, r.query_id): (r.n_rel, r.mrr, r.ndcg)
+        for r in sim.retrieval_graded_metrics(spark, "x").collect()
+    }
+
+    # trusted rankings from the operators' own (replication-tested) outputs
+    bm_rows = tx.bm25_topk(spark, "x").collect()
+    bm_ranked = {}
+    for r in sorted(bm_rows, key=lambda r: (r.query_id, -r.bm25, r.doc_id)):
+        bm_ranked.setdefault(r.query_id, []).append(r.doc_id)
+    mm_rows = sim.mmr_rerank(spark, "x").collect()
+    mm_ranked = {}
+    for r in sorted(mm_rows, key=lambda r: (r.query_id, r.pick_rank)):
+        mm_ranked.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    # independent relevance sets
+    tsets = {d: set(t.split(" ")) for d, t in docs}
+    brel = {}
+    for q in range(tx.BM25_QUERIES):
+        rel = set()
+        for d, ts in tsets.items():
+            inter = len(tsets[q] & ts)
+            union = len(tsets[q]) + len(ts) - inter
+            if sim.GR_TAU_DEN * inter >= sim.GR_TAU_NUM * union:
+                rel.add(d)
+        brel[q] = rel
+    nrm = np.linalg.norm(emb, axis=1)
+    mrel = {}
+    for q in range(sim.N_QUERIES):
+        scored = sorted(
+            (
+                (-round(float(emb[q] @ emb[i]) / (nrm[q] * nrm[i]) * 1e6), i)
+                for i in range(len(emb))
+                if i != q
+            ),
+        )
+        mrel[q] = {i for _, i in scored[: sim.GR_MMR_REL]}
+
+    # independent gains
+    rr_u = [round(1_000_000 / r) for r in range(1, tx.BM25_TOP_K + 1)]
+    dcg_u = [
+        round(1_000_000 / math.log2(r + 1)) for r in range(1, tx.BM25_TOP_K + 1)
+    ]
+    pref = [sum(dcg_u[:j]) for j in range(1, tx.BM25_TOP_K + 1)]
+
+    def expect(system, ranked, rels):
+        out = {}
+        for q, lst in ranked.items():
+            rel = rels[q]
+            for k in sim.GR_KS:
+                mrr_u = max(
+                    (rr_u[i] for i, d in enumerate(lst[:k]) if d in rel),
+                    default=0,
+                )
+                dcg = sum(dcg_u[i] for i, d in enumerate(lst[:k]) if d in rel)
+                idcg = pref[min(k, len(rel)) - 1]
+                out[(system, k, q)] = (
+                    len(rel),
+                    mrr_u / 1_000_000.0,
+                    float(dcg) / idcg,
+                )
+        return out
+
+    want = expect("bm25", bm_ranked, brel) | expect("mmr", mm_ranked, mrel)
+    assert got == want
+    # invariant pins
+    for q in range(tx.BM25_QUERIES):
+        assert got[("bm25", 1, q)][1] == 1.0  # self-retrieval
+    for q in range(sim.N_QUERIES):
+        assert got[("mmr", 1, q)][1] == 1.0  # pick 1 = relevance argmax
+    # the planted near-dups (1, 4) are relevant to query 0, doc 2/3 are not
+    assert brel[0] == {0, 1, 4}
