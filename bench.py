@@ -131,6 +131,12 @@ HEADLINE = [
     # Added with bench-line shrink lever 3 (run_spread_med_pct moved
     # local-only) per docs/ROUND13_ROTATION.md.
     "crossdoc_span_rewrite_maximal",
+    # round 14: the character-level Levenshtein verify rung over banded
+    # candidates — the O(len^2) DP on the LSH-reduced pair set is the
+    # dedup ladder's most expensive per-pair stage, so its wall belongs
+    # in the headline watch (lever (a) — regr_names capped at 5 — taken
+    # in the same commit per docs/ROUND14_ROTATION.md).
+    "neardup_edit_verify",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded
@@ -334,12 +340,18 @@ def emit_line(result: dict) -> str:
         # Rebuild the line's compact shape (see the key map above); the
         # input dict is never mutated — the full artifact is dumped to
         # docs/BENCH_LOCAL.json after the line prints.
+        regr_all = sorted(full.get("regressions_gt_1.5x", {}))
         vs = {
             "baseline_round": full.get("baseline_round"),
             "total_ratio": full.get("total_ratio"),
             "nlfl": sorted(full.get("not_like_for_like", {})),
-            "regr_names": sorted(full.get("regressions_gt_1.5x", {})),
+            # Lever (a), round 14: the line carries at most 5 regression
+            # names (ratios are derivable from the two rounds' queries
+            # maps; the full dict always rides docs/BENCH_LOCAL.json).
+            "regr_names": regr_all[:5],
         }
+        if len(regr_all) > 5:
+            vs["regr_capped_at_5"] = True
         line_result["vs_baseline"] = vs
 
     def dump() -> str:
@@ -351,10 +363,6 @@ def emit_line(result: dict) -> str:
     # that); this guarantees the line parses even in pathological rounds.
     if len(line) > budget and vs is not None:
         vs.pop("nlfl", None)
-        line = dump()
-    if len(line) > budget and vs is not None and vs.get("regr_names"):
-        vs["regr_names"] = vs["regr_names"][:10]
-        vs["regr_truncated_to_10"] = True
         line = dump()
     if len(line) > budget:
         # Final resort: the driver contract keys alone always fit.

@@ -1353,7 +1353,7 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pqcb")
         )
     )
-    withcb = staged.crossJoin(F.broadcast(cb)).crossJoin(F.broadcast(pqcb))
+    withcb = staged.crossJoin(F.broadcast(cb))
 
     # IVF side: rounded cosine to every cell centroid, staged as one array
     # (the ivf_knn fold — lexicographic array_max = highest cosine, lowest
@@ -1369,12 +1369,16 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Cell assignment FIRST (both variants need it; the residual variant
-    # recentres each cell on its member mean).
+    # recentres each cell on its member mean). The pinned frames carry NO
+    # codebook columns: a checkpoint MATERIALIZES its rows, and a per-row
+    # copy of the 16×64 pqcb array is ~8 KB/row — ~1.6 GB of checkpoint
+    # storage at the 100× probe's 200k vectors (measured as a 25× wall
+    # regression before this slimming); the one-row codebooks crossJoin in
+    # AFTER the pins, on the streaming side.
     based = withcb.select(
         "vec_id",
         "v",
         "nrm",
-        "pqcb",
         scored_col.alias("scored"),
         (-F.array_max("scored")["negcell"]).cast("int").alias("cell"),
     ).localCheckpoint(eager=False)  # mean aggregate + residual join
@@ -1432,7 +1436,7 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rqcb")
         )
     )
-    enc = staged2.crossJoin(F.broadcast(rqcb))
+    enc = staged2.crossJoin(F.broadcast(pqcb)).crossJoin(F.broadcast(rqcb))
 
     # PQ side: per-subspace argmin over a broadcast codebook, quantized-
     # BIGINT distances (the pq_adc_recall fold), reconstruction in-row —

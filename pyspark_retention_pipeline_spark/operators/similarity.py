@@ -2072,35 +2072,45 @@ def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grade(system: str, joined: DataFrame, nrel: DataFrame) -> DataFrame:
-        out = None
+        # ONE aggregate computes every cutoff's integer folds; the per-k
+        # output rows are cheap selects over the pinned queries-grain
+        # result (unpinned, each k-branch re-embedded the whole aggregate
+        # and the plan carried 2x the shuffles).
+        aggs = []
         for k in GR_KS:
             hit = (F.col("rel") == 1) & (F.col("rank") <= k)
-            perq = (
-                joined.groupBy("query_id")
-                .agg(
-                    F.max(
-                        F.when(hit, F.element_at(rr_arr, F.col("rank"))).otherwise(0)
-                    ).alias("mrr_u"),
-                    F.sum(
-                        F.when(hit, F.element_at(dcg_arr, F.col("rank"))).otherwise(0)
-                    ).alias("dcg_u"),
-                )
-                .join(nrel, "query_id")
-                .select(
-                    F.lit(system).alias("system"),
-                    F.lit(k).cast("int").alias("topk"),
-                    "query_id",
-                    "n_rel",
-                    (F.col("mrr_u") / F.lit(1_000_000.0)).alias("mrr"),
-                    (
-                        F.col("dcg_u").cast("double")
-                        / F.element_at(
-                            pref_arr, F.least(F.lit(k), F.col("n_rel")).cast("int")
-                        )
-                    ).alias("ndcg"),
-                )
+            aggs.append(
+                F.max(
+                    F.when(hit, F.element_at(rr_arr, F.col("rank"))).otherwise(0)
+                ).alias(f"mrr_u_{k}")
             )
-            out = perq if out is None else out.unionByName(perq)
+            aggs.append(
+                F.sum(
+                    F.when(hit, F.element_at(dcg_arr, F.col("rank"))).otherwise(0)
+                ).alias(f"dcg_u_{k}")
+            )
+        perq = (
+            joined.groupBy("query_id")
+            .agg(*aggs)
+            .join(nrel, "query_id")
+            .localCheckpoint(eager=False)  # one row per query; k-branches
+        )
+        out = None
+        for k in GR_KS:
+            sel = perq.select(
+                F.lit(system).alias("system"),
+                F.lit(k).cast("int").alias("topk"),
+                "query_id",
+                "n_rel",
+                (F.col(f"mrr_u_{k}") / F.lit(1_000_000.0)).alias("mrr"),
+                (
+                    F.col(f"dcg_u_{k}").cast("double")
+                    / F.element_at(
+                        pref_arr, F.least(F.lit(k), F.col("n_rel")).cast("int")
+                    )
+                ).alias("ndcg"),
+            )
+            out = sel if out is None else out.unionByName(sel)
         return out
 
     return grade("bm25", bjoin, bnrel).unionByName(grade("mmr", mjoin, mnrel))

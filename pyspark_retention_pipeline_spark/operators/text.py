@@ -1790,6 +1790,17 @@ def neardup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_b",
         )
     )
+    # Spread the DP evenly BEFORE computing it: the joined pair frame is
+    # tiny in BYTES but each row costs O(len²) CPU, so AQE's byte-based
+    # partition coalescing concentrates the whole verify on a few tasks
+    # (measured at 10×: one straggler task carried ~6 of 6.7 min wall).
+    # An explicit round-robin exchange with a pinned partition count (AQE
+    # never coalesces a user-specified numPartitions) restores DP
+    # parallelism for the cost of shuffling (ids + two texts) per
+    # candidate — the classic bytes≠cost mismatch, paid with a cheap
+    # exchange of the reduced pair set, never the corpus.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    j = j.repartition(n_parts)
     lev = F.levenshtein("ta", "tb").cast("long")
     maxlen = F.greatest(F.length("ta"), F.length("tb")).cast("long")
     sim_u = F.round((maxlen - lev) * F.lit(1_000_000.0) / maxlen).cast("long")

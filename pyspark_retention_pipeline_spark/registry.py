@@ -40,82 +40,82 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-13 rotation (docs/ROUND13_ROTATION.md) — GENERATED:
+# Round-14 rotation (docs/ROUND14_ROTATION.md) — GENERATED:
 # ``scripts/derive_front.py`` derives this window mechanically from the
 # committed CORRECTNESS_r*.json driver artifacts (rounds BEFORE the
 # configured one only, so the derivation is stable whenever the current
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-13 composition: the changed tier seats
-# media_embed_knn (explicit F.broadcast pin on its bounded query side —
-# round-12 verdict item 6, a plan change); the never-verified tier seats
-# the SEVEN round-13 additions in registration order (bm25_topk — Okapi
-# BM25 retrieval — kneser_ney_bigram_score — the interpolated-KN
-# smoothed LM score — crossdoc_span_rewrite_maximal — the
-# variable-length multi-k-cascade ExactSubstr rewrite — pq_adc_recall —
-# the product-quantization asymmetric-distance retrieval scorecard —
-# hard_negative_mining — contrastive cross-label negatives —
-# mmr_rerank — MMR diverse reranking — and ivf_pq_recall — the composed
-# IVF-PQ end-to-end scorecard); then the flagship and 41 stalest-green
-# backfill seats — the nine-name r7-tier remainder (round 12's
-# DEFERRED_TO_R13: top_session_paths … winsorized_spend_stats) and 32
-# of the 45-name r8 tier in (round, name) order from ab_conversion_ztest
-# through quality_zscore_by_lang (the last thirteen r8 names defer to
-# round 14), moving the staleness floor to r8.
+# script's output. Round-14 composition: the changed tier seats
+# bm25_topk (vocab-grain df pruned to the query-token sliver before any
+# broadcast + oracle association byte-match), basket_lift (part-grain
+# support broadcast hints dropped), mmr_rerank (per-round checkpoint
+# pin), and ivf_pq_recall (new pq_residual IVFADC variant — schema
+# change); the never-verified tier seats the two round-14 additions
+# (neardup_edit_verify — the character-level Levenshtein verify rung —
+# and retrieval_graded_metrics — the MRR/nDCG scorecard) plus
+# quality_classifier_scores, the ONE name with no driver row ever —
+# rows-only by design (MLlib), seated once for its rows-only record now
+# that the tier accepts rows-only registrations (round-13 ADVICE item
+# 2); then the flagship and 42 stalest-green backfill seats — the
+# thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14:
+# rare_token_rate … zorder_scan_revenue) and 29 of the r9 tier in
+# (round, name) order from acctbal_histogram through recent90_agg,
+# moving the staleness floor to r9.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "media_embed_knn",
     "bm25_topk",
-    "kneser_ney_bigram_score",
-    "crossdoc_span_rewrite_maximal",
-    "pq_adc_recall",
-    "hard_negative_mining",
+    "basket_lift",
     "mmr_rerank",
     "ivf_pq_recall",
+    "neardup_edit_verify",
+    "retrieval_graded_metrics",
+    "quality_classifier_scores",
     "churn_features",
-    "top_session_paths",
-    "udtf_sentence_split",
-    "unigram_logprob_score",
-    "user_type_entropy",
-    "variant_props_histogram",
-    "weekday_hour_heatmap",
-    "weighted_doc_sample",
-    "winnowing_fingerprints",
-    "winsorized_spend_stats",
-    "ab_conversion_ztest",
-    "above_avg_orders",
-    "active_customers_semi",
-    "all_orders_finished",
-    "best_threshold",
-    "bigram_logprob_score",
-    "bootstrap_revenue_ci",
-    "cast_projection",
-    "churned_customers",
-    "class_weights",
-    "cohort_filter",
-    "csv_roundtrip_customers",
-    "curate_corpus",
-    "dependent_funnel",
-    "embedding_outliers",
-    "group_split_leakage_audit",
-    "hapax_rate_by_source",
-    "interarrival_acf",
-    "jsonl_roundtrip_events",
-    "km_session_survival",
-    "ks_price_drift",
-    "lang_id_confusion",
-    "lateral_recent_orders",
-    "locf_fill",
-    "media_dedup_exact",
-    "ngram_dup_rate",
-    "orc_roundtrip_revenue",
-    "pareto_concentration",
-    "per_source_sample",
-    "pipe_sql_revenue_flow",
-    "psi_price_drift",
-    "quality_zscore_by_lang",
+    "rare_token_rate",
+    "retention_decay_fit",
+    "simhash_candidates",
+    "simhash_jaccard_verify",
+    "source_overlap_matrix",
+    "split_leakage_check",
+    "tfidf_top_terms",
+    "theilsen_revenue_trend",
+    "time_decay_attribution",
+    "token_pmi_collocations",
+    "user_value_twap",
+    "word_jaccard_pairs",
+    "zorder_scan_revenue",
+    "acctbal_histogram",
+    "bpe_pair_counts",
+    "cube_status_priority",
+    "customer_spend_stats",
+    "dedup_keep_first",
+    "disjunctive_part_predicates",
+    "doc_fingerprint",
+    "embedding_ann_top1",
+    "embedding_norms",
+    "event_type_map_summary",
+    "grouping_sets_revenue",
+    "idle_wealthy_customers",
+    "inactive_customers_except",
+    "json_typed_parse",
+    "label_antijoin",
+    "label_centroids",
+    "lang_id_heuristic",
+    "lang_stats",
+    "large_volume_orders",
+    "late_shipping_priority_check",
+    "latest_order_per_customer",
+    "left_join_enrich",
+    "lsh_bucket_candidates",
+    "minhash_banded_candidates",
+    "not_cancelled",
+    "order_key_list",
+    "order_value_bounds",
+    "priority_line_distribution",
+    "recent90_agg",
 )
 
 

@@ -67,23 +67,40 @@ class ParityResult:
     name: str
     ok: bool
     detail: str = ""
+    # Per-engine walls (round-13 verdict item 7): the sf0.1 sweep's slowest
+    # rows split roughly half engine / half DuckDB — separate columns keep
+    # a regression in OUR plans from being masked by the oracle's share.
+    spark_sec: float = 0.0
+    oracle_sec: float = 0.0
 
 
 def compare_query(
     name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str
 ) -> ParityResult:
+    import time as _time
+
+    t0 = _time.perf_counter()
     spark_pdf = spark_df.toPandas()
+    t1 = _time.perf_counter()
     oracle_pdf = con.execute(sql).df()
+    t2 = _time.perf_counter()
+    _ss, _os = t1 - t0, t2 - t1
 
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return ParityResult(
             name,
             False,
             f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
+            spark_sec=_ss,
+            oracle_sec=_os,
         )
     if len(spark_pdf) != len(oracle_pdf):
         return ParityResult(
-            name, False, f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+            name,
+            False,
+            f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}",
+            spark_sec=_ss,
+            oracle_sec=_os,
         )
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
@@ -101,5 +118,7 @@ def compare_query(
             False,
             f"value mismatch ({sum(s_only.values())} spark-only / "
             f"{sum(o_only.values())} oracle-only rows):\n" + "\n".join(lines),
+            spark_sec=_ss,
+            oracle_sec=_os,
         )
-    return ParityResult(name, True, f"{len(s_rows)} rows")
+    return ParityResult(name, True, f"{len(s_rows)} rows", spark_sec=_ss, oracle_sec=_os)

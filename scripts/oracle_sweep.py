@@ -90,17 +90,22 @@ def main() -> int:
         try:
             r = compare_query(name, queries[name](spark, args.sf_dir), con, sql)
             ok, detail = r.ok, ("" if r.ok else r.detail.splitlines()[0][:160])
+            ss, os_ = r.spark_sec, r.oracle_sec
         except Exception as e:  # a crash is a failure, not a sweep abort
-            ok, detail = False, f"{type(e).__name__}: {e}"[:160]
+            ok, detail, ss, os_ = False, f"{type(e).__name__}: {e}"[:160], 0.0, 0.0
         dt = time.perf_counter() - t0
-        rows.append((name, ok, dt, detail))
+        rows.append((name, ok, dt, ss, os_, detail))
         if not ok:
             failures.append(name)
-        print(f"{'ok ' if ok else 'FAIL'} {name} ({dt:.2f}s) {detail}", flush=True)
+        print(
+            f"{'ok ' if ok else 'FAIL'} {name} ({dt:.2f}s = "
+            f"{ss:.2f} engine + {os_:.2f} oracle) {detail}",
+            flush=True,
+        )
     total = time.perf_counter() - t_all
     spark.stop()
 
-    n_ok = sum(1 for _, ok, _, _ in rows if ok)
+    n_ok = sum(1 for _, ok, *_ in rows if ok)
     with open(out_path, "w") as f:
         stamp = (
             f"**NOT a certification — dirty tree on top of `{sha}`**"
@@ -113,11 +118,13 @@ def main() -> int:
             f"tables (`{args.sf_dir}`); {stamp}.\n\n"
             f"**{n_ok}/{len(rows)} hash-identical** in {total:.0f}s"
             f"{' — FAILURES: ' + ', '.join(failures) if failures else ''}.\n\n"
-            "| query | parity | sec |\n|---|---|---|\n"
+            "| query | parity | sec | engine s | oracle s |\n"
+            "|---|---|---|---|---|\n"
         )
-        for name, ok, dt, detail in rows:
+        for name, ok, dt, ss, os_, detail in rows:
             f.write(
-                f"| `{name}` | {'✓' if ok else 'FAIL: ' + detail} | {dt:.2f} |\n"
+                f"| `{name}` | {'✓' if ok else 'FAIL: ' + detail} | {dt:.2f} "
+                f"| {ss:.2f} | {os_:.2f} |\n"
             )
     print(
         json.dumps(

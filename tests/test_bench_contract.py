@@ -69,6 +69,27 @@ def test_adversarial_line_fits_driver_tail():
     assert set(parsed["queries"]) == set(h)
 
 
+def test_regr_names_capped_at_5_with_flag():
+    """Lever (a), round 14 (docs/ROUND14_ROTATION.md): the line carries at
+    most 5 regression names plus a truncation flag — ratios are derivable
+    from the two rounds' queries maps, and the full regression dict always
+    rides docs/BENCH_LOCAL.json. Taken in the same commit as the 61st
+    headline query."""
+    bench = _bench()
+    h = list(bench.HEADLINE)
+    result = _result(bench, new=[], nlfl=[], regressed=h[:9], t=9.999)
+    line = bench.emit_line(result)
+    parsed = json.loads(line)
+    vs = parsed["vs_baseline"]
+    assert vs["regr_names"] == sorted(h[:9])[:5]
+    assert vs["regr_capped_at_5"] is True
+    # the full dict in the result (bound for BENCH_LOCAL.json) is uncapped
+    assert len(result["vs_baseline"]["regressions_gt_1.5x"]) == 9
+    # at exactly 5, no cap flag
+    vs5 = json.loads(bench.emit_line(_result(bench, new=[], nlfl=[], regressed=h[:5], t=9.999)))["vs_baseline"]
+    assert len(vs5["regr_names"]) == 5 and "regr_capped_at_5" not in vs5
+
+
 def test_realistic_round_fits_without_degradation():
     """A realistic round (≤8 new, ≤8 nlfl, ≤4 regressions, sub-10s
     timings) must fit WITHOUT shedding any detail. When this fails, the
@@ -107,7 +128,7 @@ def test_realistic_round_fits_without_degradation():
     assert vs["total_ratio"] == 99.999
     assert sorted(vs["nlfl"]) == sorted(h[8:16])
     assert sorted(vs["regr_names"]) == sorted(h[16:20])
-    assert "regr_truncated_to_10" not in vs
+    assert "regr_capped_at_5" not in vs
     assert parsed["queries"][h[0]] == round(9.999, 2)
     # Prose reasons and ratios never ride the line — names only (full
     # detail lives in bench.NOT_LIKE_FOR_LIKE and docs/BENCH_LOCAL.json).

@@ -10,14 +10,16 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-13 policy (docs/ROUND13_ROTATION.md): (a) the changed tier —
-media_embed_knn (broadcast-hint pin, round-12 verdict item 6); (b)
-never-verified backlog — EMPTY at rotation time (round 12 seated all
-thirteen of its additions and every one came back hash-green), so it
-holds exactly the round-13 additions; (c) the flagship; (d)
-stalest-green backfill: the nine-name r7-tier remainder (round 12's
-DEFERRED_TO_R13) and 32 of the 45-name r8 tier — the last thirteen r8
-names defer to round 14, moving the staleness floor to r8.
+Round-14 policy (docs/ROUND14_ROTATION.md): (a) the changed tier —
+bm25_topk (vocab-broadcast fix + oracle association byte-match),
+basket_lift (part-grain support hints dropped), mmr_rerank (per-round
+checkpoint pin), ivf_pq_recall (pq_residual IVFADC variant — schema
+change); (b) never-verified backlog — the two round-14 additions plus
+quality_classifier_scores, the one rows-only name with no driver row
+ever, seated once now that the tier accepts rows-only registrations
+(round-13 ADVICE item 2); (c) the flagship; (d) stalest-green backfill:
+the thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14) and 29
+of the r9 tier through recent90_agg, moving the staleness floor to r9.
 """
 
 import importlib.util
@@ -32,52 +34,50 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 13 — plan-change rule makes seating
+# (a) implementation changed in round 14 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-# media_embed_knn: explicit F.broadcast pin on the bounded query side
-# (round-12 verdict item 6) — the physical join choice is now
-# hint-determined, a plan change.
-CHANGED_R13: set[str] = {"media_embed_knn"}
+CHANGED_R14: set[str] = {
+    "bm25_topk",  # vocab-grain df semi-joined to query tokens, hint dropped
+    "basket_lift",  # part-grain support broadcast hints dropped
+    "mmr_rerank",  # per-round localCheckpoint pin (census 361 -> 0)
+    "ivf_pq_recall",  # pq_residual IVFADC variant (schema change)
+}
 
-# (b) never-driver-verified backlog: ZERO at rotation time (round 12
-# seated all thirteen of its additions, all hash-green); round-13
-# additions enter here as registered.
-BACKLOG_R13: set[str] = {
-    "bm25_topk",  # new in round 13 (Okapi BM25 retrieval)
-    "kneser_ney_bigram_score",  # new in round 13 (interpolated-KN LM)
-    "crossdoc_span_rewrite_maximal",  # new in round 13 (multi-k cascade)
-    "pq_adc_recall",  # new in round 13 (PQ-ADC retrieval scorecard)
-    "hard_negative_mining",  # new in round 13 (contrastive negatives)
-    "mmr_rerank",  # new in round 13 (MMR diverse reranking)
-    "ivf_pq_recall",  # new in round 13 (composed IVF-PQ scorecard)
+# (b) never-driver-verified backlog: round-14 additions plus the ONE
+# rows-only name with no driver row ever (round-13 ADVICE item 2 — the
+# tier now seats rows-only registrations once).
+BACKLOG_R14: set[str] = {
+    "neardup_edit_verify",  # new in round 14 (Levenshtein verify rung)
+    "retrieval_graded_metrics",  # new in round 14 (MRR/nDCG scorecard)
+    "quality_classifier_scores",  # rows-only seat (no driver row before)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 14: the changed-tier and
-# never-verified seats leave 41 backfill seats, absorbing the whole
-# nine-name r7 remainder plus 32 of the 45-name r8 tier; the last
-# thirteen r8 names in (round, name) order lead the round-14 pool — the boundary
-# test below checks they (and the head of the r9 tier) stay outside
-# this round's window.
-DEFERRED_TO_R14 = {
-    "rare_token_rate",  # r8 tail past quality_zscore_by_lang
-    "retention_decay_fit",  # r8 tail
-    "simhash_candidates",  # r8 tail
-    "simhash_jaccard_verify",  # r8 tail
-    "source_overlap_matrix",  # r8 tail
-    "split_leakage_check",  # r8 tail
-    "tfidf_top_terms",  # r8 tail
-    "theilsen_revenue_trend",  # r8 tail
-    "time_decay_attribution",  # r8 tail
-    "token_pmi_collocations",  # r8 tail
-    "user_value_twap",  # r8 tail
-    "word_jaccard_pairs",  # r8 tail
-    "zorder_scan_revenue",  # r8 tail — r8 tier ends here
-    "acctbal_histogram",  # r9 tier starts here
-    "bpe_pair_counts",
-    "cube_status_priority",
+# Boundary-tier backfill deferred to round 15: the changed-tier and
+# never-verified seats leave 42 backfill seats, absorbing the whole
+# thirteen-name r8 remainder plus 29 of the r9 tier (through
+# recent90_agg); the next r9 names in (round, name) order lead the
+# round-15 pool — the boundary test below checks they stay outside this
+# round's window.
+DEFERRED_TO_R15 = {
+    "recent_window",  # r9 tier past recent90_agg
+    "regex_token_count",
+    "retained_buyers_intersect",
+    "returned_parts_distinct",
+    "revenue_by_nation",
+    "revenue_share",
+    "running_total",
+    "salted_supplier_agg",
+    "segment_case",
+    "segment_metrics_unpivot",
+    "sql_expr_filter",
+    "string_ops",
+    "supplier_balance_by_nation",
+    "threshold_pred",
+    "threshold_sweep",
+    "token_classes",
 }
 
 
@@ -109,22 +109,28 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R13 | BACKLOG_R13 | FLAGSHIP) - window
+    missing = (CHANGED_R14 | BACKLOG_R14 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
-    """The whole backlog must carry oracles — a rows-only seat would burn a
-    slot on a weaker check (rows-only ops re-seat only on change)."""
-    missing = BACKLOG_R13 - set(all_oracle_sql())
-    assert not missing, f"backlog entries missing oracles: {missing}"
+    """Backlog entries carry oracles, with ONE documented exception this
+    round: quality_classifier_scores is rows-only BY DESIGN (MLlib
+    training — not SQL-expressible; pinned by planted-separability and
+    LM-agreement tests) and is seated once for its first-ever driver row
+    (round-13 ADVICE item 2). Everything else must be oracle-backed — a
+    rows-only seat is otherwise a burnt slot."""
+    missing = BACKLOG_R14 - set(all_oracle_sql())
+    assert missing == {"quality_classifier_scores"}, (
+        f"unexpected rows-only backlog entries: {missing}"
+    )
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R14 <= set(qs)
+    assert DEFERRED_TO_R15 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R14 & window
+    overlap = DEFERRED_TO_R15 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
