@@ -51,8 +51,10 @@ _REGISTRY: dict[str, Query] = {}
 # bm25_topk (vocab-grain df pruned to the query-token sliver before any
 # broadcast + oracle association byte-match), basket_lift (part-grain
 # support broadcast hints dropped), mmr_rerank (per-round checkpoint
-# pin), and ivf_pq_recall (new pq_residual IVFADC variant — schema
-# change); the never-verified tier seats the two round-14 additions
+# pin), ivf_pq_recall (new pq_residual IVFADC variant — schema
+# change), and theilsen_revenue_trend (approx-bracket exact-median
+# recipe replacing Spark's slow median aggregate); the never-verified
+# tier seats the two round-14 additions
 # (neardup_edit_verify — the character-level Levenshtein verify rung —
 # and retrieval_graded_metrics — the MRR/nDCG scorecard) plus
 # quality_classifier_scores, the ONE name with no driver row ever —
@@ -70,6 +72,7 @@ _FRONT: tuple[str, ...] = (
     "basket_lift",
     "mmr_rerank",
     "ivf_pq_recall",
+    "theilsen_revenue_trend",
     "neardup_edit_verify",
     "retrieval_graded_metrics",
     "quality_classifier_scores",
@@ -81,7 +84,6 @@ _FRONT: tuple[str, ...] = (
     "source_overlap_matrix",
     "split_leakage_check",
     "tfidf_top_terms",
-    "theilsen_revenue_trend",
     "time_decay_attribution",
     "token_pmi_collocations",
     "user_value_twap",

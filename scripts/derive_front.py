@@ -68,6 +68,10 @@ CHANGED: tuple[str, ...] = (
     # ivf_pq_recall grew the pq_residual variant (true IVFADC, recentred
     # micro-unit-exact cell means) — schema + plan change.
     "ivf_pq_recall",
+    # theilsen_revenue_trend: Spark's median aggregate replaced by the
+    # approx-bracket exact-rank-pick recipe (11.3 s → ~5 s engine-side;
+    # values bit-identical — the bracket only steers the exact pick).
+    "theilsen_revenue_trend",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

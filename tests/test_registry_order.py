@@ -14,7 +14,7 @@ Round-14 policy (docs/ROUND14_ROTATION.md): (a) the changed tier —
 bm25_topk (vocab-broadcast fix + oracle association byte-match),
 basket_lift (part-grain support hints dropped), mmr_rerank (per-round
 checkpoint pin), ivf_pq_recall (pq_residual IVFADC variant — schema
-change); (b) never-verified backlog — the two round-14 additions plus
+change), theilsen_revenue_trend (approx-bracket exact median); (b) never-verified backlog — the two round-14 additions plus
 quality_classifier_scores, the one rows-only name with no driver row
 ever, seated once now that the tier accepts rows-only registrations
 (round-13 ADVICE item 2); (c) the flagship; (d) stalest-green backfill:
@@ -41,6 +41,7 @@ CHANGED_R14: set[str] = {
     "basket_lift",  # part-grain support broadcast hints dropped
     "mmr_rerank",  # per-round localCheckpoint pin (census 361 -> 0)
     "ivf_pq_recall",  # pq_residual IVFADC variant (schema change)
+    "theilsen_revenue_trend",  # approx-bracket exact-median recipe
 }
 
 # (b) never-driver-verified backlog: round-14 additions plus the ONE

@@ -400,3 +400,41 @@ def test_locf_fill_invariants(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.where(F.col("value_filled").isNull()).count() == 0
+
+
+def test_theilsen_bracket_median_small_and_tied_corpora(spark, monkeypatch):
+    """The approx-bracket exact-median path's edge cases, planted: tiny n
+    (where approx_percentile is exact), even vs odd pair counts (the two
+    middle ranks straddle two distinct values), and a massively TIED slope
+    multiset (every value equal — the bracket degenerates to one value and
+    the cumulative-count pick must still land both ranks). Median values
+    recomputed from first principles per corpus."""
+    import statistics
+
+    import pyspark_retention_pipeline_spark.operators.timeseries as ts
+
+    def run(day_vals):
+        rows = [
+            (f"1970-01-{d+1:02d}", float(v))
+            for d, v in day_vals
+        ]
+        o = spark.createDataFrame(
+            rows, "o_orderdate string, o_totalprice double"
+        ).selectExpr("CAST(o_orderdate AS DATE) AS o_orderdate", "o_totalprice")
+        monkeypatch.setattr(ts, "load_table", lambda *_: o)
+        r = ts.theilsen_revenue_trend(spark, "x").collect()[0]
+        xs = sorted(d for d, _ in day_vals)
+        vals = dict(day_vals)
+        slopes = [
+            (vals[xs[j]] - vals[xs[i]]) / (xs[j] - xs[i])
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        ]
+        assert r.n_days == len(xs) and r.n_pairs == len(slopes)
+        assert abs(r.ts_slope_per_day - statistics.median(slopes)) < 1e-6
+
+    run([(0, 10.0), (1, 20.0), (2, 40.0)])          # n_pairs=3, odd
+    run([(0, 10.0), (1, 20.0), (2, 40.0), (3, 45.0)])  # n_pairs=6, even
+    run([(0, 10.0), (1, 20.0)])                      # n_pairs=1, minimal
+    # perfectly linear: every pairwise slope identical (fully tied bracket)
+    run([(d, 10.0 * (d + 1)) for d in range(6)])     # n_pairs=15, all 10.0
