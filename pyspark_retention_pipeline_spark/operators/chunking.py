@@ -229,3 +229,140 @@ def pack_documents_global_frame(docs: DataFrame) -> DataFrame:
         "n_tokens",
         F.expr(f"(cum_tokens - 1) DIV {PACK_BUDGET}").cast("long").alias("pack_id"),
     )
+
+
+# --- packing-efficiency scorecard -------------------------------------------
+# What a pack overflow COSTS: with next-fit contiguous packing every pack's
+# token sum can exceed PACK_BUDGET by at most its last document, and a real
+# trainer TRUNCATES the overflow — lost data. The report measures that loss
+# for two pack orders so the choice is a measurement, not a guess.
+_PACK_STRATEGIES = (
+    ("id_order", "doc_id"),           # the pack_documents production order
+    ("length_desc", "length_desc"),   # big docs first (decreasing next-fit)
+)
+
+
+def _pack_eff_oracle() -> str:
+    blocks = []
+    for label, _ in _PACK_STRATEGIES:
+        order = (
+            "doc_id" if label == "id_order" else "n_tokens DESC, doc_id"
+        )
+        blocks.append(
+            f"""SELECT '{label}' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_packs,
+             CAST(SUM(pt) AS BIGINT) AS total_tokens,
+             CAST(SUM(GREATEST(pt - {PACK_BUDGET}, 0)) AS BIGINT)
+               AS truncated_tokens,
+             CAST(SUM(CASE WHEN pt > {PACK_BUDGET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overflow_packs,
+             CAST(SUM(GREATEST(pt - {PACK_BUDGET}, 0)) AS DOUBLE)
+               / SUM(pt) AS trunc_loss
+      FROM (
+        SELECT shard_id, (cum - 1) // {PACK_BUDGET} AS pack,
+               CAST(SUM(n_tokens) AS BIGINT) AS pt
+        FROM (
+          SELECT shard_id, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard_id
+                                     ORDER BY {order}) AS cum
+          FROM sized
+        ) GROUP BY 1, 2
+      ) GROUP BY 1"""
+        )
+    union = "\n      UNION ALL ".join(blocks)
+    return f"""
+    WITH n AS (
+      SELECT (COUNT(*) + {PACK_SHARD_DOCS} - 1) // {PACK_SHARD_DOCS} AS n_shards
+      FROM documents
+    ), sized AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (SELECT greatest(n_shards, 1) FROM n) AS shard_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT strategy, n_packs, total_tokens, truncated_tokens,
+           n_overflow_packs, trunc_loss
+    FROM ({union})
+"""
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=_pack_eff_oracle(),
+    tags=("packing", "training-data", "scorecard"),
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss scorecard for sequence packing: with next-fit
+    contiguous packing (the :func:`pack_documents` semantics) every pack
+    except a shard's last overflows {PACK_BUDGET} by part of its final
+    document, and a trainer TRUNCATES that overflow — lost training
+    tokens. Reported per pack order: ``id_order`` (the production order —
+    restart-stable, no extra sort) vs ``length_desc`` (big documents
+    first: the overflowing last document of a pack tends to be SMALL, so
+    less is cut — the decreasing-next-fit heuristic). n_packs, exact
+    token totals, overflow-pack count, and the loss ratio make the
+    order choice a measurement instead of folklore.
+
+    Scale shape: one documents scan into the pinned (doc, shard, tokens)
+    frame; each strategy is a shard-partitioned running-sum window (the
+    pack_documents parallelism argument — no global sort; ``length_desc``
+    costs one extra per-shard sort key) collapsing to pack grain and then
+    to ONE row. Exactness: all token sums are BIGINTs; the loss ratio is
+    one division of identical exact integers (no decimal ROUND of a
+    derived double)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    n_shards = max(1, -(-n_docs // PACK_SHARD_DOCS))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % n_shards
+    sized = docs.select(
+        "doc_id",
+        bucket.alias("shard_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # one scan feeds both strategy windows
+
+    def stats(label: str) -> DataFrame:
+        order = (
+            [F.col("doc_id")]
+            if label == "id_order"
+            else [F.col("n_tokens").desc(), F.col("doc_id")]
+        )
+        w = (
+            Window.partitionBy("shard_id")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        packs = (
+            sized.withColumn("cum", F.sum("n_tokens").over(w))
+            .groupBy(
+                "shard_id",
+                F.expr(f"(cum - 1) DIV {PACK_BUDGET}").alias("pack"),
+            )
+            .agg(F.sum("n_tokens").cast("long").alias("pt"))
+        )
+        over = F.greatest(F.col("pt") - PACK_BUDGET, F.lit(0))
+        return (
+            packs.agg(
+                F.count("*").cast("long").alias("n_packs"),
+                F.sum("pt").cast("long").alias("total_tokens"),
+                F.sum(over).cast("long").alias("truncated_tokens"),
+                F.sum(F.when(F.col("pt") > PACK_BUDGET, 1).otherwise(0))
+                .cast("long")
+                .alias("n_overflow_packs"),
+            )
+            .select(
+                F.lit(label).alias("strategy"),
+                "n_packs",
+                "total_tokens",
+                "truncated_tokens",
+                "n_overflow_packs",
+                (
+                    F.col("truncated_tokens").cast("double")
+                    / F.col("total_tokens")
+                ).alias("trunc_loss"),
+            )
+        )
+
+    return stats("id_order").unionByName(stats("length_desc"))

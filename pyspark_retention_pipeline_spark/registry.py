@@ -54,17 +54,19 @@ _REGISTRY: dict[str, Query] = {}
 # pin), ivf_pq_recall (new pq_residual IVFADC variant — schema
 # change), and theilsen_revenue_trend (approx-bracket exact-median
 # recipe replacing Spark's slow median aggregate); the never-verified
-# tier seats the two round-14 additions
+# tier seats the three round-14 additions
 # (neardup_edit_verify — the character-level Levenshtein verify rung —
-# and retrieval_graded_metrics — the MRR/nDCG scorecard) plus
+# retrieval_graded_metrics — the MRR/nDCG scorecard — and
+# packing_efficiency_report — the truncation-loss packing scorecard)
+# plus
 # quality_classifier_scores, the ONE name with no driver row ever —
 # rows-only by design (MLlib), seated once for its rows-only record now
 # that the tier accepts rows-only registrations (round-13 ADVICE item
 # 2); then the flagship and 42 stalest-green backfill seats — the
 # thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14:
-# rare_token_rate … zorder_scan_revenue) and 29 of the r9 tier in
-# (round, name) order from acctbal_histogram through recent90_agg,
-# moving the staleness floor to r9.
+# rare_token_rate … zorder_scan_revenue) and 28 of the r9 tier in
+# (round, name) order from acctbal_histogram through
+# priority_line_distribution, moving the staleness floor to r9.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
@@ -74,6 +76,7 @@ _FRONT: tuple[str, ...] = (
     "ivf_pq_recall",
     "theilsen_revenue_trend",
     "neardup_edit_verify",
+    "packing_efficiency_report",
     "retrieval_graded_metrics",
     "quality_classifier_scores",
     "churn_features",
@@ -117,7 +120,6 @@ _FRONT: tuple[str, ...] = (
     "order_key_list",
     "order_value_bounds",
     "priority_line_distribution",
-    "recent90_agg",
 )
 
 

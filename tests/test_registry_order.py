@@ -14,12 +14,13 @@ Round-14 policy (docs/ROUND14_ROTATION.md): (a) the changed tier —
 bm25_topk (vocab-broadcast fix + oracle association byte-match),
 basket_lift (part-grain support hints dropped), mmr_rerank (per-round
 checkpoint pin), ivf_pq_recall (pq_residual IVFADC variant — schema
-change), theilsen_revenue_trend (approx-bracket exact median); (b) never-verified backlog — the two round-14 additions plus
+change), theilsen_revenue_trend (approx-bracket exact median); (b) never-verified backlog — the three round-14 additions plus
 quality_classifier_scores, the one rows-only name with no driver row
 ever, seated once now that the tier accepts rows-only registrations
 (round-13 ADVICE item 2); (c) the flagship; (d) stalest-green backfill:
-the thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14) and 29
-of the r9 tier through recent90_agg, moving the staleness floor to r9.
+the thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14) and 28
+of the r9 tier through priority_line_distribution, moving the staleness
+floor to r9.
 """
 
 import importlib.util
@@ -51,6 +52,7 @@ BACKLOG_R14: set[str] = {
     "neardup_edit_verify",  # new in round 14 (Levenshtein verify rung)
     "retrieval_graded_metrics",  # new in round 14 (MRR/nDCG scorecard)
     "quality_classifier_scores",  # rows-only seat (no driver row before)
+    "packing_efficiency_report",  # new in round 14 (truncation-loss scorecard)
 }
 
 # (c) flagship continuity slot — in the window every round.
@@ -63,7 +65,8 @@ FLAGSHIP = {"churn_features"}
 # round-15 pool — the boundary test below checks they stay outside this
 # round's window.
 DEFERRED_TO_R15 = {
-    "recent_window",  # r9 tier past recent90_agg
+    "recent90_agg",  # r9 tier past priority_line_distribution
+    "recent_window",
     "regex_token_count",
     "retained_buyers_intersect",
     "returned_parts_distinct",

@@ -562,3 +562,71 @@ def test_kneser_ney_bigram_score_matches_python_and_sees_continuations(
         assert out[d]["avg_kn_logprob"] == q / tqmod.LP_SCALE
     # the continuation effect: identical c2/c1 shapes, different N1+(·,w2)
     assert out[2]["avg_kn_logprob"] > out[3]["avg_kn_logprob"]
+
+
+def test_packing_efficiency_report_matches_python(spark, monkeypatch, tmp_path):
+    """Full python replication of the truncation-loss scorecard on a planted
+    corpus: md5 shard bucketing, both pack orders (id vs length-desc),
+    next-fit pack sums, overflow truncation accounting. Also pins the
+    mechanism: with one oversized doc placed LAST in id order (so it
+    overflows its pack by a lot) the length_desc order must not lose more."""
+    import hashlib
+
+    import pyspark_retention_pipeline_spark.operators.chunking as ch
+
+    docs = [
+        (0, " ".join(f"a{i}" for i in range(200))),
+        (1, " ".join(f"b{i}" for i in range(100))),
+        (2, " ".join(f"c{i}" for i in range(30))),
+        (3, " ".join(f"d{i}" for i in range(250))),  # oversized, last in id order
+        (4, " ".join(f"e{i}" for i in range(60))),
+        (5, " ".join(f"f{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(ch, "load_table", lambda *_: df)
+    # the registry path reads the doc count from the parquet footer; plant one
+    p = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(p)
+    monkeypatch.setattr(ch, "_parquet_num_rows", lambda *_: len(docs))
+
+    got = {
+        r.strategy: (
+            r.n_packs,
+            r.total_tokens,
+            r.truncated_tokens,
+            r.n_overflow_packs,
+            r.trunc_loss,
+        )
+        for r in ch.packing_efficiency_report(spark, str(tmp_path)).collect()
+    }
+
+    n_shards = max(1, -(-len(docs) // ch.PACK_SHARD_DOCS))
+    toks = {d: len(t.split(" ")) for d, t in docs}
+    shard = {
+        d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_shards
+        for d, _ in docs
+    }
+
+    def replicate(order_key):
+        packs = {}
+        for s in set(shard.values()):
+            members = sorted(
+                (d for d in shard if shard[d] == s), key=order_key
+            )
+            cum = 0
+            for d in members:
+                cum += toks[d]
+                packs.setdefault((s, (cum - 1) // ch.PACK_BUDGET), 0)
+                packs[(s, (cum - 1) // ch.PACK_BUDGET)] += toks[d]
+        total = sum(packs.values())
+        trunc = sum(max(0, pt - ch.PACK_BUDGET) for pt in packs.values())
+        over = sum(1 for pt in packs.values() if pt > ch.PACK_BUDGET)
+        return (len(packs), total, trunc, over, float(trunc) / total)
+
+    want_id = replicate(lambda d: d)
+    want_len = replicate(lambda d: (-toks[d], d))
+    assert got["id_order"] == want_id
+    assert got["length_desc"] == want_len
+    assert (
+        got["length_desc"][2] <= got["id_order"][2]
+    ), "length_desc lost more tokens than id order on the planted corpus"
