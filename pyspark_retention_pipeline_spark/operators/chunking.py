@@ -237,14 +237,14 @@ def pack_documents_global_frame(docs: DataFrame) -> DataFrame:
 # trainer TRUNCATES the overflow — lost data. The report measures that loss
 # for two pack orders so the choice is a measurement, not a guess.
 _PACK_STRATEGIES = (
-    ("id_order", "doc_id"),           # the pack_documents production order
-    ("length_desc", "length_desc"),   # big docs first (decreasing next-fit)
+    "id_order",      # the pack_documents production order
+    "length_desc",   # big docs first (decreasing next-fit)
 )
 
 
 def _pack_eff_oracle() -> str:
     blocks = []
-    for label, _ in _PACK_STRATEGIES:
+    for label in _PACK_STRATEGIES:
         order = (
             "doc_id" if label == "id_order" else "n_tokens DESC, doc_id"
         )
@@ -365,4 +365,7 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return stats("id_order").unionByName(stats("length_desc"))
+    out, *rest = (stats(label) for label in _PACK_STRATEGIES)
+    for frame in rest:
+        out = out.unionByName(frame)
+    return out

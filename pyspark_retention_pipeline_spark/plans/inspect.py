@@ -120,7 +120,28 @@ def _subtree_bounded(node) -> bool:
     lineage, so nothing behind one is provable — those sites need a named,
     per-hint signature exemption in tests/test_plans.py."""
     name = node.getClass().getSimpleName()
-    if name == "Aggregate":
+    if name == "Generate":
+        # A generator MULTIPLIES rows by its output size, so child-row
+        # boundedness alone proves nothing: a keyless Aggregate is ≤1 row
+        # but can carry a corpus-sized collect_list/collect_set array that
+        # a Generate above it re-expands to corpus grain (round-14 ADVICE
+        # item 2 — the same family as the removed blanket-Aggregate
+        # exemption, one node further up). Provable only when the
+        # generator's input is a plan-time literal (foldable) expression —
+        # then the expansion factor is in the plan; anything else needs a
+        # per-hint signature exemption. (The Generator trait hardcodes
+        # foldable=false on the generator node itself, so foldability is
+        # checked on its INPUT children — explode(array(lit...)) has a
+        # foldable CreateArray child.)
+        try:
+            gen_kids = node.generator().children()
+            if gen_kids.size() == 0 or not all(
+                gen_kids.apply(i).foldable() for i in range(gen_kids.size())
+            ):
+                return False
+        except Exception:
+            return False
+    elif name == "Aggregate":
         keys = _agg_grouping_names(node)
         if not keys or keys <= BOUNDED_GRAIN_KEYS:
             return True

@@ -62,8 +62,8 @@ _REGISTRY: dict[str, Query] = {}
 # quality_classifier_scores, the ONE name with no driver row ever —
 # rows-only by design (MLlib), seated once for its rows-only record now
 # that the tier accepts rows-only registrations (round-13 ADVICE item
-# 2); then the flagship and 42 stalest-green backfill seats — the
-# thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14:
+# 2); then the flagship and 40 stalest-green backfill seats — the
+# twelve-name r8-tier remainder (round 13's DEFERRED_TO_R14:
 # rare_token_rate … zorder_scan_revenue) and 28 of the r9 tier in
 # (round, name) order from acctbal_histogram through
 # priority_line_distribution, moving the staleness floor to r9.

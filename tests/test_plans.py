@@ -216,6 +216,31 @@ def test_broadcast_boundedness_detector_controls(spark, sf_dir):
     assert not unbounded_hinted_broadcasts(ok_dim)
 
 
+def test_generate_above_global_aggregate_not_bounded(spark, sf_dir):
+    """Round-14 ADVICE item 2: broadcast(explode(collect_list(corpus))) is a
+    ≤1-row aggregate whose ARRAY carries the corpus, re-expanded to corpus
+    grain by the Generate above it — the detector must not judge it bounded
+    just because its child rows are. A foldable literal explode (expansion
+    factor in the plan) stays provable."""
+    import pyspark.sql.functions as F
+
+    from pyspark_retention_pipeline_spark.plans import unbounded_hinted_broadcasts
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = d.agg(F.collect_list("doc_id").alias("ids"))
+    re_expanded = packed.select(F.explode("ids").alias("doc_id"))
+    hinted = d.join(F.broadcast(re_expanded), "doc_id")
+    sigs = unbounded_hinted_broadcasts(hinted)
+    assert sigs and sigs[0].startswith("Generate"), sigs
+
+    lit_arr = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    )
+    ok = d.join(F.broadcast(lit_arr), d.doc_id == lit_arr.k)
+    assert not unbounded_hinted_broadcasts(ok), "literal explode falsely flagged"
+
+
 # Queries allowed to keep an unpartitioned window over a non-aggregate
 # frame. EMPTY by design: every registered unpartitioned window today sits
 # above an aggregate-reduced frame (bin totals, threshold grids), which the
