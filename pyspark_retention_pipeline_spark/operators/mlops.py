@@ -164,8 +164,19 @@ def quality_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(QC_BUCKETS)
         ],
     )
-    lm = unigram_logprob_score(spark, sf_dir).select("doc_id", "avg_logprob")
-    med = lm.agg(F.expr("median(avg_logprob)").alias("qc_med"))
+    # avg_logprob is a doc-grain derived double (distinct ≈ corpus size), so
+    # the label median uses the scalable exact-quantile recipe, not Spark's
+    # value→count median aggregate (the round-14 memory-cliff class). The LM
+    # frame is pinned: the recipe's two passes and the label join read one
+    # materialization instead of re-deriving the LM scoring per branch.
+    from .quantiles import exact_quantile_frame
+
+    lm = (
+        unigram_logprob_score(spark, sf_dir)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint(eager=False)
+    )
+    med = exact_quantile_frame(lm, "avg_logprob", [0.5], ["qc_med"])
     labeled = (
         feats.join(lm, "doc_id")
         .crossJoin(F.broadcast(med))

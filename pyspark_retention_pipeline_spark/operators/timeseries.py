@@ -655,20 +655,22 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate: that implementation buffers a value→count map of every
     distinct double and dominated the sweep row (measured 11.3 s over the
     2.9 M slopes vs DuckDB's 0.17 s quickselect — the round-14 sweep's
-    engine/oracle split made the gap visible). Instead, the scalable
-    exact-median recipe: (1) ONE approx_percentile pass brackets the
-    median generously (p49/p51 at accuracy 10⁴ — rank error ≤ n/10⁴,
-    a 50× margin under the 0.01·n bracket half-width, so the bracket
-    provably contains both middle ranks for any n; below the accuracy
-    buffer the sketch is exact, covering tiny corpora); (2) an exact count of rows
-    strictly below the bracket anchors global ranks; (3) the bracket
-    slice collapses to a (value, count) aggregate whose cumulative-sum
-    window (aggregate-reduced input — structurally bounded) locates the
-    two middle ranks exactly. The bracket only steers WHERE the exact
-    rank pick happens — the output never depends on the sketch, so
-    run-to-run sketch nondeterminism cannot move the hash. Measured
-    11.3 s → ~1.5 s; at 10¹² slopes this is the distributed exact-median
-    algorithm, full stop."""
+    engine/oracle split made the gap visible). Round 14 built the
+    approx-bracket + exact-rank-pick recipe inline here; round 15
+    generalized it into :func:`..quantiles.exact_quantile_frame` (the
+    round-14 verdict's #1 item) and this query now rides the shared
+    helper. Values are bit-identical: the helper reproduces Spark's
+    ``Percentile`` interpolation, whose even-n midpoint
+    ``0.5·v_lo + 0.5·v_hi`` rounds the same 53-bit mantissa as the old
+    inline ``(v_lo + v_hi)/2`` (halving is exponent arithmetic). The
+    helper also consumes the sketch aggregate in exactly ONE plan branch
+    (below-bucket mass rides the same nulls-first window as the bracket
+    slice), so the result no longer depends on exchange-reuse
+    canonicalizing two sketch branches — the round-14 ADVICE item 1
+    hazard, retired structurally. Measured 11.3 s → ~1.5 s; at 10¹²
+    slopes this is the distributed exact-median algorithm, full stop."""
+    from .quantiles import exact_quantile_frame
+
     o = load_table(spark, sf_dir, "orders")
     x = (
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
@@ -686,61 +688,9 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("db") - F.col("da")) / (F.col("xb") - F.col("xa")).cast("double"))
             .alias("slope")
         )
-        .localCheckpoint(eager=False)  # bracket stats + below-count + slice
+        .localCheckpoint(eager=False)  # sketch pass + slice pass share one mat.
     )
-    st = slopes.agg(
-        F.expr("approx_percentile(slope, array(0.49, 0.51), 10000)").alias("br"),
-        F.count("*").cast("long").alias("n_pairs"),
-    )
-    lo = F.element_at(F.col("br"), 1)
-    hi = F.element_at(F.col("br"), 2)
-    with_st = slopes.crossJoin(F.broadcast(st))
-    n_lt = with_st.filter(F.col("slope") < lo).agg(
-        F.count("*").cast("long").alias("n_lt")
-    )
-    counts = (
-        with_st.filter((F.col("slope") >= lo) & (F.col("slope") <= hi))
-        .groupBy("slope")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    wcum = Window.orderBy("slope").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = counts.withColumn("running", F.sum("cnt").over(wcum))
-    g = (
-        cum.crossJoin(F.broadcast(n_lt))
-        .crossJoin(F.broadcast(st.select("n_pairs")))
-        .select(
-            "slope",
-            "n_pairs",
-            (F.col("n_lt") + F.col("running") - F.col("cnt")).alias("rank_lo"),
-            (F.col("n_lt") + F.col("running")).alias("rank_hi"),
-            F.expr("(n_pairs + 1) DIV 2").alias("pos1"),
-            F.expr("n_pairs DIV 2 + 1").alias("pos2"),
-        )
-    )
-    med = g.agg(
-        F.max("n_pairs").alias("n_pairs"),
-        (
-            (
-                F.max(
-                    F.when(
-                        (F.col("pos1") > F.col("rank_lo"))
-                        & (F.col("pos1") <= F.col("rank_hi")),
-                        F.col("slope"),
-                    )
-                )
-                + F.max(
-                    F.when(
-                        (F.col("pos2") > F.col("rank_lo"))
-                        & (F.col("pos2") <= F.col("rank_hi")),
-                        F.col("slope"),
-                    )
-                )
-            )
-            / 2
-        ).alias("med"),
-    )
+    med = exact_quantile_frame(slopes, "slope", [0.5], ["med"], n_name="n_pairs")
     # n_days joins in-plan (1-row × 1-row) — a driver-side daily.count() at
     # construction time would trigger a job during plan-only audits.
     n_days = daily.agg(F.count("*").cast("long").alias("n_days"))

@@ -70,7 +70,9 @@ SCALING_TABLES = frozenset(
 # aggregate broadcast FAILS at scale, it doesn't degrade (round-13 verdict:
 # bm25_topk's df-side broadcast, the gap this set closes).
 BOUNDED_GRAIN_KEYS = frozenset(
-    {"lang", "source", "event_type", "_pid", "band", "bin", "qbin"}
+    {"lang", "source", "event_type", "_pid", "band", "bin", "qbin",
+     # TPC-H spec enum: l_returnflag ∈ {A, N, R} — three values at any SF
+     "l_returnflag"}
 )
 
 

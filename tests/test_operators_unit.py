@@ -341,3 +341,62 @@ def test_winsorized_spend_stats_semantics(spark, sf_dir):
     assert 0 < n_clipped < len(spend)
     clipped_mean = sum(min(max(s, row.p01), row.p99) for s in spend) / len(spend)
     assert abs(row.winsorized_mean - clipped_mean) < 1e-3
+
+
+def test_exact_quantile_frame_bit_identical_to_builtin(spark):
+    """The scalable exact-quantile recipe (operators/quantiles.py) must be
+    VALUE-BIT-IDENTICAL to Spark's exact ``percentile`` aggregate — the
+    retrofit contract for winsorized_spend_stats / p99_quantile / theilsen
+    (round-14 verdict item 1). Sweep the hazard surface: tiny n at the
+    p01/p99 edges (where the naive bracket-containment argument fails and
+    the _SMALL_N guard takes over), heavy ties, all-identical values,
+    n > _SMALL_N exercising the real bracket path, grouped inputs whose
+    group sizes straddle the guard boundary, and nulls (ignored by both
+    forms)."""
+    import random
+
+    from pyspark_retention_pipeline_spark.operators.quantiles import (
+        exact_quantile_frame,
+    )
+
+    rng = random.Random(7)
+
+    def assert_match(rows, qs, group_cols=()):
+        if group_cols:
+            df = spark.createDataFrame(rows, "g string, v double")
+        else:
+            df = spark.createDataFrame(rows, "v double")
+        names = [f"q{i}" for i in range(len(qs))]
+        mine = exact_quantile_frame(
+            df, "v", qs, names, group_cols=group_cols, n_name="n"
+        )
+        ref = df.groupBy(*group_cols).agg(
+            *[F.percentile("v", F.lit(q)).alias(f"q{i}") for i, q in enumerate(qs)],
+            F.count("v").alias("n"),
+        )
+        key = lambda r: tuple(r[c] for c in group_cols)  # noqa: E731
+        got = {key(r): r for r in mine.collect()}
+        want = {key(r): r for r in ref.collect()}
+        assert set(got) == set(want)
+        for k, w in want.items():
+            assert got[k]["n"] == w["n"]
+            for i in range(len(qs)):
+                # exact equality — bit-identity, not tolerance
+                assert got[k][f"q{i}"] == w[f"q{i}"], (k, qs[i], got[k], w)
+
+    for n in (1, 2, 3, 5, 10, 30):
+        assert_match(
+            [(rng.uniform(0, 100),) for _ in range(n)], [0.01, 0.5, 0.99]
+        )
+    assert_match(
+        [(v,) for v in [1.0] * 50 + [2.0] * 50 + [3.0] * 3],
+        [0.01, 0.25, 0.5, 0.99],
+    )
+    assert_match([(7.5,) for _ in range(20)], [0.01, 0.99])
+    big = [(rng.uniform(0, 1000),) for _ in range(3000)] + [(500.0,)] * 1500
+    assert_match(big, [0.01, 0.5, 0.99])
+    rows = []
+    for g, n in (("a", 4), ("b", 1200), ("c", 999), ("d", 1001)):
+        rows += [(g, rng.gauss(0.0, 10.0)) for _ in range(n)]
+    rows.append(("b", None))  # both forms ignore nulls
+    assert_match(rows, [0.5, 0.99], group_cols=["g"])

@@ -875,6 +875,81 @@ def test_registry_scan_budget(spark, sf_dir):
     assert not offenders, f"plans over the {SCAN_BUDGET}-scan budget: {offenders}"
 
 
+# Exact Percentile/Median aggregates allowed in registry plans. Spark's
+# exact form buffers a value→count map of EVERY distinct input value per
+# group in one aggregate state — bounded only when the input's value DOMAIN
+# or grain is bounded by construction, not by corpus size (the
+# _subtree_bounded precedent applied to aggregate state — round-14 verdict
+# item 1). Corpus-grain sites (winsorized_spend_stats' customer-spend
+# cutoffs, p99_quantile's price percentiles, theilsen's slope median, the
+# quality-classifier label median) were retrofitted onto
+# operators/quantiles.exact_quantile_frame and must never reappear here.
+EXACT_PERCENTILE_EXEMPT: dict[str, str] = {
+    # per-customer groups: each group's state is that customer's distinct
+    # order totals (tens of values) — group COUNT scales, group STATE doesn't
+    "median_order_value": "per-customer grain, per-group state bounded",
+    # integer n_chars: distinct values bounded by the document-length
+    # domain (~1e5 ints), not the document count
+    "quality_zscore_by_lang": "integer n_chars domain",
+    "doc_len_quartiles_by_lang": "integer n_chars domain",
+    # replicate grain: ≤ N_BOOT bootstrap means by construction
+    "bootstrap_revenue_ci": "replication-bounded (n_boot rows)",
+}
+
+
+def test_no_corpus_grain_exact_percentile(spark, sf_dir):
+    """Round-14 verdict item 1: no registry plan may run Spark's exact
+    ``percentile``/``median`` aggregate over a corpus-grain input — its
+    value→count single-aggregate state is a measured memory cliff (11.3 s
+    at 2.9 M distinct doubles, OOM-class beyond). Every remaining exact
+    site must carry a documented bounded-domain argument above; everything
+    else routes through operators/quantiles.exact_quantile_frame (whose own
+    internal sketch is approx_percentile — bounded state by construction,
+    and excluded by the word-boundary pattern below)."""
+    _clear_cached_plan_state(spark)
+    import re
+
+    skip = {
+        "ml_churn_scores",
+        "ml_churn_coefficients",
+        "ml_churn_metrics",
+        "ml_threshold_from_scores",
+        "kmeans_lloyd_curve",
+    }
+    pat = re.compile(r"(?<![\w_])(?:percentile|median)\(")
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name in EXACT_PERCENTILE_EXEMPT:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        n = len(pat.findall(plan))
+        if n:
+            offenders[name] = n
+    assert not offenders, (
+        f"exact percentile/median aggregates outside the bounded-domain "
+        f"allowlist: {offenders}"
+    )
+
+
+def test_exact_percentile_detector_controls(spark, sf_dir):
+    """The pattern must catch exact percentile/median but NOT the sketch
+    (approx_percentile / percentile_approx) the quantile recipe uses."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyspark_retention_pipeline_spark.tables import load_table
+
+    pat = re.compile(r"(?<![\w_])(?:percentile|median)\(")
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
+    med = o.agg(F.median("o_totalprice").alias("m"))
+    approx = o.agg(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("m"))
+    assert pat.findall(exact._jdf.queryExecution().analyzed().toString())
+    assert pat.findall(med._jdf.queryExecution().analyzed().toString())
+    assert not pat.findall(approx._jdf.queryExecution().analyzed().toString())
+
+
 def test_no_unbounded_global_sorts(spark, sf_dir):
     """Round-8 invariant: no registry plan totally orders a corpus-scale
     frame. A global Sort is a range exchange (sampling pass) + full sort of
