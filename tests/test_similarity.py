@@ -1225,3 +1225,67 @@ def test_retrieval_graded_metrics_matches_python(spark, monkeypatch):
         assert got[("mmr", 1, q)][1] == 1.0  # pick 1 = relevance argmax
     # the planted near-dups (1, 4) are relevant to query 0, doc 2/3 are not
     assert brel[0] == {0, 1, 4}
+
+
+def test_rrf_self_fusion_reproduces_ranking(spark, sf_dir):
+    """Round-14 verdict next-item 4's invariant pin: RRF gains are strictly
+    monotone in rank, so fusing a ranking with ITSELF (or alone) must
+    reproduce it exactly — any deviation means the gain table or the
+    tie-break is wrong."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        _bm25_ranked,
+        rrf_fuse,
+    )
+    from pyspark_retention_pipeline_spark.operators.text import BM25_TOP_K
+
+    base = _bm25_ranked(spark, sf_dir)
+    want = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in base.collect()
+    }
+    for copies in (1, 2):
+        fused = rrf_fuse([base] * copies, BM25_TOP_K)
+        got = {
+            (r["query_id"], r["fused_rank"]): r["doc_id"]
+            for r in fused.collect()
+        }
+        assert got == want, f"self-fusion x{copies} changed the ranking"
+        assert all(
+            r["n_systems"] == copies for r in fused.collect()
+        )
+
+
+def test_rrf_fusion_matches_pure_python(spark, sf_dir):
+    """Pure-python replication of the full hybrid pipeline: collect both
+    input rankings, fuse with exact integer 1/(60+r) micro-unit gains in
+    python, and require identical (rank, doc, n_systems, score) rows."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        _RRF_SCALE,
+        RRF_K,
+        _bm25_ranked,
+        _dense_ranked,
+    )
+    from pyspark_retention_pipeline_spark.operators.text import BM25_TOP_K
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    gains = [round(_RRF_SCALE / (RRF_K + r)) for r in range(1, BM25_TOP_K + 1)]
+    acc: dict[tuple[int, int], list[int]] = {}
+    for frame in (_bm25_ranked(spark, sf_dir), _dense_ranked(spark, sf_dir)):
+        for r in frame.collect():
+            key = (r["query_id"], r["doc_id"])
+            g, n = acc.get(key, (0, 0))
+            acc[key] = (g + gains[r["rank"] - 1], n + 1)
+    by_q: dict[int, list] = {}
+    for (q, d), (g, n) in acc.items():
+        by_q.setdefault(q, []).append((-g, d, n))
+    want = set()
+    for q, rows in by_q.items():
+        for rank, (neg_g, d, n) in enumerate(sorted(rows)[:BM25_TOP_K], 1):
+            want.add((q, rank, d, n, -neg_g / float(_RRF_SCALE)))
+    got = {
+        (r["query_id"], r["fused_rank"], r["doc_id"], r["n_systems"], r["rrf_score"])
+        for r in all_queries()["rrf_fusion"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the fusion must actually mix systems somewhere (n_systems = 2 rows
+    # exist): the self-match of every query is ranked by BOTH views
+    assert any(n == 2 for (_, _, _, n, _) in got)
