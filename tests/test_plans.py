@@ -98,6 +98,9 @@ BROADCAST_BOUNDEDNESS_EXEMPT: dict[str, frozenset[str]] = {
     "knn_bruteforce": frozenset({"Filter[vec_id]>embeddings"}),
     "hard_negative_mining": frozenset({"Filter[vec_id]>embeddings"}),
     "media_embed_knn": frozenset({"Filter[doc_id]>documents"}),
+    # cross-modal scorecard: the same literal MEDIA_N_QUERIES doc_id slice
+    # (the media-query tower side of the two-tower pair).
+    "crossmodal_retrieval_metrics": frozenset({"Filter[doc_id]>documents"}),
     # ivf/pq recall scorecards: query slice of the checkpointed encoded frame.
     "ivf_pq_recall": frozenset({"Filter[vec_id]>LogicalRDD"}),
     "pq_adc_recall": frozenset({"Filter[vec_id]>LogicalRDD"}),
@@ -125,6 +128,17 @@ BROADCAST_BOUNDEDNESS_EXEMPT: dict[str, frozenset[str]] = {
         {
             "Filter[doc_id]>documents",
             "Deduplicate[token]>Filter[doc_id]>documents",
+        }
+    ),
+    # hybrid fusion: inherits bm25_topk's query-side literal slices (it
+    # builds on the same CTE chain) plus the dense side's
+    # vec_id < BM25_QUERIES slice of the pinned norm frame — all ≤3-doc
+    # literal slices.
+    "rrf_fusion": frozenset(
+        {
+            "Filter[doc_id]>documents",
+            "Deduplicate[token]>Filter[doc_id]>documents",
+            "Filter[vec_id]>LogicalRDD",
         }
     ),
     # Misra-Gries candidate set: ≤ #partitions × (MG_K+1) rows by the
@@ -683,6 +697,11 @@ CROSS_JOIN_EXEMPT = {
     # misread as an equi-key (the ADVICE r7 masked-true-positive case).
     "knn_bruteforce",
     "media_embed_knn",
+    # crossmodal_retrieval_metrics: same broadcast-query shape — the
+    # crossJoin's right side is the literal doc_id < MEDIA_N_QUERIES media
+    # tower (broadcast); the text-tower corpus is scanned ONCE, linear not
+    # quadratic; identity relevance keeps the self row (no condition at all)
+    "crossmodal_retrieval_metrics",
     # quantized_knn_recall is the same broadcast-query shape: its crossJoin
     # right side is the vec_id < N_QUERIES literal slice of the pinned code
     # frame (broadcast), its only condition the NOT(query_id = vec_id)
@@ -707,6 +726,10 @@ CROSS_JOIN_EXEMPT = {
     # stream — its only conditions are NOT(query_id = vec_id) and
     # NOT(q_label = label); the corpus side is scanned once
     "hard_negative_mining",
+    # rrf_fusion's dense side is the same broadcast-query scan (the
+    # crossJoin's right side is the literal vec_id < BM25_QUERIES slice of
+    # the pinned norm frame, broadcast; the corpus side is scanned ONCE)
+    "rrf_fusion",
     # mmr_rerank's candidate pool is the same broadcast-query scan
     # (NOT(query_id = vec_id) the only condition); everything downstream
     # of the ≤ N_QUERIES×MMR_CAND pool is sliver-sized, and its

@@ -1289,3 +1289,58 @@ def test_rrf_fusion_matches_pure_python(spark, sf_dir):
     # the fusion must actually mix systems somewhere (n_systems = 2 rows
     # exist): the self-match of every query is ranked by BOTH views
     assert any(n == 2 for (_, _, _, n, _) in got)
+
+
+def test_crossmodal_metrics_detect_planted_alignment(spark):
+    """Planted aligned towers: each doc's 64-dim embedding carries its own
+    md5 media feature in the first slot of every pooled group (zeros
+    elsewhere), so media→text identity cosine ≈ 1 and the scorecard must
+    read mrr = ndcg = 1 at every k. One deliberately MISALIGNED doc (its
+    embedding holds doc 0's feature) must rank its identity ≥ 2 — vec 0
+    carries the same tower vector and wins the tie-break — proving the
+    metric sees (mis)alignment, which the unaligned md5 stand-in on real
+    testdata cannot show."""
+    import hashlib
+
+    from pyspark_retention_pipeline_spark.operators.multimodal import (
+        EMBED_DIMS,
+        crossmodal_metrics_frame,
+    )
+
+    texts = ["alpha beta", "gamma", "delta eps", "zeta", "eta theta", "iota"]
+
+    def feat(t: str) -> list[float]:
+        h = hashlib.md5(t.encode()).hexdigest()
+        return [
+            (int(h[2 * i : 2 * i + 2], 16) - 127.5) / 127.5
+            for i in range(EMBED_DIMS)
+        ]
+
+    def emb_for(f: list[float]) -> list[float]:
+        out = [0.0] * (4 * EMBED_DIMS)
+        for i, v in enumerate(f):
+            out[4 * i] = v
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (i, emb_for(feat(texts[0] if i == 5 else texts[i])), 0)
+            for i in range(len(texts))
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r["topk"], r["query_id"]): r
+        for r in crossmodal_metrics_frame(docs, embs).collect()
+    }
+    for k in (1, 5):
+        for q in range(5):
+            r = rows[(k, q)]
+            assert r["identity_rank"] == 1 and r["mrr"] == 1.0 and r["ndcg"] == 1.0, r
+        bad = rows[(k, 5)]
+        assert bad["identity_rank"] >= 2, bad
+    assert rows[(1, 5)]["mrr"] == 0.0
