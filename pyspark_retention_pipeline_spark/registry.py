@@ -40,86 +40,82 @@ _REGISTRY: dict[str, Query] = {}
 # ``queries()`` (50 entries per round), so ordering is part of the contract —
 # re-derive this list EVERY round (round-end checklist; round 5 skipped it and
 # shipped two rewrites with no driver row, VERDICT r5 item 2).
-# Round-14 rotation (docs/ROUND14_ROTATION.md) — GENERATED:
+# Round-15 rotation (docs/ROUND15_ROTATION.md) — GENERATED:
 # ``scripts/derive_front.py`` derives this window mechanically from the
 # committed CORRECTNESS_r*.json driver artifacts (rounds BEFORE the
 # configured one only, so the derivation is stable whenever the current
 # round's artifact lands) plus the script's small per-round config
 # (changed-plan list, flagship, window size), and
 # ``tests/test_registry_order.py`` asserts the tuple below equals the
-# script's output. Round-14 composition: the changed tier seats
-# bm25_topk (vocab-grain df pruned to the query-token sliver before any
-# broadcast + oracle association byte-match), basket_lift (part-grain
-# support broadcast hints dropped), mmr_rerank (per-round checkpoint
-# pin), ivf_pq_recall (new pq_residual IVFADC variant — schema
-# change), and theilsen_revenue_trend (approx-bracket exact-median
-# recipe replacing Spark's slow median aggregate); the never-verified
-# tier seats the three round-14 additions
-# (neardup_edit_verify — the character-level Levenshtein verify rung —
-# retrieval_graded_metrics — the MRR/nDCG scorecard — and
-# packing_efficiency_report — the truncation-loss packing scorecard)
-# plus
-# quality_classifier_scores, the ONE name with no driver row ever —
-# rows-only by design (MLlib), seated once for its rows-only record now
-# that the tier accepts rows-only registrations (round-13 ADVICE item
-# 2); then the flagship and 40 stalest-green backfill seats — the
-# twelve-name r8-tier remainder (round 13's DEFERRED_TO_R14:
-# rare_token_rate … zorder_scan_revenue) and 28 of the r9 tier in
-# (round, name) order from acctbal_histogram through
-# priority_line_distribution, moving the staleness floor to r9.
+# script's output. Round-15 composition: the changed tier seats the
+# exact-quantile memory-cliff retirement sites — winsorized_spend_stats
+# (p01/p99 cutoffs on the shared approx-bracket + exact-rank-pick
+# helper), p99_quantile (grouped exact side, bracket per l_returnflag),
+# theilsen_revenue_trend (moved onto the helper; sketch consumed in ONE
+# plan branch), quality_classifier_scores (rows-only; label median on
+# the helper over a pinned LM frame) — plus retrieval_graded_metrics
+# (new system='rrf' rows grading the hybrid fusion); the never-verified
+# tier seats the three round-15 additions (unigram_lm_em_rounds — the
+# SentencePiece-style EM trainer — rrf_fusion — hybrid reciprocal-rank
+# fusion — and crossmodal_retrieval_metrics — the two-tower
+# media-to-text scorecard); then the flagship and 41 stalest-green
+# backfill seats — the nineteen-name r9-tier remainder (round 14's
+# DEFERRED_TO_R15 head recent90_agg … token_classes plus top_customers
+# and union_by_name) and 22 of the r10 tier in (round, name) order from
+# ann_recall_report through ivf_knn, moving the staleness floor to r10.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
-    "bm25_topk",
-    "basket_lift",
-    "mmr_rerank",
-    "ivf_pq_recall",
+    "winsorized_spend_stats",
+    "p99_quantile",
     "theilsen_revenue_trend",
-    "neardup_edit_verify",
-    "packing_efficiency_report",
-    "retrieval_graded_metrics",
     "quality_classifier_scores",
+    "retrieval_graded_metrics",
+    "unigram_lm_em_rounds",
+    "rrf_fusion",
+    "crossmodal_retrieval_metrics",
     "churn_features",
-    "rare_token_rate",
-    "retention_decay_fit",
-    "simhash_candidates",
-    "simhash_jaccard_verify",
-    "source_overlap_matrix",
-    "split_leakage_check",
-    "tfidf_top_terms",
-    "time_decay_attribution",
-    "token_pmi_collocations",
-    "user_value_twap",
-    "word_jaccard_pairs",
-    "zorder_scan_revenue",
-    "acctbal_histogram",
-    "bpe_pair_counts",
-    "cube_status_priority",
-    "customer_spend_stats",
-    "dedup_keep_first",
-    "disjunctive_part_predicates",
-    "doc_fingerprint",
-    "embedding_ann_top1",
-    "embedding_norms",
-    "event_type_map_summary",
-    "grouping_sets_revenue",
-    "idle_wealthy_customers",
-    "inactive_customers_except",
-    "json_typed_parse",
-    "label_antijoin",
-    "label_centroids",
-    "lang_id_heuristic",
-    "lang_stats",
-    "large_volume_orders",
-    "late_shipping_priority_check",
-    "latest_order_per_customer",
-    "left_join_enrich",
-    "lsh_bucket_candidates",
-    "minhash_banded_candidates",
-    "not_cancelled",
-    "order_key_list",
-    "order_value_bounds",
-    "priority_line_distribution",
+    "recent90_agg",
+    "recent_window",
+    "regex_token_count",
+    "retained_buyers_intersect",
+    "returned_parts_distinct",
+    "revenue_by_nation",
+    "revenue_share",
+    "running_total",
+    "salted_supplier_agg",
+    "segment_case",
+    "segment_metrics_unpivot",
+    "sql_expr_filter",
+    "string_ops",
+    "supplier_balance_by_nation",
+    "threshold_pred",
+    "threshold_sweep",
+    "token_classes",
+    "top_customers",
+    "union_by_name",
+    "ann_recall_report",
+    "binary_meta",
+    "c4_quality_filter",
+    "chunk_documents",
+    "class_counts",
+    "confusion_matrix",
+    "customer_profile",
+    "customer_rfm",
+    "dedup_clusters_portable",
+    "dedup_exact",
+    "distinct_customers",
+    "distinct_products",
+    "embedding_ann_top1_adaptive",
+    "embedding_neardup",
+    "embedding_quantize_stats",
+    "epoch_shuffle",
+    "forecast_revenue_discount",
+    "group_aware_split",
+    "hash_sample",
+    "incremental_dedup",
+    "intradoc_dedup_rewrite",
+    "ivf_knn",
 )
 
 

@@ -52,26 +52,29 @@ WINDOW = 50
 
 # --- Per-round declarative config: the ONLY hand-maintained input. -------
 # Update each round; everything else is derived from committed artifacts.
-ROUND = 14
+ROUND = 15
 # Queries whose implementation (plan) changed this round — mandatory seats,
-# listed in change order. Round 14: bm25_topk (vocab-grain df semi-joined
-# to the query-token sliver before any broadcast + oracle-association
-# byte-match — round-13 verdict item 1 / ADVICE item 1), basket_lift
-# (part-grain support broadcast hints dropped, found by the new
-# boundedness sweep), mmr_rerank (per-round localCheckpoint pin — ADVICE
-# item 3, 361→0 census shuffles). New queries enter via the
-# never-verified tier automatically and do NOT belong here.
+# listed in change order. Round 15: the exact-quantile memory-cliff
+# retirement (round-14 verdict item 1) rebuilt the corpus-grain exact
+# percentile/median sites on the shared approx-bracket + exact-rank-pick
+# helper (operators/quantiles.py): winsorized_spend_stats (p01/p99
+# cutoffs), p99_quantile (grouped exact side, bracket per l_returnflag),
+# theilsen_revenue_trend (moved onto the helper; the sketch aggregate is
+# now consumed in exactly ONE plan branch — round-14 ADVICE item 1), and
+# quality_classifier_scores (rows-only; its label median now uses the
+# helper over a pinned LM frame). retrieval_graded_metrics gained
+# system='rrf' rows (schema-visible row additions) grading the new hybrid
+# fusion against the bm25 relevance set. packing_efficiency_report's
+# _PACK_STRATEGIES cleanup (round-14 ADVICE item 4) is deliberately NOT
+# here: the labels-only refactor produces a byte-identical plan. New
+# queries (rrf_fusion, unigram_lm_em_rounds, crossmodal_retrieval_metrics)
+# enter via the never-verified tier automatically and do NOT belong here.
 CHANGED: tuple[str, ...] = (
-    "bm25_topk",
-    "basket_lift",
-    "mmr_rerank",
-    # ivf_pq_recall grew the pq_residual variant (true IVFADC, recentred
-    # micro-unit-exact cell means) — schema + plan change.
-    "ivf_pq_recall",
-    # theilsen_revenue_trend: Spark's median aggregate replaced by the
-    # approx-bracket exact-rank-pick recipe (11.3 s → ~5 s engine-side;
-    # values bit-identical — the bracket only steers the exact pick).
+    "winsorized_spend_stats",
+    "p99_quantile",
     "theilsen_revenue_trend",
+    "quality_classifier_scores",
+    "retrieval_graded_metrics",
 )
 FLAGSHIP = "churn_features"
 # Never seat (canonicalizer-unsafe output schemas); none currently.

@@ -10,17 +10,16 @@ script's small per-round config, and the anchor test here asserts
 ``registry._FRONT`` equals the script's output — a hand edit to either side
 that diverges fails loudly (VERDICT r7 item 7).
 
-Round-14 policy (docs/ROUND14_ROTATION.md): (a) the changed tier —
-bm25_topk (vocab-broadcast fix + oracle association byte-match),
-basket_lift (part-grain support hints dropped), mmr_rerank (per-round
-checkpoint pin), ivf_pq_recall (pq_residual IVFADC variant — schema
-change), theilsen_revenue_trend (approx-bracket exact median); (b) never-verified backlog — the three round-14 additions plus
-quality_classifier_scores, the one rows-only name with no driver row
-ever, seated once now that the tier accepts rows-only registrations
-(round-13 ADVICE item 2); (c) the flagship; (d) stalest-green backfill:
-the thirteen-name r8-tier remainder (round 13's DEFERRED_TO_R14) and 28
-of the r9 tier through priority_line_distribution, moving the staleness
-floor to r9.
+Round-15 policy (docs/ROUND15_ROTATION.md): (a) the changed tier — the
+exact-quantile memory-cliff retirement sites (winsorized_spend_stats,
+p99_quantile, theilsen_revenue_trend, quality_classifier_scores — all on
+the shared approx-bracket + exact-rank-pick helper) plus
+retrieval_graded_metrics (new system='rrf' rows); (b) never-verified
+backlog — the three round-15 additions (unigram_lm_em_rounds,
+rrf_fusion, crossmodal_retrieval_metrics); (c) the flagship; (d)
+stalest-green backfill: the nineteen-name r9-tier remainder (round 14's
+DEFERRED_TO_R15 head plus top_customers and union_by_name) and 22 of the
+r10 tier through ivf_knn, moving the staleness floor to r10.
 """
 
 import importlib.util
@@ -35,53 +34,57 @@ from pyspark_retention_pipeline_spark.registry import (
 DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) implementation changed in round 14 — plan-change rule makes seating
+# (a) implementation changed in round 15 — plan-change rule makes seating
 # mandatory (round-5 lesson). Update the moment a registered plan changes.
-CHANGED_R14: set[str] = {
-    "bm25_topk",  # vocab-grain df semi-joined to query tokens, hint dropped
-    "basket_lift",  # part-grain support broadcast hints dropped
-    "mmr_rerank",  # per-round localCheckpoint pin (census 361 -> 0)
-    "ivf_pq_recall",  # pq_residual IVFADC variant (schema change)
-    "theilsen_revenue_trend",  # approx-bracket exact-median recipe
+CHANGED_R15: set[str] = {
+    "winsorized_spend_stats",  # p01/p99 cutoffs on exact_quantile_frame
+    "p99_quantile",  # grouped exact side on the helper (bracket per flag)
+    "theilsen_revenue_trend",  # helper refactor; sketch in ONE plan branch
+    "quality_classifier_scores",  # label median on the helper, pinned LM frame
+    "retrieval_graded_metrics",  # new system='rrf' rows (hybrid fusion graded)
 }
 
-# (b) never-driver-verified backlog: round-14 additions plus the ONE
-# rows-only name with no driver row ever (round-13 ADVICE item 2 — the
-# tier now seats rows-only registrations once).
-BACKLOG_R14: set[str] = {
-    "neardup_edit_verify",  # new in round 14 (Levenshtein verify rung)
-    "retrieval_graded_metrics",  # new in round 14 (MRR/nDCG scorecard)
-    "quality_classifier_scores",  # rows-only seat (no driver row before)
-    "packing_efficiency_report",  # new in round 14 (truncation-loss scorecard)
+# (b) never-driver-verified backlog: the round-15 additions (the tier
+# seats rows-only registrations once too — none this round; all three
+# are oracle-backed).
+BACKLOG_R15: set[str] = {
+    "unigram_lm_em_rounds",  # new in round 15 (SentencePiece-style EM trainer)
+    "rrf_fusion",  # new in round 15 (hybrid reciprocal-rank fusion)
+    "crossmodal_retrieval_metrics",  # new in round 15 (two-tower scorecard)
 }
 
 # (c) flagship continuity slot — in the window every round.
 FLAGSHIP = {"churn_features"}
 
-# Boundary-tier backfill deferred to round 15: the changed-tier and
-# never-verified seats leave 42 backfill seats, absorbing the whole
-# thirteen-name r8 remainder plus 29 of the r9 tier (through
-# recent90_agg); the next r9 names in (round, name) order lead the
-# round-15 pool — the boundary test below checks they stay outside this
-# round's window.
-DEFERRED_TO_R15 = {
-    "recent90_agg",  # r9 tier past priority_line_distribution
-    "recent_window",
-    "regex_token_count",
-    "retained_buyers_intersect",
-    "returned_parts_distinct",
-    "revenue_by_nation",
-    "revenue_share",
-    "running_total",
-    "salted_supplier_agg",
-    "segment_case",
-    "segment_metrics_unpivot",
-    "sql_expr_filter",
-    "string_ops",
-    "supplier_balance_by_nation",
-    "threshold_pred",
-    "threshold_sweep",
-    "token_classes",
+# Boundary-tier backfill deferred to round 16: the changed-tier and
+# never-verified seats leave 41 backfill seats, absorbing the whole
+# nineteen-name r9 remainder plus 22 of the r10 tier (through ivf_knn);
+# the next r10 names in (round, name) order lead the round-16 pool — the
+# boundary test below checks they stay outside this round's window.
+DEFERRED_TO_R16 = {
+    "json_props",  # r10 tier past ivf_knn
+    "knn_bruteforce",
+    "lang_mix_sample",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "market_share",
+    "median_order_value",
+    "monthly_revenue",
+    "moving_avg_order_value",
+    "ngram_contamination",
+    "order_count_distribution",
+    "order_rollup",
+    "orders_per_weekday",
+    "pricing_summary",
+    "promo_revenue_share",
+    "quality_score",
+    "returned_items_top_customers",
+    "segments_by_revenue",
+    "shipping_priority",
+    "small_qty_part_revenue",
+    "sql_api_revenue",
+    "token_topk",
+    "volume_shipping",
 }
 
 
@@ -113,28 +116,25 @@ def test_front_fills_driver_window_exactly():
 
 def test_changed_backlog_and_flagship_inside_driver_window():
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    missing = (CHANGED_R14 | BACKLOG_R14 | FLAGSHIP) - window
+    missing = (CHANGED_R15 | BACKLOG_R15 | FLAGSHIP) - window
     assert not missing, f"mandatory seats outside driver window: {missing}"
 
 
 def test_backlog_is_oracle_backed():
-    """Backlog entries carry oracles, with ONE documented exception this
-    round: quality_classifier_scores is rows-only BY DESIGN (MLlib
-    training — not SQL-expressible; pinned by planted-separability and
-    LM-agreement tests) and is seated once for its first-ever driver row
-    (round-13 ADVICE item 2). Everything else must be oracle-backed — a
-    rows-only seat is otherwise a burnt slot."""
-    missing = BACKLOG_R14 - set(all_oracle_sql())
-    assert missing == {"quality_classifier_scores"}, (
-        f"unexpected rows-only backlog entries: {missing}"
-    )
+    """Backlog entries carry oracles — no rows-only exception this round
+    (round 14's one-time quality_classifier_scores seat is done; it now
+    re-seats only on change, which round 15's changed tier does). A
+    rows-only backlog seat without the one-time rationale is a burnt
+    slot."""
+    missing = BACKLOG_R15 - set(all_oracle_sql())
+    assert not missing, f"unexpected rows-only backlog entries: {missing}"
 
 
 def test_deferred_backfill_outside_window():
     qs = all_queries()
-    assert DEFERRED_TO_R15 <= set(qs)
+    assert DEFERRED_TO_R16 <= set(qs)
     window = set(list(qs)[:DRIVER_WINDOW])
-    overlap = DEFERRED_TO_R15 & window
+    overlap = DEFERRED_TO_R16 & window
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
