@@ -137,6 +137,17 @@ HEADLINE = [
     # in the headline watch (lever (a) — regr_names capped at 5 — taken
     # in the same commit per docs/ROUND14_ROTATION.md).
     "neardup_edit_verify",
+    # round 15 (lever (b) — long nlfl lists ride as a count — taken in
+    # the same commit per docs/ROUND15_ROTATION.md): the hybrid-fusion
+    # ranking (bm25 + dense scan composition — the widest retrieval
+    # plan), the unigram-LM EM trainer (checkpoint-ladder lattice joins;
+    # all work at action time — each bench rep reconstructs and
+    # re-materializes the chain, unlike the compute-at-build exclusions
+    # above), and the two-tower cross-modal scorecard (corpus-grain
+    # conditional-count ranking — guards the no-per-query-window shape).
+    "rrf_fusion",
+    "unigram_lm_em_rounds",
+    "crossmodal_retrieval_metrics",
 ]
 
 # Queries whose implementation changed since the previous driver-recorded
@@ -305,7 +316,9 @@ def emit_line(result: dict) -> str:
     artifact):
 
     * ``vs_baseline.nlfl`` — names-only ``not_like_for_like`` (prose
-      reasons in ``NOT_LIKE_FOR_LIKE``/the local artifact);
+      reasons in ``NOT_LIKE_FOR_LIKE``/the local artifact); when the
+      list exceeds 4 names it degrades to ``nlfl_n`` (a count — lever
+      (b), round 15, taken with the three round-15 headline additions);
     * ``vs_baseline.regr_names`` — names of queries with a >1.5×
       like-for-like ratio; the ratios themselves are derivable from this
       round's and the baseline round's ``queries`` maps;
@@ -341,15 +354,26 @@ def emit_line(result: dict) -> str:
         # input dict is never mutated — the full artifact is dumped to
         # docs/BENCH_LOCAL.json after the line prints.
         regr_all = sorted(full.get("regressions_gt_1.5x", {}))
+        nlfl_all = sorted(full.get("not_like_for_like", {}))
         vs = {
             "baseline_round": full.get("baseline_round"),
             "total_ratio": full.get("total_ratio"),
-            "nlfl": sorted(full.get("not_like_for_like", {})),
             # Lever (a), round 14: the line carries at most 5 regression
             # names (ratios are derivable from the two rounds' queries
             # maps; the full dict always rides docs/BENCH_LOCAL.json).
             "regr_names": regr_all[:5],
         }
+        # Lever (b), round 15 (docs/ROUND15_ROTATION.md), taken with the
+        # three round-15 headline additions: a LONG not-like-for-like
+        # list rides the line as a count only — the names (and prose
+        # reasons) always live in bench.NOT_LIKE_FOR_LIKE and the local
+        # artifact, and the driver gate reads only the totals. Short
+        # lists (the realistic case; every round so far is ≤5) still
+        # ride names-only.
+        if len(nlfl_all) > 4:
+            vs["nlfl_n"] = len(nlfl_all)
+        else:
+            vs["nlfl"] = nlfl_all
         if len(regr_all) > 5:
             vs["regr_capped_at_5"] = True
         line_result["vs_baseline"] = vs
@@ -363,6 +387,7 @@ def emit_line(result: dict) -> str:
     # that); this guarantees the line parses even in pathological rounds.
     if len(line) > budget and vs is not None:
         vs.pop("nlfl", None)
+        vs.pop("nlfl_n", None)
         line = dump()
     if len(line) > budget:
         # Final resort: the driver contract keys alone always fit.

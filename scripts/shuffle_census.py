@@ -43,6 +43,11 @@ SKIP = {
     # kmeans_lloyd_curve).
     "bpe_merge_rounds",
     "bpe_encode_stats",
+    # unigram_lm_em_rounds: the EM ladder pins every round's piece
+    # inventory and lattice behind lazy localCheckpoints (LogicalRDD
+    # leaves), so the returned scorecard censuses as a vacuous count —
+    # same class as bpe_merge_rounds.
+    "unigram_lm_em_rounds",
     # kcenter_coreset / part_pagerank_rounds: driver-loop iterative ops
     # whose state chains through lazy localCheckpoints (LogicalRDD
     # leaves) — the returned plan censuses as a vacuous count exactly

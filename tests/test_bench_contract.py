@@ -90,6 +90,25 @@ def test_regr_names_capped_at_5_with_flag():
     assert len(vs5["regr_names"]) == 5 and "regr_capped_at_5" not in vs5
 
 
+def test_nlfl_degrades_to_count_past_4_names():
+    """Lever (b), round 15 (docs/ROUND15_ROTATION.md), taken with the
+    three round-15 headline additions: a not-like-for-like list longer
+    than 4 names rides the line as ``nlfl_n`` (a count); at ≤4 the names
+    ride as before. Names + prose reasons always live in
+    bench.NOT_LIKE_FOR_LIKE and docs/BENCH_LOCAL.json."""
+    bench = _bench()
+    h = list(bench.HEADLINE)
+    vs4 = json.loads(
+        bench.emit_line(_result(bench, new=[], nlfl=h[:4], regressed=[], t=9.9))
+    )["vs_baseline"]
+    assert sorted(vs4["nlfl"]) == sorted(h[:4]) and "nlfl_n" not in vs4
+    result5 = _result(bench, new=[], nlfl=h[:5], regressed=[], t=9.9)
+    vs5 = json.loads(bench.emit_line(result5))["vs_baseline"]
+    assert vs5["nlfl_n"] == 5 and "nlfl" not in vs5
+    # the full dict bound for BENCH_LOCAL.json keeps every name + reason
+    assert len(result5["vs_baseline"]["not_like_for_like"]) == 5
+
+
 def test_realistic_round_fits_without_degradation():
     """A realistic round (≤8 new, ≤8 nlfl, ≤4 regressions, sub-10s
     timings) must fit WITHOUT shedding any detail. When this fails, the
@@ -126,13 +145,17 @@ def test_realistic_round_fits_without_degradation():
     assert "run_spread_med_pct" not in parsed
     assert result["run_spread_med_pct"] == 99.9
     assert vs["total_ratio"] == 99.999
-    assert sorted(vs["nlfl"]) == sorted(h[8:16])
+    # Lever (b), round 15: 8 nlfl names exceed the 4-name cap, so the
+    # line carries the count; the names stay in NOT_LIKE_FOR_LIKE + the
+    # local artifact.
+    assert vs["nlfl_n"] == 8 and "nlfl" not in vs
     assert sorted(vs["regr_names"]) == sorted(h[16:20])
     assert "regr_capped_at_5" not in vs
     assert parsed["queries"][h[0]] == round(9.999, 2)
-    # Prose reasons and ratios never ride the line — names only (full
-    # detail lives in bench.NOT_LIKE_FOR_LIKE and docs/BENCH_LOCAL.json).
-    assert isinstance(vs["nlfl"], list) and isinstance(vs["regr_names"], list)
+    # Prose reasons and ratios never ride the line — names (or the
+    # lever-(b) count) only; full detail lives in bench.NOT_LIKE_FOR_LIKE
+    # and docs/BENCH_LOCAL.json.
+    assert isinstance(vs["regr_names"], list)
     # emit_line must not mutate its input: the full artifact is dumped to
     # docs/BENCH_LOCAL.json AFTER the line is printed.
     assert len(result["vs_baseline"]["new_queries"]) == 8
