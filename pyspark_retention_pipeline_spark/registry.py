@@ -55,14 +55,16 @@ _REGISTRY: dict[str, Query] = {}
 # plan branch), quality_classifier_scores (rows-only; label median on
 # the helper over a pinned LM frame) — plus retrieval_graded_metrics
 # (new system='rrf' rows grading the hybrid fusion); the never-verified
-# tier seats the three round-15 additions (unigram_lm_em_rounds — the
+# tier seats the four round-15 additions (unigram_lm_em_rounds — the
 # SentencePiece-style EM trainer — rrf_fusion — hybrid reciprocal-rank
-# fusion — and crossmodal_retrieval_metrics — the two-tower
-# media-to-text scorecard); then the flagship and 41 stalest-green
+# fusion — weighted_score_fusion — the normalized-convex score-aware
+# sibling — and crossmodal_retrieval_metrics — the two-tower
+# media-to-text scorecard); then the flagship and 40 stalest-green
 # backfill seats — the nineteen-name r9-tier remainder (round 14's
 # DEFERRED_TO_R15 head recent90_agg … token_classes plus top_customers
-# and union_by_name) and 22 of the r10 tier in (round, name) order from
-# ann_recall_report through ivf_knn, moving the staleness floor to r10.
+# and union_by_name) and 21 of the r10 tier in (round, name) order from
+# ann_recall_report through intradoc_dedup_rewrite, moving the
+# staleness floor to r10.
 # Further new or plan-changed queries re-derive this window (update
 # CHANGED in the script config, re-run, re-paste).
 _FRONT: tuple[str, ...] = (
@@ -73,6 +75,7 @@ _FRONT: tuple[str, ...] = (
     "retrieval_graded_metrics",
     "unigram_lm_em_rounds",
     "rrf_fusion",
+    "weighted_score_fusion",
     "crossmodal_retrieval_metrics",
     "churn_features",
     "recent90_agg",
@@ -115,7 +118,6 @@ _FRONT: tuple[str, ...] = (
     "hash_sample",
     "incremental_dedup",
     "intradoc_dedup_rewrite",
-    "ivf_knn",
 )
 
 

@@ -67,8 +67,11 @@ ROUND = 15
 # fusion against the bm25 relevance set. packing_efficiency_report's
 # _PACK_STRATEGIES cleanup (round-14 ADVICE item 4) is deliberately NOT
 # here: the labels-only refactor produces a byte-identical plan. New
-# queries (rrf_fusion, unigram_lm_em_rounds, crossmodal_retrieval_metrics)
-# enter via the never-verified tier automatically and do NOT belong here.
+# queries (rrf_fusion, weighted_score_fusion, unigram_lm_em_rounds,
+# crossmodal_retrieval_metrics) enter via the never-verified tier
+# automatically and do NOT belong here. (The _dense_scored refactor the
+# weighted fusion introduced leaves rrf_fusion's plan unchanged — a
+# rank-only projection the optimizer collapses.)
 CHANGED: tuple[str, ...] = (
     "winsorized_spend_stats",
     "p99_quantile",

@@ -15,11 +15,12 @@ exact-quantile memory-cliff retirement sites (winsorized_spend_stats,
 p99_quantile, theilsen_revenue_trend, quality_classifier_scores — all on
 the shared approx-bracket + exact-rank-pick helper) plus
 retrieval_graded_metrics (new system='rrf' rows); (b) never-verified
-backlog — the three round-15 additions (unigram_lm_em_rounds,
-rrf_fusion, crossmodal_retrieval_metrics); (c) the flagship; (d)
-stalest-green backfill: the nineteen-name r9-tier remainder (round 14's
-DEFERRED_TO_R15 head plus top_customers and union_by_name) and 22 of the
-r10 tier through ivf_knn, moving the staleness floor to r10.
+backlog — the four round-15 additions (unigram_lm_em_rounds,
+rrf_fusion, weighted_score_fusion, crossmodal_retrieval_metrics); (c)
+the flagship; (d) stalest-green backfill: the nineteen-name r9-tier
+remainder (round 14's DEFERRED_TO_R15 head plus top_customers and
+union_by_name) and 21 of the r10 tier through intradoc_dedup_rewrite,
+moving the staleness floor to r10.
 """
 
 import importlib.util
@@ -50,6 +51,7 @@ CHANGED_R15: set[str] = {
 BACKLOG_R15: set[str] = {
     "unigram_lm_em_rounds",  # new in round 15 (SentencePiece-style EM trainer)
     "rrf_fusion",  # new in round 15 (hybrid reciprocal-rank fusion)
+    "weighted_score_fusion",  # new in round 15 (normalized convex fusion)
     "crossmodal_retrieval_metrics",  # new in round 15 (two-tower scorecard)
 }
 
@@ -57,12 +59,14 @@ BACKLOG_R15: set[str] = {
 FLAGSHIP = {"churn_features"}
 
 # Boundary-tier backfill deferred to round 16: the changed-tier and
-# never-verified seats leave 41 backfill seats, absorbing the whole
-# nineteen-name r9 remainder plus 22 of the r10 tier (through ivf_knn);
-# the next r10 names in (round, name) order lead the round-16 pool — the
-# boundary test below checks they stay outside this round's window.
+# never-verified seats leave 40 backfill seats, absorbing the whole
+# nineteen-name r9 remainder plus 21 of the r10 tier (through
+# intradoc_dedup_rewrite); the next r10 names in (round, name) order
+# lead the round-16 pool — the boundary test below checks they stay
+# outside this round's window.
 DEFERRED_TO_R16 = {
-    "json_props",  # r10 tier past ivf_knn
+    "ivf_knn",  # r10 tier past intradoc_dedup_rewrite
+    "json_props",
     "knn_bruteforce",
     "lang_mix_sample",
     "large_volume_customers",

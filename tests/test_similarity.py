@@ -1118,12 +1118,14 @@ def test_mmr_rerank_prefers_diversity_and_matches_reference(spark, monkeypatch):
 def test_retrieval_graded_metrics_matches_python(spark, monkeypatch):
     """Pure-python replication of the graded scorecard on a planted corpus:
     relevance sets (integer cross-multiplied Jaccard >= 9/10 for BM25;
-    micro-unit cosine top-GR_MMR_REL for MMR) and the MRR@k / nDCG@k
-    computation (independent gains from math.log2) are recomputed from the
-    raw planted data; the graded RANKINGS are taken from bm25_topk /
-    mmr_rerank, each already pinned by its own replication test. Also pins
-    the invariants: BM25 self-retrieval and MMR's pick-1-is-argmax both
-    force MRR@1 = 1.0."""
+    micro-unit cosine top-GR_MMR_REL for MMR; the bm25 set again for the
+    two hybrid fusions) and the MRR@k / nDCG@k computation (independent
+    gains from math.log2) are recomputed from the raw planted data; the
+    graded RANKINGS are taken from bm25_topk / mmr_rerank / rrf_fusion /
+    weighted_score_fusion, each already pinned by its own replication
+    test. Also pins the invariants: BM25 self-retrieval, MMR's
+    pick-1-is-argmax, and both fusions' self-match (rank 1 in BOTH input
+    systems) force MRR@1 = 1.0."""
     import math
 
     import numpy as np
@@ -1216,11 +1218,35 @@ def test_retrieval_graded_metrics_matches_python(spark, monkeypatch):
                 )
         return out
 
-    want = expect("bm25", bm_ranked, brel) | expect("mmr", mm_ranked, mrel)
+    # the hybrid fusions' rankings from their own (replication-tested)
+    # operators, graded against the SAME bm25 relevance set
+    rrf_ranked: dict[int, list[int]] = {}
+    for r in sorted(
+        sim.rrf_fusion(spark, "x").collect(),
+        key=lambda r: (r.query_id, r.fused_rank),
+    ):
+        rrf_ranked.setdefault(r.query_id, []).append(r.doc_id)
+    wsf_ranked: dict[int, list[int]] = {}
+    for r in sorted(
+        sim.weighted_score_fusion(spark, "x").collect(),
+        key=lambda r: (r.query_id, r.fused_rank),
+    ):
+        wsf_ranked.setdefault(r.query_id, []).append(r.doc_id)
+
+    want = (
+        expect("bm25", bm_ranked, brel)
+        | expect("mmr", mm_ranked, mrel)
+        | expect("rrf", rrf_ranked, brel)
+        | expect("wsf", wsf_ranked, brel)
+    )
     assert got == want
     # invariant pins
     for q in range(tx.BM25_QUERIES):
         assert got[("bm25", 1, q)][1] == 1.0  # self-retrieval
+        # the self-match leads BOTH input rankings, so every monotone
+        # fusion must keep it at rank 1
+        assert got[("rrf", 1, q)][1] == 1.0
+        assert got[("wsf", 1, q)][1] == 1.0
     for q in range(sim.N_QUERIES):
         assert got[("mmr", 1, q)][1] == 1.0  # pick 1 = relevance argmax
     # the planted near-dups (1, 4) are relevant to query 0, doc 2/3 are not
@@ -1289,6 +1315,126 @@ def test_rrf_fusion_matches_pure_python(spark, sf_dir):
     # the fusion must actually mix systems somewhere (n_systems = 2 rows
     # exist): the self-match of every query is ranked by BOTH views
     assert any(n == 2 for (_, _, _, n, _) in got)
+
+
+def test_wsf_self_fusion_reproduces_ranking(spark, sf_dir):
+    """Weighted-score fusion invariant: fusing a scored list with ITSELF
+    yields fused_num = 2·n·D' — strictly monotone in the original score —
+    so the self-fusion must reproduce the list's (score DESC, doc_id)
+    order exactly."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        _bm25_scored,
+        wsf_fuse,
+    )
+    from pyspark_retention_pipeline_spark.operators.text import BM25_TOP_K
+
+    base = _bm25_scored(spark, sf_dir)
+    want = {}
+    by_q: dict[int, list] = {}
+    for r in base.collect():
+        by_q.setdefault(r["query_id"], []).append((-r["sc"], r["doc_id"]))
+    for q, rows in by_q.items():
+        for rank, (_, d) in enumerate(sorted(rows)[:BM25_TOP_K], 1):
+            want[(q, rank)] = d
+    fused = wsf_fuse(base, base, BM25_TOP_K).collect()
+    got = {(r["query_id"], r["fused_rank"]): r["doc_id"] for r in fused}
+    assert got == want, "self-fusion changed the ranking"
+    assert all(r["n_systems"] == 2 for r in fused)
+
+
+def _wsf_python(a_rows, b_rows, top_k):
+    """Pure-python weighted-score fusion: (query_id, doc_id, sc) tuples in,
+    {(query_id, rank, doc_id, n_systems, score)} out — the exact integer
+    common-denominator arithmetic the operator documents."""
+    def stats(rows):
+        st: dict[int, tuple[int, int, bool]] = {}
+        by_q: dict[int, list[int]] = {}
+        for q, _, s in rows:
+            by_q.setdefault(q, []).append(s)
+        for q, vals in by_q.items():
+            st[q] = (min(vals), max(max(vals) - min(vals), 1),
+                     max(vals) == min(vals))
+        return st
+
+    sa, sb = stats(a_rows), stats(b_rows)
+    av = {(q, d): s for q, d, s in a_rows}
+    bv = {(q, d): s for q, d, s in b_rows}
+    out: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for (q, d) in set(av) | set(bv):
+        amin, adp, azero = sa.get(q, (0, 1, False))
+        bmin, bdp, bzero = sb.get(q, (0, 1, False))
+        na = 0 if (q, d) not in av else (1 if azero else av[(q, d)] - amin)
+        nb = 0 if (q, d) not in bv else (1 if bzero else bv[(q, d)] - bmin)
+        out[(q, d)] = (
+            na * bdp + nb * adp,
+            2 * adp * bdp,
+            ((q, d) in av) + ((q, d) in bv),
+        )
+    by_q2: dict[int, list] = {}
+    for (q, d), (num, den, n) in out.items():
+        by_q2.setdefault(q, []).append((-num, d, den, n))
+    want = set()
+    for q, rows in by_q2.items():
+        for rank, (neg, d, den, n) in enumerate(sorted(rows)[:top_k], 1):
+            want.add((q, rank, d, n, -neg / den))
+    return want
+
+
+def test_wsf_fusion_matches_pure_python(spark, sf_dir):
+    """Pure-python replication of the full weighted-score hybrid: collect
+    both scored lists, fuse with the exact common-denominator integers in
+    python, require identical (rank, doc, n_systems, score) rows."""
+    from pyspark_retention_pipeline_spark.operators.similarity import (
+        _bm25_scored,
+        _dense_scored,
+    )
+    from pyspark_retention_pipeline_spark.operators.text import BM25_TOP_K
+    from pyspark_retention_pipeline_spark.registry import all_queries
+
+    a_rows = [
+        (r["query_id"], r["doc_id"], r["sc"])
+        for r in _bm25_scored(spark, sf_dir).collect()
+    ]
+    b_rows = [
+        (r["query_id"], r["doc_id"], r["su"])
+        for r in _dense_scored(spark, sf_dir).collect()
+    ]
+    want = _wsf_python(a_rows, b_rows, BM25_TOP_K)
+    got = {
+        (r["query_id"], r["fused_rank"], r["doc_id"], r["n_systems"],
+         r["wsf_score"])
+        for r in all_queries()["weighted_score_fusion"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # scores must actually mix systems (n_systems = 2 on the self-match)
+    assert any(n == 2 for (_, _, _, n, _) in got)
+
+
+def test_wsf_degenerate_and_missing_rows(spark):
+    """Planted edge cases the real workload may not exercise: a query
+    whose system-A list is ALL-TIED (D = 0 → every member normalizes to
+    1, the fused order decided by system B alone) and docs retrieved by
+    only one system (missing side scores 0). Replicated in python with
+    the same integer arithmetic."""
+    from pyspark_retention_pipeline_spark.operators.similarity import wsf_fuse
+
+    # q1: A all-tied at 7 over docs {1,2,3}; B separates {2,3,4}.
+    # q2: disjoint singletons — pure missing-side behavior.
+    a_rows = [(1, 1, 7), (1, 2, 7), (1, 3, 7), (2, 10, 100)]
+    b_rows = [(1, 2, 50), (1, 3, 90), (1, 4, 10), (2, 11, 5)]
+    a = spark.createDataFrame(a_rows, "query_id INT, doc_id INT, sc LONG")
+    b = spark.createDataFrame(b_rows, "query_id INT, doc_id INT, sc LONG")
+    got = {
+        (r["query_id"], r["fused_rank"], r["doc_id"], r["n_systems"],
+         r["wsf_score"])
+        for r in wsf_fuse(a, b, 10).collect()
+    }
+    assert got == _wsf_python(a_rows, b_rows, 10)
+    # q1: doc 3 (tied A=1, best B) must beat doc 2 (tied A=1, mid B),
+    # which beats doc 1 (A only), which beats doc 4 (worst-B only: nb=0
+    # ties doc 1's missing-B 0 but A-membership adds a full unit).
+    order = [d for (q, _, d, _, _) in sorted(got) if q == 1]
+    assert order == [3, 2, 1, 4]
 
 
 def test_crossmodal_metrics_detect_planted_alignment(spark):
