@@ -2420,7 +2420,10 @@ def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- BM25 side: ranks from the operator's own output (s/1e6 preserves
     # the integer-score order), relevance from exact token-set Jaccard.
-    bm = bm25_topk(spark, sf_dir)
+    # Pinned: the ≤ queries×k list feeds branked (bm25 + rrf grading) AND
+    # the wsf score recovery — unpinned, the scoring joins + window re-ran
+    # per consumer (measured +~4 s at sf0.1 when the wsf rows landed).
+    bm = bm25_topk(spark, sf_dir).localCheckpoint(eager=False)
     wb = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     branked = bm.select(
         "query_id", "doc_id", F.row_number().over(wb).alias("rank")
@@ -2507,7 +2510,10 @@ def retrieval_graded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # direct measurement of what the dense fusion buys (or costs). The
     # lexical rank frame is THIS scorecard's own branked — shared, so the
     # graded system and the fused system cannot drift.
-    dense = _dense_scored(spark, sf_dir)
+    # Pinned: the dense ≤ queries×k list feeds the rrf union and BOTH wsf
+    # traversals (list + normalization stats) — unpinned, the corpus-scan
+    # crossJoin + rank window re-ran per consumer.
+    dense = _dense_scored(spark, sf_dir).localCheckpoint(eager=False)
     rfused = rrf_fuse(
         [branked, dense.select("query_id", "doc_id", "rank")], BM25_TOP_K
     )
