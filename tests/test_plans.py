@@ -141,6 +141,18 @@ BROADCAST_BOUNDEDNESS_EXEMPT: dict[str, frozenset[str]] = {
             "Filter[vec_id]>LogicalRDD",
         }
     ),
+    # weighted-score fusion: the SAME three reviewed slices — it consumes
+    # the same bm25_topk chain (query-side doc_id < BM25_QUERIES slices)
+    # and the same _dense_scored frame (vec_id < BM25_QUERIES slice of
+    # the pinned norm frame); the fusion's own stats/pairing joins carry
+    # no hints.
+    "weighted_score_fusion": frozenset(
+        {
+            "Filter[doc_id]>documents",
+            "Deduplicate[token]>Filter[doc_id]>documents",
+            "Filter[vec_id]>LogicalRDD",
+        }
+    ),
     # Misra-Gries candidate set: ≤ #partitions × (MG_K+1) rows by the
     # sketch's decrement bound (operators/text.py heavy_hitters_frame).
     "heavy_hitter_tokens": frozenset(
@@ -730,6 +742,10 @@ CROSS_JOIN_EXEMPT = {
     # crossJoin's right side is the literal vec_id < BM25_QUERIES slice of
     # the pinned norm frame, broadcast; the corpus side is scanned ONCE)
     "rrf_fusion",
+    # weighted_score_fusion consumes the identical _dense_scored scan —
+    # same literal-slice broadcast-query crossJoin, corpus scanned ONCE;
+    # its own full-outer pairing and stats joins are query-grain equi-joins
+    "weighted_score_fusion",
     # mmr_rerank's candidate pool is the same broadcast-query scan
     # (NOT(query_id = vec_id) the only condition); everything downstream
     # of the ≤ N_QUERIES×MMR_CAND pool is sliver-sized, and its
