@@ -1437,6 +1437,44 @@ def test_wsf_degenerate_and_missing_rows(spark):
     assert order == [3, 2, 1, 4]
 
 
+def test_wsf_randomized_agreement(spark):
+    """Seeded randomized corpora (the exact_quantile_frame bit-identity
+    precedent): random integer-scored lists with ties, negative scores,
+    asymmetric membership, and occasional all-tied queries must fuse
+    identically to the pure-python integer arithmetic — catches any drift
+    between the Spark CASE/COALESCE chain and the documented algebra that
+    the planted cases don't reach."""
+    import random
+
+    from pyspark_retention_pipeline_spark.operators.similarity import wsf_fuse
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n_queries = rng.randint(1, 4)
+        a_rows, b_rows = [], []
+        for q in range(n_queries):
+            docs = rng.sample(range(40), rng.randint(1, 12))
+            tied = rng.random() < 0.3
+            base = rng.randint(-1_000_000, 1_000_000)
+            for d in docs:
+                if rng.random() < 0.8:
+                    a_rows.append(
+                        (q, d, base if tied else rng.randint(-10**9, 10**9))
+                    )
+                if rng.random() < 0.8:
+                    b_rows.append((q, d, rng.randint(-10**6, 10**6)))
+        if not a_rows or not b_rows:
+            continue
+        a = spark.createDataFrame(a_rows, "query_id INT, doc_id INT, sc LONG")
+        b = spark.createDataFrame(b_rows, "query_id INT, doc_id INT, sc LONG")
+        got = {
+            (r["query_id"], r["fused_rank"], r["doc_id"], r["n_systems"],
+             r["wsf_score"])
+            for r in wsf_fuse(a, b, 10).collect()
+        }
+        assert got == _wsf_python(a_rows, b_rows, 10), f"trial {trial}"
+
+
 def test_crossmodal_metrics_detect_planted_alignment(spark):
     """Planted aligned towers: each doc's 64-dim embedding carries its own
     md5 media feature in the first slot of every pooled group (zeros
