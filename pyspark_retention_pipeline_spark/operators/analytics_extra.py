@@ -171,7 +171,9 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the 4x-compressed ANN scan at scale. The scale is a 1-row aggregate
     broadcast onto the vectors; the error norm reuses the left-fold dot
     product that matches DuckDB's list_dot_product bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out: three 64-lane array transforms per row over a
+    # single-row-group scan (measured 0.44 → 0.23 s at sf0.1/32, tables.py).
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     vecs = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     scale = vecs.agg(
         (
@@ -1210,7 +1212,10 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×{BOOT_REPLICATES} explode is map-side and partially aggregated before
     the ≤ {BOOT_REPLICATES}-row shuffle; memory per task never exceeds one
     replicate-count accumulator row."""
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out: the ×BOOT_REPLICATES explode + md5 inverse-CDF weights are
+    # map-side over the scan; on a single-row-group file that whole stage
+    # runs on one core (measured 8.50 → 1.18 s at sf0.1/32, tables.py).
+    o = load_table(spark, sf_dir, "orders", fan_out=True)
     reps = F.explode(
         F.sequence(F.lit(0).cast("long"), F.lit(BOOT_REPLICATES - 1).cast("long"))
     )

@@ -1192,7 +1192,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND half-integer boundary would flip one qlr by 1 and could move
     the k-th selection boundary (ADVICE r11; never observed across the
     three gated SFs)."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: per-token hashed-bigram importance weights are map-side over
+    # this scan (measured 0.75 → 0.44 s at sf0.1/32, tables.py).
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).select(
@@ -1409,7 +1411,11 @@ def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     also validates the 64-bit span-hash identity; a 64-bit collision
     falsely removes a span — the accepted filtering-heuristic trade at
     P ≈ n_spans²/2⁶⁴, same as every hashed-gram operator here."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: token + span hashing and the posexplode all sit map-side on
+    # this scan (measured 1.18 → 0.96 s at sf0.1/32, tables.py; the
+    # _maximal cascade is NOT fanned out — its wall is Catalyst planning
+    # over the multi-k expression tree and fan-out regressed it +1.2 s).
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     spans = _gram_hash_frame(d, k=SPAN, with_pos=True).localCheckpoint(
         eager=False
     )  # one pin: frequency side + victim side

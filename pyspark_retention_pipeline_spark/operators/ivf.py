@@ -592,7 +592,10 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ULP divergence between the engines' raw cosine folds landing at a
     half-integer of cos·10⁶ flips one cell assignment (the accepted
     round-before-compare residual; see :func:`_lloyd_assign_sql`)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the K-cell argmax assignment is an in-row fold over this
+    # scan; single-row-group serializes it (measured 1.03 → 0.71 s at
+    # sf0.1/32, tables.py).
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     assigned = semdedup_assigned_frame(e)
     return semdedup_prune_frame(assigned, assigned)
 

@@ -732,7 +732,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.4, far below the high-similarity regime hyperplane LSH retrieves;
     docs/SCALE.md round-9 notes) — the REPORT is the product, the planted
     -twin recall property (tests/test_similarity.py) is the guarantee."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out: both scorecard sides run 64-dim dot folds against the
+    # 200-query broadcast over this scan; single-row-group means one core
+    # (measured 3.26 → 1.03 s at sf0.1/32, tables.py).
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     xn = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     q = xn.filter(F.col("vec_id") < ANN_EVAL_QUERIES).select(
@@ -1917,7 +1920,10 @@ def _dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import BM25_QUERIES, BM25_TOP_K
 
     xn = (
-        load_table(spark, sf_dir, "embeddings")
+        # fan_out: the broadcast-query cosine scan does queries×64 mults
+        # per corpus row on a single-row-group file (rrf_fusion measured
+        # 1.40 → 1.19 s, weighted_score_fusion 1.63 → 1.49 s, tables.py).
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .localCheckpoint(eager=False)  # query slice + corpus side

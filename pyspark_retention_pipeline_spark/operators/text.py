@@ -528,7 +528,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`minhash_signature_frame`) remains the scale path feeding
     :func:`minhash_candidates`: same staged-hash plan shape, one cheap JVM
     hash per token instead of md5+conv, signatures as a packed array."""
-    g = _portable_min_frame(load_table(spark, sf_dir, "documents"))
+    # fan_out: the 32-lane per-token min fold runs map-side over this scan
+    # (measured 0.78 → 0.63 s at sf0.1/32, tables.py).
+    g = _portable_min_frame(load_table(spark, sf_dir, "documents", fan_out=True))
     packed = F.array(
         *[
             F.struct(
@@ -1337,7 +1339,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint set — rows-only upgraded to oracle-checked. Same staged,
     O(tokens) plan shape as :func:`winnowing_fingerprint_frame` (the
     xxhash64 array library form kept for composition)."""
-    staged = _portable_token_hash_frame(load_table(spark, sf_dir, "documents"))
+    # fan_out: k-gram hashing + the winnowing window fold are map-side over
+    # this scan (measured 0.78 → 0.25 s at sf0.1/32, tables.py).
+    staged = _portable_token_hash_frame(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
     kgrams = staged.select(
         "doc_id", _portable_kgram_array(WINNOW_K).alias("kh")
     )

@@ -408,7 +408,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes pairs to 8-byte longs exactly like ``_gram_hash_frame``.
     Documents with fewer than two tokens have no bigrams and are excluded.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: per-document bigram explode + hash runs map-side over this
+    # scan (measured 0.80 → 0.63 s at sf0.1/32, tables.py).
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     bg = _bigram_frame(d)
     # c2 feeds both the context totals and the lp join — pin ONE
     # materialization (the unigram vocab-count precedent) so the bigram

@@ -12,6 +12,8 @@ plus ``events`` / ``documents`` / ``embeddings``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -133,20 +135,92 @@ _EPOCH_US_SANE_MAX = 4_000_000_000_000_000
 
 TABLES = tuple(SCHEMAS)
 
+# Scan fan-out window (round-15 optimization; guide §2.5 "unsplittable
+# input"). A parquet file with a single row group cannot be split by byte
+# range — Spark assigns every row to the one task whose split contains the
+# row-group midpoint — so the whole MAP side of a query (filters,
+# projections, per-row compute like a hash fold or 10⁵-element dot
+# products, partial aggregation) runs on ONE core no matter how many the
+# session has. All testdata tables are exactly that shape (one file, one
+# row group; measured at sf0.1: every table scans as non_empty=1
+# partition). For scans that feed heavy per-row compute the loader
+# round-robins a single-file table to the session's default parallelism
+# right after the read — the guide's own prescription for unsplittable
+# inputs ("repartition immediately after the read").
+#
+# OPT-IN per call site, not blanket: a round-15 interleaved A/B over the
+# registry showed the exchange pays for itself only where the per-row
+# compute above the scan is heavy (measured wins at sf0.1/32 cores:
+# bootstrap_revenue_ci 8.50→1.18 s, ann_recall_report 3.26→1.03 s,
+# winnowing_fingerprints 0.78→0.25 s), while for cheap map work it is a
+# pure regression — the extra 32-task stage, the serial shuffle write of
+# the table, and one more AQE stage re-optimization cost ~0.3–0.9 s
+# (dedup_exact 0.40→1.31 s, customer_rfm 0.38→1.06 s), and for queries
+# whose wall is driver-side plan processing of huge expression trees
+# (simhash64, crossdoc_span_rewrite_maximal) parallelism cannot help at
+# all (sig fold over a pre-materialized 32-partition input: 1.09→0.82 s —
+# the rest of that wall is Catalyst, not compute).
+#
+# The window is additionally bounded on BOTH sides so the opt-in is
+# scale-adaptive, never a local[32] constant:
+#   * below FANOUT_MIN_BYTES (default 256 KiB) the table processes in
+#     milliseconds on one core and the exchange would cost more than it
+#     frees (dimension tables; everything at sf0.001, which also keeps the
+#     shuffle census and the plan-invariant suite — both defined at
+#     sf0.001 — byte-identical);
+#   * above FANOUT_MAX_BYTES (default 256 MiB), and for directory layouts
+#     (the only way 100 TB arrives), the input already yields >= one task
+#     per row group / file and the loader leaves it alone.
+# Both bounds are env-tunable for cluster postures where the defaults are
+# wrong (e.g. a fat single-file extract on a small cluster).
+_FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(256 * 1024)))
+_FANOUT_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(256 * 1024 * 1024))
+)
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _scan_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin a single-file, fan-out-window-sized scan to the session's
+    default parallelism (see the window comment above). Filters and column
+    pruning still reach the parquet scan — Catalyst pushes deterministic
+    predicates and pruning projections through a Repartition — and the
+    repartition count follows ``defaultParallelism``, so the driver's
+    lower-core bench runs keep a consistent shape."""
+    try:
+        if not os.path.isfile(path):
+            return df
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return df
+    if not (_FANOUT_MIN_BYTES <= nbytes <= _FANOUT_MAX_BYTES):
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if target <= 1:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Read one testdata table as a DataFrame.
 
     ``events`` comes back with ``ts_us`` (epoch microseconds, long) alongside
     the raw ``ts`` — event-time logic in this engine is done on integer
     epoch values, which are time-zone-free and compare exactly across engines
     (external oracles store timestamps at microsecond precision).
-    """
+
+    ``fan_out=True`` opts the scan into the single-row-group fan-out (see
+    :func:`_scan_fan_out`) — for call sites whose per-row compute above the
+    scan is heavy enough that serializing it on one task dominates the
+    query (measured per site; see the fan-out window comment)."""
     if name == "events":
-        return load_events(spark, sf_dir)
+        return load_events(spark, sf_dir, fan_out=fan_out)
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    return _scan_fan_out(spark, df, path) if fan_out else df
 
 
 def _events_footer_probe(path: str):
@@ -199,7 +273,7 @@ def _assert_sane_epoch_us(value: int, path: str) -> None:
         )
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(spark: SparkSession, sf_dir: str, fan_out: bool = False) -> DataFrame:
     """Events table read precision-proof: ``ts_us`` (epoch microseconds, long)
     is derived from the timestamp precision the parquet footer *actually*
     declares, never from an assumed unit.
@@ -241,7 +315,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
         )
     _assert_sane_epoch_us(min_us, path)
-    return df
+    return _scan_fan_out(spark, df, path) if fan_out else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
