@@ -624,3 +624,61 @@ def test_neardup_edit_verify_planted(spark, monkeypatch):
     assert got[(0, 6)] == (d, sim) and got[(3, 6)] == (d, sim)
     assert 0.0 < sim < 1.0
     assert not any(9 in p or 4 in p for p in got)
+
+
+def test_myers_edit_distance_exact():
+    """The round-15 Myers bit-parallel swap must be VALUE-identical to the
+    classic O(m·n) DP (and hence to Spark's ``levenshtein`` and the DuckDB
+    oracle's): edge cases, unicode code points, and a seeded randomized
+    sweep across length ranges that cross typical word boundaries."""
+    import random
+
+    from pyspark_retention_pipeline_spark.operators.text import (
+        _myers_edit_distance as myers,
+    )
+
+    def classic(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    assert myers("", "") == 0
+    assert myers("", "abc") == 3
+    assert myers("abc", "") == 3
+    assert myers("kitten", "sitting") == 3
+    assert myers("flaw", "lawn") == 2
+    # non-ASCII code points count as single characters on both sides
+    assert myers("café", "cafe") == 1
+    assert myers("日本語", "日語") == 1
+
+    rng = random.Random(151)
+    alphabet = "ab cdé"
+    for _ in range(300):
+        la, lb = rng.randint(0, 80), rng.randint(0, 80)
+        a = "".join(rng.choice(alphabet) for _ in range(la))
+        b = "".join(rng.choice(alphabet) for _ in range(lb))
+        assert myers(a, b) == classic(a, b), (a, b)
+
+
+def test_neardup_edit_verify_single_arrow_eval(spark, sf_dir):
+    """The DP crosses the Python boundary exactly once: one ArrowEvalPython
+    node (the Myers batch), never a duplicated evaluation (guide §4.4 —
+    ``edit_dist`` is bound to one column and ``edit_sim`` derives from it)
+    and never a pickled-row BatchEvalPython."""
+    import pyspark_retention_pipeline_spark.operators.text as tx
+    from pyspark_retention_pipeline_spark.plans import explain_str
+
+    import re
+
+    plan = explain_str(tx.neardup_edit_verify(spark, sf_dir))
+    # formatted explain names each node once in the tree and once in the
+    # numbered detail section — count the detail entries.
+    nodes = re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)
+    assert len(nodes) == 1, plan.count("ArrowEvalPython")
+    assert "BatchEvalPython" not in plan
