@@ -11,7 +11,7 @@ import pyspark_retention_pipeline_spark.operators.curation as cu
 
 def _docs(spark, monkeypatch, rows):
     docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     return docs
 
 
@@ -201,7 +201,7 @@ def test_incremental_dedup_drops_only_known_fingerprints(spark, monkeypatch):
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {r["doc_id"] for r in cu.incremental_dedup(spark, "ignored").collect()}
     assert out == {17}
 
@@ -370,7 +370,7 @@ def test_dsir_importance_select_prefers_target_like_docs(spark, monkeypatch):
         (3, "spam junk noise spam junk noise", "de"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {
         r["doc_id"]: r["dsir_logratio"]
         for r in cu.dsir_importance_select(spark, "ignored").collect()
@@ -409,7 +409,7 @@ def test_crossdoc_span_stats_planted_shared_span(spark, monkeypatch):
     and a sub-SPAN-length duplicate pair must be flagged via its one
     truncated span (pins the short-doc hash/oracle equivalence)."""
     docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {r["doc_id"]: r for r in cu.crossdoc_span_stats(spark, "x").collect()}
     assert out[0]["n_dup_spans"] >= 1 and out[1]["n_dup_spans"] >= 1
     assert out[2]["n_dup_spans"] == 0 and out[2]["dup_span_frac"] == 0.0
@@ -429,7 +429,7 @@ def test_crossdoc_span_rewrite_planted(spark, monkeypatch):
     covered tokens; unique docs pass through; a non-canonical exact dup
     (full-length or sub-SPAN short) rewrites to ''."""
     docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {
         r["doc_id"]: r for r in cu.crossdoc_span_rewrite(spark, "x").collect()
     }
@@ -452,13 +452,13 @@ def test_crossdoc_span_rewrite_idempotent(spark, monkeypatch):
     untouched, victims no longer contain the span), so a second pass
     removes nothing."""
     docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     first = cu.crossdoc_span_rewrite(spark, "x").collect()
     again = spark.createDataFrame(
         [(r["doc_id"], r["text_rewritten"]) for r in first],
         "doc_id long, text string",
     )
-    monkeypatch.setattr(cu, "load_table", lambda *_: again)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: again)
     second = {
         r["doc_id"]: r for r in cu.crossdoc_span_rewrite(spark, "x").collect()
     }
@@ -486,7 +486,7 @@ def test_crossdoc_span_profile_hand_checked(spark, monkeypatch):
          drop out (no 16-token window fits inside their 8-token overlap)
          -> affected = {3,4,5,6}."""
     docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     rows = {
         r["span_k"]: (
             r["n_spans"],
@@ -519,7 +519,7 @@ def test_crossdoc_span_rewrite_maximal_longest_level_wins(spark, monkeypatch):
         (11, "u0 u1 u2 " + region + " v0"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {
         r["doc_id"]: r
         for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
@@ -547,7 +547,7 @@ def test_crossdoc_span_rewrite_maximal_short_level_fallback(spark, monkeypatch):
         (21, "z0 z1 z2 q0 q1 q2 q3 z3 z4"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {
         r["doc_id"]: r
         for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
@@ -557,7 +557,7 @@ def test_crossdoc_span_rewrite_maximal_short_level_fallback(spark, monkeypatch):
     assert out[21]["text_rewritten"] == "z0 z1 z2 z3 z4"
 
     docs = spark.createDataFrame(_span_rows(), "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     out = {
         r["doc_id"]: r
         for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
@@ -616,7 +616,7 @@ def test_crossdoc_span_rewrite_maximal_matches_reference(spark, monkeypatch):
         for d in range(14)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: docs)
     got = {
         r["doc_id"]: (r["text_rewritten"], r["n_tokens"], r["n_removed"])
         for r in cu.crossdoc_span_rewrite_maximal(spark, "x").collect()
@@ -642,7 +642,7 @@ def test_doc_novelty_score_planted(spark, monkeypatch):
         ],
         "doc_id long, text string",
     )
-    monkeypatch.setattr(cur, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cur, "load_table", lambda *_, **__: docs)
     out = {r.doc_id: r for r in cur.doc_novelty_score(spark, "x").collect()}
     assert out[0].n_grams == 2 and out[0].n_novel == 2 and out[0].novelty == 1.0
     assert out[1].n_grams == 2 and out[1].n_novel == 0 and out[1].novelty == 0.0
@@ -675,7 +675,7 @@ def test_heaps_vocab_growth_planted(spark, monkeypatch):
     docs = spark.createDataFrame(
         [(i, t) for i, t in texts.items()], "doc_id long, text string"
     )
-    monkeypatch.setattr(cur, "load_table", lambda *_: docs)
+    monkeypatch.setattr(cur, "load_table", lambda *_, **__: docs)
     got = sorted(
         cur.heaps_vocab_growth(spark, "x").collect(), key=lambda r: r.bin
     )

@@ -115,7 +115,7 @@ def test_winnowing_overlap_property(spark, monkeypatch):
     docs = spark.createDataFrame(
         [(1, base), (2, shifted), (3, disjoint)], "doc_id long, text string"
     )
-    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tx, "load_table", lambda *_, **__: docs)
     # Library form: array output, engine-native xxhash64.
     lib = {
         r["doc_id"]: set(r["fingerprints"])
@@ -405,7 +405,7 @@ def test_minhash_banded_portable_duplicates_share_all_bands(spark, monkeypatch):
         ],
         "doc_id long, text string, lang string, source string",
     )
-    monkeypatch.setattr(text_mod, "load_table", lambda *_: docs)
+    monkeypatch.setattr(text_mod, "load_table", lambda *_, **__: docs)
     rows = {
         (r["doc_id_a"], r["doc_id_b"]): r["bands_shared"]
         for r in all_queries()["minhash_banded_candidates"](spark, "x").collect()
@@ -426,7 +426,7 @@ def test_minhash_calibration_planted_neardup(spark, monkeypatch):
     docs = spark.createDataFrame(
         [(0, base), (1, near), (2, other)], "doc_id long, text string"
     )
-    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tx, "load_table", lambda *_, **__: docs)
     rows = {
         (r["d1"], r["d2"]): r
         for r in tx.minhash_calibration(spark, "ignored").collect()
@@ -452,7 +452,7 @@ def test_part_pagerank_rounds_matches_python_reference(spark, monkeypatch):
         (4, 4),  # duplicate line: collect_set must dedupe it
     ]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+    monkeypatch.setattr(comp, "load_table", lambda *_, **__: li)
 
     S = comp.PR_SCALE
     edges = {}
@@ -522,7 +522,7 @@ def test_part_triangle_counts_planted_graph(spark, monkeypatch):
     # TRI_MIN_SUPPORT = 2 threshold
     rows = base + [(ok + 10, pk) for ok, pk in base]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+    monkeypatch.setattr(comp, "load_table", lambda *_, **__: li)
     out = {r.part: r for r in comp.part_triangle_counts(spark, "x").collect()}
     assert len(out) == 6
     want = {
@@ -553,7 +553,7 @@ def test_kcore_rounds_matches_python_reference(spark, monkeypatch):
     ]
     rows = base + [(ok + 10, pk) for ok, pk in base]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+    monkeypatch.setattr(comp, "load_table", lambda *_, **__: li)
 
     edges = {(1, 2), (1, 3), (2, 3), (3, 7), (7, 8), (8, 9)}
     want = []
@@ -599,7 +599,7 @@ def test_neardup_edit_verify_planted(spark, monkeypatch):
         (9, "filler " + " ".join(f"w{j}" for j in range(60))),
     ]
     docs = _docs(spark, rows)
-    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tx, "load_table", lambda *_, **__: docs)
     got = {
         (r.doc_id_a, r.doc_id_b): (r.edit_dist, r.edit_sim)
         for r in tx.neardup_edit_verify(spark, "x").collect()

@@ -163,8 +163,8 @@ def test_quality_classifier_planted_separability(spark, monkeypatch):
         for i in range(30)
     ]
     docs = spark.createDataFrame(good + bad, "doc_id long, text string")
-    monkeypatch.setattr(mo, "load_table", lambda *_: docs)
-    monkeypatch.setattr(tq, "load_table", lambda *_: docs)
+    monkeypatch.setattr(mo, "load_table", lambda *_, **__: docs)
+    monkeypatch.setattr(tq, "load_table", lambda *_, **__: docs)
     mo._QC_CACHE.clear()
     out = mo.quality_classifier_scores(spark, "planted-qc").toPandas()
     mo._QC_CACHE.clear()

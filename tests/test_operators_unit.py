@@ -38,7 +38,7 @@ def test_sessionize_gap_semantics(spark, monkeypatch, tmp_path):
         (3, 0, 1_000_010_000_000 + 31 * 60 * 1_000_000),
     ]
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
-    monkeypatch.setattr(ev, "load_events", lambda *_: df)
+    monkeypatch.setattr(ev, "load_events", lambda *_, **__: df)
     out = ev.sessionize(spark, "ignored")
     sessions = out.collect()
     assert len(sessions) == 2

@@ -54,7 +54,7 @@ def test_sessionize_matches_python_reference(spark, gaps_s, monkeypatch):
         ts += g * 1_000_000
     rows = [(i, 7, t) for i, t in enumerate(times)]
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
-    monkeypatch.setattr(ev, "load_events", lambda *_: df)
+    monkeypatch.setattr(ev, "load_events", lambda *_, **__: df)
     got = {
         (r["session_id"], r["n_events"])
         for r in ev.sessionize(spark, "ignored").collect()
@@ -130,7 +130,7 @@ def test_growth_accounting_matches_python_reference(spark, weeksets, monkeypatch
             rows.append((eid, uid, w * eng.WEEK_US + 12345))
             eid += 1
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
-    monkeypatch.setattr(eng, "load_events", lambda *_: df)
+    monkeypatch.setattr(eng, "load_events", lambda *_, **__: df)
 
     expect: dict[int, list[int]] = {}
     for weeks in weeksets:
@@ -171,7 +171,7 @@ def test_stickiness_matches_python_reference(spark, daysets, monkeypatch):
             rows.append((eid, uid, d * eng.DAY_US + 999))
             eid += 1
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
-    monkeypatch.setattr(eng, "load_events", lambda *_: df)
+    monkeypatch.setattr(eng, "load_events", lambda *_, **__: df)
 
     active_days = sorted({d for days in daysets for d in days})
     expect = {}
@@ -209,7 +209,7 @@ def test_part_cooccurrence_matches_python_reference(spark, orders, monkeypatch):
         for p in parts:
             rows.append((okey, p))
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(ax, "load_table", lambda *_: df)
+    monkeypatch.setattr(ax, "load_table", lambda *_, **__: df)
 
     expect = Counter()
     for parts in orders:
@@ -674,7 +674,7 @@ def test_crossdoc_span_rewrite_matches_bruteforce(spark, docs, monkeypatch):
 
     rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
     frame = spark.createDataFrame(rows, "doc_id long, text string")
-    monkeypatch.setattr(cu, "load_table", lambda *_: frame)
+    monkeypatch.setattr(cu, "load_table", lambda *_, **__: frame)
     monkeypatch.setattr(cu, "SPAN", 3)
     got = {
         r["doc_id"]: (r["text_rewritten"], r["n_tokens"], r["n_removed"])
@@ -745,7 +745,7 @@ def test_bpe_merge_rounds_matches_bruteforce(spark, docs, monkeypatch):
     frame = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string"
     )
-    monkeypatch.setattr(tok, "load_table", lambda *_: frame)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: frame)
     got = [
         (r["left_sym"], r["right_sym"], r["merged_sym"], r["pair_count"])
         for r in tok.bpe_merge_rounds(spark, "x")
@@ -805,7 +805,7 @@ def test_part_pagerank_rounds_matches_reference_on_random_graphs(
         (oid, int(p)) for oid, parts in enumerate(baskets) for p in parts
     ]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    monkeypatch.setattr(comp, "load_table", lambda *_: li)
+    monkeypatch.setattr(comp, "load_table", lambda *_, **__: li)
     want = _pagerank_reference(baskets, comp.PR_ITERS, comp.PR_SCALE)
     if not want:
         # No co-occurrence edge anywhere: the empty graph still emits one
@@ -848,7 +848,7 @@ def test_kcenter_coreset_matches_reference_on_random_corpora(
 
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
     S = ivf_mod._LLOYD_SCALE
     n = len(vecs)
 

@@ -41,7 +41,7 @@ def test_lsh_recall_on_near_duplicates(spark, monkeypatch):
         twin = v + rng.normal(scale=1e-3, size=64).astype("float32")
         rows.append((1000 + i, [float(x) for x in twin], 0))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    monkeypatch.setattr(sim, "load_table", lambda *_, **__: emb)
 
     lsh_pairs = {
         (r["v1"], r["v2"]) for r in QUERIES["lsh_bucket_candidates"](spark, "ignored").collect()
@@ -72,7 +72,7 @@ def test_ann_top1_finds_planted_twins(spark, monkeypatch):
         twin = v + rng.normal(scale=1e-3, size=64).astype("float32")
         rows.append((1000 + i, [float(x) for x in twin], 0))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    monkeypatch.setattr(sim, "load_table", lambda *_, **__: emb)
 
     top1 = {
         r["vec_id"]: (r["neighbor_id"], r["cosine"])
@@ -443,7 +443,7 @@ def test_semdedup_keep_drops_planted_twins(spark, monkeypatch):
         twin = base[i] + rng.normal(scale=1e-4, size=64)
         rows.append((1000 + i, [float(x) for x in twin]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
     out = {r["vec_id"]: r for r in ivf_mod.semdedup_keep(spark, "x").collect()}
     assert len(out) == 90
     for i in range(10):
@@ -518,7 +518,7 @@ def test_kcenter_coreset_matches_bruteforce(spark, monkeypatch):
         [(i, [float(v) for v in row]) for i, row in enumerate(x)],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
 
     S = ivf_mod._LLOYD_SCALE
 
@@ -554,7 +554,7 @@ def test_kcenter_coreset_excludes_duplicate_centers(spark, monkeypatch):
     a, b = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
     rows = [(i, a if i % 2 == 0 else b) for i in range(10)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
     got = sorted(
         ivf_mod.kcenter_coreset(spark, "x").collect(), key=lambda r: r.k
     )
@@ -583,7 +583,7 @@ def test_semdedup_tau_curve_consistent_with_keep_decision(spark, monkeypatch):
         twin = base[i] + rng.normal(scale=1e-4, size=64)
         rows.append((1000 + i, [float(x) for x in twin]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
 
     curve = sorted(
         ivf_mod.semdedup_tau_curve(spark, "x").collect(), key=lambda r: r.tau
@@ -629,7 +629,7 @@ def test_ivf_probe_recall_matches_numpy_reference(spark, monkeypatch):
         [(i, [float(v) for v in row]) for i, row in enumerate(x)],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
 
     nrm = np.linalg.norm(x, axis=1)
     code_ids = sorted(
@@ -696,7 +696,7 @@ def test_kcenter_coreset_tiny_corpus_ends_early(spark, monkeypatch):
         [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(ivf_mod, "load_table", lambda *_: emb)
+    monkeypatch.setattr(ivf_mod, "load_table", lambda *_, **__: emb)
     rows = sorted(
         ivf_mod.kcenter_coreset(spark, "x").collect(), key=lambda r: r.k
     )
@@ -720,7 +720,7 @@ def test_quantized_knn_recall_matches_numpy_reference(spark, monkeypatch):
         [(i, [float(v) for v in row]) for i, row in enumerate(x)],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    monkeypatch.setattr(sim, "load_table", lambda *_, **__: emb)
 
     s = 127.0 / np.abs(x).max()
     # Spark ROUND is half away from zero
@@ -767,7 +767,7 @@ def test_pq_adc_recall_matches_numpy_reference(spark, monkeypatch):
         [(i, [float(v) for v in row]) for i, row in enumerate(x)],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    monkeypatch.setattr(sim, "load_table", lambda *_, **__: emb)
 
     order = sorted(
         range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
@@ -854,7 +854,7 @@ def test_ivf_pq_recall_matches_numpy_reference(spark, monkeypatch):
         [(i, [float(v) for v in row]) for i, row in enumerate(x)],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(iv, "load_table", lambda *_: emb)
+    monkeypatch.setattr(iv, "load_table", lambda *_, **__: emb)
 
     order = sorted(
         range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
@@ -977,7 +977,7 @@ def test_ivfadc_residual_beats_raw_on_clustered_corpus(spark, monkeypatch):
         [(i, [float(v) for v in row]) for i, row in enumerate(x)],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(iv, "load_table", lambda *_: emb)
+    monkeypatch.setattr(iv, "load_table", lambda *_, **__: emb)
 
     rows = {
         (r.variant, r.topk): r.recall
@@ -1015,7 +1015,7 @@ def test_hard_negative_mining_invariants(spark, monkeypatch):
         ],
         "vec_id long, embedding array<double>, label int",
     )
-    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    monkeypatch.setattr(sim, "load_table", lambda *_, **__: emb)
     out = sim.hard_negative_mining(spark, "x").collect()
     by_q = {}
     for r in out:
@@ -1065,7 +1065,7 @@ def test_mmr_rerank_prefers_diversity_and_matches_reference(spark, monkeypatch):
         [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
         "vec_id long, embedding array<double>",
     )
-    monkeypatch.setattr(sim, "load_table", lambda *_: emb)
+    monkeypatch.setattr(sim, "load_table", lambda *_, **__: emb)
     out = sorted(
         sim.mmr_rerank(spark, "x").collect(),
         key=lambda r: (r.query_id, r.pick_rank),
@@ -1149,7 +1149,7 @@ def test_retrieval_graded_metrics_matches_python(spark, monkeypatch):
         "vec_id long, embedding array<double>",
     )
 
-    def fake_load(spark_, sf_dir_, name):
+    def fake_load(spark_, sf_dir_, name, **_kw):
         return docs_df if name == "documents" else emb_df
 
     monkeypatch.setattr(tx, "load_table", fake_load)

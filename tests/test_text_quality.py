@@ -13,7 +13,7 @@ import pyspark_retention_pipeline_spark.operators.text_quality as tq
 
 def _plant(spark, monkeypatch, rows):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    monkeypatch.setattr(tq, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tq, "load_table", lambda *_, **__: docs)
     return docs
 
 
@@ -96,7 +96,7 @@ def test_chunking_tiles_documents(spark, monkeypatch):
 
     text = " ".join(f"t{i}" for i in range(60))
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    monkeypatch.setattr(ck, "load_table", lambda *_: docs)
+    monkeypatch.setattr(ck, "load_table", lambda *_, **__: docs)
     rows = sorted(
         ck.chunk_documents(spark, "ignored").collect(), key=lambda r: r["chunk_id"]
     )
@@ -430,7 +430,7 @@ def test_bm25_topk_planted_semantics(spark, monkeypatch):
         (9, " ".join(f"g{i}" for i in range(10))),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    monkeypatch.setattr(tx, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tx, "load_table", lambda *_, **__: docs)
     out = tx.bm25_topk(spark, "x").collect()
     got = {}
     for r in out:
@@ -506,7 +506,7 @@ def test_kneser_ney_bigram_score_matches_python_and_sees_continuations(
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     import pyspark_retention_pipeline_spark.operators.text_quality as tqmod
 
-    monkeypatch.setattr(tqmod, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tqmod, "load_table", lambda *_, **__: docs)
     out = {
         r["doc_id"]: r
         for r in tqmod.kneser_ney_bigram_score(spark, "x").collect()
@@ -583,7 +583,7 @@ def test_packing_efficiency_report_matches_python(spark, monkeypatch, tmp_path):
         (5, " ".join(f"f{i}" for i in range(10))),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    monkeypatch.setattr(ch, "load_table", lambda *_: df)
+    monkeypatch.setattr(ch, "load_table", lambda *_, **__: df)
     # the registry path reads the doc count from the parquet footer; plant one
     p = str(tmp_path / "documents.parquet")
     df.toPandas().to_parquet(p)

@@ -421,7 +421,7 @@ def test_theilsen_bracket_median_small_and_tied_corpora(spark, monkeypatch):
         o = spark.createDataFrame(
             rows, "o_orderdate string, o_totalprice double"
         ).selectExpr("CAST(o_orderdate AS DATE) AS o_orderdate", "o_totalprice")
-        monkeypatch.setattr(ts, "load_table", lambda *_: o)
+        monkeypatch.setattr(ts, "load_table", lambda *_, **__: o)
         r = ts.theilsen_revenue_trend(spark, "x").collect()[0]
         xs = sorted(d for d, _ in day_vals)
         vals = dict(day_vals)

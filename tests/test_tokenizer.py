@@ -26,7 +26,7 @@ def test_bpe_pair_counts_hand_checked(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["aab aab cd", "a b c"])  # 1-char words drop out
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {r["pair"]: r["pair_count"] for r in QUERIES["bpe_pair_counts"](spark, "x").collect()}
     assert rows == {"aa": 2, "ab": 2, "cd": 1}
 
@@ -37,7 +37,7 @@ def test_bpe_pair_counts_vocab_weighting(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["xy"] * 7 + ["xy xy xy"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {r["pair"]: r["pair_count"] for r in QUERIES["bpe_pair_counts"](spark, "x").collect()}
     assert rows == {"xy": 10}
 
@@ -49,7 +49,7 @@ def test_bpe_pair_counts_deterministic_tiebreak(spark, monkeypatch):
 
     # every pair appears exactly once -> full ordering is lexicographic
     docs = _docs(spark, ["zz yy xx ww"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     got = [r["pair"] for r in QUERIES["bpe_pair_counts"](spark, "x").collect()]
     assert got == ["ww", "xx", "yy", "zz"]
 
@@ -58,7 +58,7 @@ def test_intradoc_dedup_rewrite_hand_checked(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["a b a c b a", "x x x", "solo"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {
         r["doc_id"]: r for r in QUERIES["intradoc_dedup_rewrite"](spark, "x").collect()
     }
@@ -81,7 +81,7 @@ def test_intradoc_dedup_rewrite_idempotent(spark, monkeypatch, sf_dir):
         F.lit("en").alias("lang"),
         F.lit("src0").alias("source"),
     )
-    monkeypatch.setattr(tok, "load_table", lambda *_: as_docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: as_docs)
     second = QUERIES["intradoc_dedup_rewrite"](spark, "x")
     changed = (
         first.select("doc_id", F.col("text_dedup").alias("t1"))
@@ -137,7 +137,7 @@ def test_intradoc_dedup_rewrite_adversarial_token_shapes(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["a  a b  b", "t" * 500 + " x " + "t" * 500])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {
         r["doc_id"]: r
         for r in QUERIES["intradoc_dedup_rewrite"](spark, "x").collect()
@@ -156,7 +156,7 @@ def test_vocab_coverage_curve_hand_checked(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["a a a a a a a a a a b b b b b c c c c d"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {
         r["coverage_pct"]: r
         for r in QUERIES["vocab_coverage_curve"](spark, "x").collect()
@@ -181,7 +181,7 @@ def test_bpe_merge_rounds_hand_checked(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["abab abab ab", "abc abc abc"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {
         r["merge_round"]: (
             r["left_sym"],
@@ -206,7 +206,7 @@ def test_bpe_merge_rounds_greedy_nonoverlapping(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["aaaa aaaa"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {
         r["merge_round"]: (r["left_sym"], r["right_sym"], r["pair_count"])
         for r in QUERIES["bpe_merge_rounds"](spark, "x").collect()
@@ -231,7 +231,7 @@ def test_bpe_encode_stats_hand_checked(spark, monkeypatch):
     import pyspark_retention_pipeline_spark.operators.tokenizer as tok
 
     docs = _docs(spark, ["abab abab ab", "abc abc abc"])
-    monkeypatch.setattr(tok, "load_table", lambda *_: docs)
+    monkeypatch.setattr(tok, "load_table", lambda *_, **__: docs)
     rows = {
         r["merge_round"]: (
             r["total_symbols"],
