@@ -924,45 +924,70 @@ def portable_simhash60(text_col: F.Column) -> F.Column:
     token costs 30 word updates instead of 60 lane updates (measured at
     sf0.1: 1.26 s → 1.0 s for the signature pass; the md5+tokenize base now
     dominates). ``Σ±1 > 0 ⇔ 2·ones > n`` exactly (ties → 0), so the DuckDB
-    oracle keeps the classical ±1 form unchanged."""
+    oracle keeps the classical ±1 form unchanged.
+
+    Expression SHAPE (round 15, guide §3.3/§7.3 "planning time itself can
+    become the bottleneck"): the word scatter and the 60-bit assembly are
+    ``transform``/``aggregate`` loops over ``sequence`` literals instead of
+    Python-unrolled expression lists. The unrolled form referenced the
+    ~200-node ``acc`` subtree once per bit — a ~12k-node effective tree
+    that Catalyst re-visited rule by rule at every action, and the driver
+    pass dominated the measured wall (32× executor parallelism moved
+    simhash64 only 1.09 → 0.82 s). The loop form keeps ONE copy of each
+    subtree: ``acc`` is bound a single time as a lambda variable through a
+    one-element ``transform`` environment (``get(transform(array(struct(
+    acc, n)), e -> ...), 0)``), so runtime evaluates it once per row while
+    the tree stays ~60× smaller. Measured interleaved A/B at sf0.1/32:
+    sig pass 1.17–1.18 s → 0.76–0.90 s best-of-4, values bit-identical on
+    the full corpus at sf0.01 and sf0.1 (0 differing rows)."""
     toks = F.array_distinct(F.split(text_col, " "))
-    digests = F.transform(toks, F.md5)
     hashes = F.transform(
-        digests, lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
+    words = F.sequence(F.lit(0), F.lit(_PACK_WORDS - 1))
 
     def packed_words(h):
-        return F.array(
-            *[
-                (
-                    F.shiftright(h, _PACK_LANES * w).bitwiseAND(F.lit(3))
-                    * F.lit(_PACK_SPREAD)
-                ).bitwiseAND(F.lit(_PACK_FMASK))
-                for w in range(_PACK_WORDS)
-            ]
+        return F.transform(
+            words,
+            lambda w: (
+                F.call_function("shiftright", h, w * _PACK_LANES).bitwiseAND(
+                    F.lit(3)
+                )
+                * F.lit(_PACK_SPREAD)
+            ).bitwiseAND(F.lit(_PACK_FMASK)),
         )
 
     acc = F.aggregate(
         hashes,
-        F.array(*[F.lit(0).cast("long") for _ in range(_PACK_WORDS)]),
+        F.array_repeat(F.lit(0).cast("long"), _PACK_WORDS),
         lambda a, h: F.zip_with(a, packed_words(h), lambda x, y: x + y),
     )
-    n = F.size(toks)
-    bit_terms = []
-    for j in range(_SIMHASH_BITS):
-        w, k = divmod(j, _PACK_LANES)
-        ones_j = F.shiftright(acc[w], _PACK_FIELD_BITS * k).bitwiseAND(
-            F.lit(_PACK_FIELD_MAX)
-        )
-        bit_terms.append(
-            F.when(ones_j * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sig = bit_terms[0]
-    for term in bit_terms[1:]:
-        sig = sig + term
-    return sig
+    env = F.array(F.struct(acc.alias("acc"), F.size(toks).alias("n")))
+    bits = F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+    return F.get(
+        F.transform(
+            env,
+            lambda e: F.aggregate(
+                bits,
+                F.lit(0).cast("long"),
+                lambda s, j: s
+                + F.when(
+                    F.call_function(
+                        "shiftright",
+                        F.element_at(
+                            e["acc"],
+                            F.call_function("shiftright", j, F.lit(1)) + 1,
+                        ),
+                        j.bitwiseAND(F.lit(1)) * _PACK_FIELD_BITS,
+                    ).bitwiseAND(F.lit(_PACK_FIELD_MAX))
+                    * 2
+                    > e["n"],
+                    F.call_function("shiftleft", F.lit(1).cast("long"), j),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        ),
+        F.lit(0),
+    )
 
 
 _SIMHASH64_ORACLE = f"""
