@@ -1005,8 +1005,15 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable token hash, 60 vote lanes folded in codegen), which the
     DuckDB oracle re-derives bit-for-bit — upgrading the slot from rows-only
     to oracle-checked. The engine-native 64-bit array form survives as
-    :func:`simhash_bits_frame` for composition."""
-    d = load_table(spark, sf_dir, "documents")
+    :func:`simhash_bits_frame` for composition.
+
+    fan_out: before the round-15 HOF tree shrink this scan was deliberately
+    NOT fanned out (the wall was driver-side plan processing; 32× executor
+    parallelism bought ~25%). With the tree fixed the wall is real per-row
+    compute (md5 + packed fold over ~180 tokens/doc) and the fan-out A/B
+    flipped decisively: 0.90 → 0.33 s / 1.23 → 0.22 s best-of-3, two
+    interleaved alternations at sf0.1/32 (tables.py window comment)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     return d.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
 
 

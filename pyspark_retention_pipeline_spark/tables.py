@@ -157,9 +157,12 @@ TABLES = tuple(SCHEMAS)
 # the table, and one more AQE stage re-optimization cost ~0.3–0.9 s
 # (dedup_exact 0.40→1.31 s, customer_rfm 0.38→1.06 s), and for queries
 # whose wall is driver-side plan processing of huge expression trees
-# (simhash64, crossdoc_span_rewrite_maximal) parallelism cannot help at
-# all (sig fold over a pre-materialized 32-partition input: 1.09→0.82 s —
-# the rest of that wall is Catalyst, not compute).
+# (crossdoc_span_rewrite_maximal) parallelism cannot help at all. simhash64
+# was in that class too (sig fold over a pre-materialized 32-partition
+# input: 1.09→0.82 s — the rest of that wall was Catalyst, not compute)
+# until the round-15 HOF tree shrink removed the driver wall; the re-run
+# A/B then flipped decisively (0.90→0.33 s) and its scan is fanned out —
+# the measure-first discipline applies per call site AND per round.
 #
 # The window is additionally bounded on BOTH sides so the opt-in is
 # scale-adaptive, never a local[32] constant:
