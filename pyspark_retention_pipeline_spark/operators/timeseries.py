@@ -680,7 +680,18 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100 AS BIGINT)"
     ).alias("dollars")
     daily = o.groupBy(x.alias("x")).agg(dollars).localCheckpoint(eager=False)
-    a = daily.select(F.col("x").alias("xa"), F.col("dollars").alias("da"))
+    # The pair join is a BroadcastNestedLoopJoin whose STREAM side is the
+    # day-grain frame — one ~calendar-sized partition, so pair generation,
+    # the slope projection, and the checkpoint write of the ~n²/2 slope
+    # rows all ran on ONE task at any scale (round-15 stage attribution:
+    # 1.9 s of the 3.7 s sweep wall in that single task). Round-robining
+    # the stream side to the session parallelism spreads the quadratic
+    # work; the broadcast side is unchanged and the pair SET is identical.
+    # Measured at sf0.1/32 (interleaved A/B, best-of-3, two alternations):
+    # 2.23/2.10 s → 1.18/1.37 s, collected output bit-identical.
+    a = daily.select(F.col("x").alias("xa"), F.col("dollars").alias("da")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = daily.select(F.col("x").alias("xb"), F.col("dollars").alias("db"))
     slopes = (
         a.join(b, F.col("xa") < F.col("xb"))
