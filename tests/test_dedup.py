@@ -666,6 +666,64 @@ def test_myers_edit_distance_exact():
         assert myers(a, b) == classic(a, b), (a, b)
 
 
+def test_lev_native_kernel_matches_python():
+    """The round-15 native Myers kernel (``lev_native``) must be
+    VALUE-identical to the pure-Python big-int fold it accelerates —
+    randomized sweep across single-word (≤64) and multi-word (65..600)
+    pattern lengths, unicode incl. astral plane, plus near-dup-shaped
+    mutated copies (the workload's actual distribution). Skips only when
+    no C compiler exists on the host (the production path then runs the
+    pure-Python fallback, covered by test_myers_edit_distance_exact)."""
+    import random
+
+    import pytest
+
+    from pyspark_retention_pipeline_spark.operators import lev_native
+    from pyspark_retention_pipeline_spark.operators.text import (
+        _myers_edit_distance as myers,
+    )
+
+    if lev_native.get_kernel() is None:
+        pytest.skip("no C compiler / kernel unavailable; fallback path active")
+
+    rng = random.Random(1551)
+    alphabet = "ab cdé日𝔘"
+    pairs = [("", ""), ("", "xyz"), ("a" * 64, "a" * 64 + "b"), ("a" * 65, "b" * 65)]
+    for _ in range(250):
+        la = rng.randint(0, 600)
+        a = "".join(rng.choice(alphabet) for _ in range(la))
+        if rng.random() < 0.5:
+            b = list(a)
+            for _ in range(rng.randint(0, 15)):
+                if not b:
+                    break
+                op, i = rng.random(), rng.randrange(len(b))
+                if op < 0.4:
+                    b[i] = rng.choice(alphabet)
+                elif op < 0.7:
+                    b.insert(i, rng.choice(alphabet))
+                else:
+                    del b[i]
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 600)))
+        pairs.append((a, b))
+    got = lev_native.lev_batch([a for a, _ in pairs], [b for _, b in pairs])
+    want = [myers(a, b) for a, b in pairs]
+    assert got == want
+
+
+def test_lev_native_unavailable_falls_back(monkeypatch):
+    """When the kernel cannot load, ``lev_batch`` returns None and the
+    Arrow boundary's in-worker branch takes the pure-Python path — the
+    optimization can never be a correctness or availability risk."""
+    from pyspark_retention_pipeline_spark.operators import lev_native
+
+    monkeypatch.setattr(lev_native, "_lib", None)
+    monkeypatch.setattr(lev_native, "_tried", True)
+    assert lev_native.lev_batch(["abc"], ["abd"]) is None
+
+
 def test_neardup_edit_verify_single_arrow_eval(spark, sf_dir):
     """The DP crosses the Python boundary exactly once: one ArrowEvalPython
     node (the Myers batch), never a duplicated evaluation (guide §4.4 —
