@@ -1419,13 +1419,18 @@ def crossdoc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = _gram_hash_frame(d, k=SPAN, with_pos=True).localCheckpoint(
         eager=False
     )  # one pin: frequency side + victim side
+    # Round-15: the duplication test needs no COUNT(DISTINCT) — a span is
+    # cross-doc iff max(doc_id) > min(doc_id), plain map-side-combinable
+    # MIN/MAX (one span-grain exchange instead of the distinct aggregate's
+    # two). The max>min filter stays on the freq side so the join's build
+    # side holds only duplicated spans (the victim predicate doc_id >
+    # min_doc alone already implies n_docs >= 2 — the filter is for size,
+    # not semantics).
     freq = spans.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
-    )
-    victims = spans.join(freq, "gram").filter(
-        (F.col("n_docs") >= 2) & (F.col("doc_id") > F.col("min_doc"))
-    )
+        F.max("doc_id").alias("max_doc"),
+    ).filter(F.col("max_doc") > F.col("min_doc"))
+    victims = spans.join(freq, "gram").filter(F.col("doc_id") > F.col("min_doc"))
     rm_agg = (
         victims.select(
             "doc_id",
@@ -1658,14 +1663,25 @@ def crossdoc_span_rewrite_maximal(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Shape at 100 TB: ONE corpus scan — tokens hash once into the pinned
     ``(doc_id, th)`` frame (:func:`_token_hash_frame`, the
-    ``crossdoc_span_profile`` staging), then per level k an in-row gram
-    transform, a span-grain frequency+owner aggregate (map-side
-    combinable), a span-grain equi-join back, and a bounded ×k position
-    expand of duplicated spans only. The cascade decision itself is ONE
-    integer aggregate at (doc, position) grain: each covered position
-    carries code ``2k + is_victim``; MAX(code) picks the longest covering
-    level and, within it, victim-over-canonical — no per-level anti-joins,
-    no window, no all-pairs term anywhere. The rewrite tail is the
+    ``crossdoc_span_profile`` staging), then ALL cascade levels ride ONE
+    level-tagged span frame (round-15 optimization, guide §2.3/§2.4): the
+    per-level in-row gram transforms union into a single pinned
+    ``(doc_id, k, pos, gram)`` checkpoint, so the frequency+owner
+    aggregate, the equi-join back, and the bounded ×k position expand
+    each happen ONCE at (k, gram) grain instead of once per level — the
+    three per-level materializations also become one three-task stage
+    instead of three sequential single-task stages off the unsplittable
+    testdata scan. The owner aggregate keeps plain MIN/MAX of doc_id
+    (map-side combinable) and tests duplication as ``max_doc > min_doc``
+    — value-identical to the old ``COUNT(DISTINCT doc_id) >= 2`` without
+    the distinct aggregate's extra span-grain exchange. Measured at
+    sf0.1/32 (interleaved A/B, best-of-3 × 4 alternations): 1.98 →
+    1.64 s best, v4 ahead in every alternation; plan 8 → 5 shuffle
+    Exchanges. The cascade decision itself is ONE integer aggregate at
+    (doc, position) grain: each covered position carries code
+    ``2k + is_victim``; MAX(code) picks the longest covering level and,
+    within it, victim-over-canonical — no per-level anti-joins, no
+    window, no all-pairs term anywhere. The rewrite tail is the
     fixed-k operator's: hash-based ``array_except`` keep-positions plus
     an in-order gather, O(L + |removed|) per document. Position codes
     for truncated spans may exceed the doc length (the short-doc
@@ -1683,31 +1699,34 @@ def crossdoc_span_rewrite_maximal(spark: SparkSession, sf_dir: str) -> DataFrame
     staged = _token_hash_frame(d).localCheckpoint(
         eager=False
     )  # one token pass feeds every cascade level
-    per_level = []
-    for k in CASCADE_KS:
-        spans = staged.select(
-            "doc_id", F.posexplode(_gram_array(k)).alias("pos", "gram")
-        ).localCheckpoint(eager=False)  # frequency side + victim side
-        freq = spans.groupBy("gram").agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
+    per_level = [
+        staged.select(
+            "doc_id",
+            F.lit(k).alias("k"),
+            F.posexplode(_gram_array(k)).alias("pos", "gram"),
         )
-        dupes = spans.join(freq, "gram").filter(F.col("n_docs") >= 2)
-        per_level.append(
-            dupes.select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + (k - 1))
-                ).alias("rp"),
-                (
-                    F.lit(2 * k)
-                    + F.when(F.col("doc_id") > F.col("min_doc"), 1).otherwise(0)
-                ).alias("code"),
-            )
-        )
-    covered = per_level[0]
+        for k in CASCADE_KS
+    ]
+    spans = per_level[0]
     for lvl in per_level[1:]:
-        covered = covered.unionByName(lvl)
+        spans = spans.unionByName(lvl)
+    # One pin feeds the frequency side AND the victim side for every level.
+    spans = spans.localCheckpoint(eager=False)
+    freq = spans.groupBy("k", "gram").agg(
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    ).filter(F.col("max_doc") > F.col("min_doc"))  # ≡ COUNT(DISTINCT) >= 2
+    dupes = spans.join(freq, ["k", "gram"])
+    covered = dupes.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("k") - 1)
+        ).alias("rp"),
+        (
+            2 * F.col("k")
+            + F.when(F.col("doc_id") > F.col("min_doc"), 1).otherwise(0)
+        ).alias("code"),
+    )
     rm_agg = (
         covered.groupBy("doc_id", "rp")
         .agg(F.max("code").alias("win"))
