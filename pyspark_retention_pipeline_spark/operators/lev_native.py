@@ -18,15 +18,24 @@ pure-Python fallback implements. Properties that keep this safe:
   generalization of ``_myers_edit_distance``'s big-int fold (word arrays +
   explicit carries instead of one arbitrary-precision int); both iterate
   unicode code points (UTF-32), so semantics match Spark's ``levenshtein``
-  exactly. ``tests/test_text_ops.py`` pins C-vs-Python agreement on a
-  randomized unicode sweep, and the hash gate certifies the registered
-  query end-to-end.
-* **Compile-once, atomic publish**: the .so is keyed by a hash of the C
-  source in the system temp dir; concurrent workers compile to a
-  pid-unique temp name and ``os.replace`` it into place (atomic on POSIX),
-  so racing workers never load a half-written file. Local mode shares one
-  host; on a real cluster you would ship this as a prebuilt wheel — the
-  runtime compile is the no-network, single-host form of the same move.
+  exactly. ``tests/test_dedup.py::test_lev_native_kernel_matches_python``
+  pins C-vs-Python agreement on a randomized unicode sweep, and the hash
+  gate certifies the registered query end-to-end.
+* **Compile on the driver, ship to executors**: the compiler runs only in
+  the driver process (``ensure_kernel_shipped``, invoked when the Arrow
+  boundary column is built); the .so is registered via
+  ``SparkContext.addFile`` so executors fetch it through ``SparkFiles`` and
+  never invoke ``cc`` themselves — no first-use compile storms, and a
+  missing compiler on worker images cannot silently degrade a cluster. On
+  a real cluster this would be a prebuilt wheel; ``addFile`` is the
+  no-network form of the same move.
+* **Private, ownership-checked cache**: the .so lives under a per-user
+  mode-0700 cache directory (never the shared world-writable temp dir),
+  and every load first verifies the file is owned by the current euid and
+  not group/world-writable, so another local user cannot pre-plant a
+  malicious library at a predictable path. Writes use a pid-unique temp
+  name + atomic ``os.replace`` so racing processes never load a
+  half-written file.
 
 Measured at sf0.1/32 (30 912 LSH candidate pairs, 6.08e9 DP cells): the
 pinned DP stage fell 1.25 s (pure-Python Myers) → ~0.25 s; ~25 Python
@@ -39,7 +48,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import tempfile
 
 _C_SOURCE = r"""
 #include <stdint.h>
@@ -214,38 +222,145 @@ _CHECK_CASES = [
 
 _lib = None
 _tried = False
+_shipped = set()
 
 
-def _compile_lib():
-    """Compile (or reuse) the kernel .so; raises on any failure."""
+def _so_name() -> str:
     src_hash = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-    tmp = tempfile.gettempdir()
-    so_path = os.path.join(tmp, f"prp_lev_{src_hash}.so")
-    if not os.path.exists(so_path):
-        c_path = os.path.join(tmp, f"prp_lev_{src_hash}.{os.getpid()}.c")
-        tmp_so = os.path.join(tmp, f"prp_lev_{src_hash}.{os.getpid()}.so.tmp")
-        with open(c_path, "w") as f:
-            f.write(_C_SOURCE)
-        try:
-            subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            os.replace(tmp_so, so_path)  # atomic publish vs racing workers
-        finally:
-            for p in (c_path, tmp_so):
-                try:
-                    os.unlink(p)
-                except OSError:
-                    pass
+    return f"prp_lev_{src_hash}.so"
+
+
+def _cache_dir() -> str:
+    """Per-user mode-0700 cache directory for the compiled kernel. Never
+    the shared system temp dir: a predictable name there would let another
+    local user pre-plant a .so whose constructors run before the
+    self-check (CDLL loads first, checks after)."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "prp_lev")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _owned_and_private(path: str) -> bool:
+    """True iff ``path`` is a regular file owned by the current euid and
+    not writable by group or other — the precondition for loading it."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return (
+        os.path.isfile(path)
+        and st.st_uid == os.geteuid()
+        and not (st.st_mode & 0o022)
+    )
+
+
+def _on_worker() -> bool:
+    """True when this process is a Spark executor-side Python worker —
+    where the compiler must never run (guide §4.5 posture: heavyweight
+    setup belongs on the driver, shipped once)."""
+    try:
+        from pyspark import SparkFiles
+
+        return bool(SparkFiles._is_running_on_worker)
+    except Exception:
+        return False
+
+
+def _sparkfiles_so():
+    """The addFile-distributed copy of the kernel, if this process can see
+    one (executor fetch dir, or the driver's own addFile root)."""
+    try:
+        from pyspark import SparkFiles
+
+        p = SparkFiles.get(_so_name())
+        if _owned_and_private(p):
+            return p
+    except Exception:
+        pass
+    return None
+
+
+def _ensure_compiled() -> str:
+    """Compile (or reuse) the kernel .so in the per-user cache; returns its
+    path. Driver/standalone processes only; raises on any failure."""
+    cache = _cache_dir()
+    so_path = os.path.join(cache, _so_name())
+    if _owned_and_private(so_path):
+        return so_path
+    if os.path.exists(so_path):
+        os.unlink(so_path)  # wrong owner/mode: refuse to load, rebuild
+    c_path = os.path.join(cache, f"{_so_name()}.{os.getpid()}.c")
+    tmp_so = os.path.join(cache, f"{_so_name()}.{os.getpid()}.tmp")
+    with open(c_path, "w") as f:
+        f.write(_C_SOURCE)
+    try:
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.chmod(tmp_so, 0o500)
+        os.replace(tmp_so, so_path)  # atomic publish vs racing processes
+    finally:
+        for p in (c_path, tmp_so):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    if not _owned_and_private(so_path):
+        raise OSError(f"kernel cache file failed ownership check: {so_path}")
+    return so_path
+
+
+def _load_lib(so_path: str):
     lib = ctypes.CDLL(so_path)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.myers_batch.argtypes = [u32p, i64p, u32p, i64p, ctypes.c_int64, i64p]
     lib.myers_batch.restype = ctypes.c_int64
     return lib
+
+
+def _locate_so():
+    """Best .so this process may load WITHOUT compiling: the
+    SparkFiles-distributed copy first, then the per-user cache (covers
+    local mode, where driver and workers share the host and user)."""
+    p = _sparkfiles_so()
+    if p is not None:
+        return p
+    cached = os.path.join(_cache_dir(), _so_name())
+    if _owned_and_private(cached):
+        return cached
+    return None
+
+
+def ensure_kernel_shipped(spark=None) -> None:
+    """Driver-side: compile (or reuse) the kernel and register it with the
+    session via ``addFile`` so executors load it without ever invoking a
+    compiler. Failure is non-fatal — workers then find no .so and the
+    boundary runs the pure-Python path."""
+    try:
+        if _on_worker():
+            return
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        so_path = _ensure_compiled()
+        sc = spark.sparkContext
+        key = (sc.applicationId, so_path)
+        if key in _shipped:
+            return
+        sc.addFile(so_path)
+        _shipped.add(key)
+    except Exception:
+        pass
 
 
 def _batch_with(lib, a_strs, b_strs):
@@ -289,13 +404,21 @@ def _batch_with(lib, a_strs, b_strs):
 def get_kernel():
     """The loaded, self-checked kernel library, or ``None`` (pure-Python
     fallback). Process-cached; safe under Spark's reused Python workers
-    because this module is importable (never pickled by value)."""
+    because this module is importable (never pickled by value). Executor
+    workers only LOAD (SparkFiles copy or per-user cache) — the compiler
+    runs solely on the driver / standalone processes."""
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
     try:
-        lib = _compile_lib()
+        so_path = _locate_so()
+        if so_path is None:
+            if _on_worker():
+                _lib = None  # never compile in the executor path
+                return _lib
+            so_path = _ensure_compiled()
+        lib = _load_lib(so_path)
         from .text import _myers_edit_distance
 
         a_side = [a for a, _ in _CHECK_CASES]

@@ -1810,6 +1810,48 @@ def _myers_edit_distance(a: str, b: str) -> int:
     return score
 
 
+# Pairs whose shorter side exceeds this go straight to the pure-Python
+# path: the C kernel's Peq table grows with the square of the longest
+# pattern in a batch (tsize ~ 2m slots x m/64 words x 8 bytes ≈ m^2/4
+# bytes), so one ~100k-char pair would force a multi-GB malloc per worker
+# where the big-int fold just runs slower. 16384 bounds the table at
+# ~64 MiB per worker.
+_NATIVE_MAX_PATTERN = 16384
+
+
+def _lev_batch_resilient(a_strs, b_strs):
+    """Batch edit distances with the native kernel where safe, pure Python
+    otherwise — the in-worker body of :func:`_myers_lev_column`, module-level
+    so the fallback contract is unit-testable. Never raises out of the
+    native path: kernel absence, allocation failure, or un-encodable input
+    (lone surrogates) all land on the pure-Python per-pair loop, keeping
+    lev_native's 'strict improvement by construction' contract."""
+    from .lev_native import lev_batch
+
+    f = _myers_edit_distance
+    res = [None] * len(a_strs)
+    native_idx, xs, ys = [], [], []
+    for i, (x, y) in enumerate(zip(a_strs, b_strs)):
+        if x is None or y is None:
+            continue
+        if min(len(x), len(y)) > _NATIVE_MAX_PATTERN:
+            res[i] = f(x, y)
+        else:
+            native_idx.append(i)
+            xs.append(x)
+            ys.append(y)
+    if xs:
+        try:
+            ds = lev_batch(xs, ys)
+        except Exception:
+            ds = None
+        if ds is None:  # no kernel on this host, or native path failed
+            ds = [f(x, y) for x, y in zip(xs, ys)]
+        for i, d in zip(native_idx, ds):
+            res[i] = d
+    return res
+
+
 def _myers_lev_column(ta: F.Column, tb: F.Column) -> F.Column:
     """Arrow-batched column form of :func:`_myers_edit_distance` — one of
     the engine's sanctioned Python boundaries (the ``multimodal.py`` /
@@ -1820,32 +1862,21 @@ def _myers_lev_column(ta: F.Column, tb: F.Column) -> F.Column:
 
     Inside the boundary the batch goes to the native Myers kernel
     (:mod:`.lev_native` — same recurrence compiled to C, self-checked at
-    load, measured ~5× on the pinned DP stage at sf0.1); any kernel
-    unavailability falls back to the pure-Python big-int fold, value
-    barrier unchanged."""
+    load, measured ~5× on the pinned DP stage at sf0.1); the kernel is
+    compiled ON THE DRIVER here and shipped via ``addFile`` so executors
+    never invoke a compiler, and any native-path failure falls back to the
+    pure-Python big-int fold (:func:`_lev_batch_resilient`), value barrier
+    unchanged."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from .lev_native import ensure_kernel_shipped
+
+    ensure_kernel_shipped()  # driver-side compile + addFile; non-fatal
+
     @pandas_udf("long")
     def lev(a, b):
-        from .lev_native import lev_batch
-
-        f = _myers_edit_distance
-        res = [None] * len(a)
-        live = [
-            (i, x, y)
-            for i, (x, y) in enumerate(zip(a, b))
-            if x is not None and y is not None
-        ]
-        if live:
-            xs = [x for _, x, _ in live]
-            ys = [y for _, _, y in live]
-            ds = lev_batch(xs, ys)
-            if ds is None:  # no native kernel on this host — pure Python
-                ds = [f(x, y) for x, y in zip(xs, ys)]
-            for (i, _, _), d in zip(live, ds):
-                res[i] = d
-        return pd.Series(res, dtype="Int64")
+        return pd.Series(_lev_batch_resilient(list(a), list(b)), dtype="Int64")
 
     return lev(ta, tb)
 

@@ -724,6 +724,71 @@ def test_lev_native_unavailable_falls_back(monkeypatch):
     assert lev_native.lev_batch(["abc"], ["abd"]) is None
 
 
+def test_lev_native_worker_never_compiles(monkeypatch, tmp_path):
+    """Executor-side Python workers must never invoke the C compiler
+    (round-16 posture: the driver compiles once and ships the .so via
+    addFile). A worker that finds no distributed or cached .so returns
+    None — pure-Python fallback — rather than compiling."""
+    import subprocess
+
+    from pyspark_retention_pipeline_spark.operators import lev_native
+
+    monkeypatch.setattr(lev_native, "_lib", None)
+    monkeypatch.setattr(lev_native, "_tried", False)
+    monkeypatch.setattr(lev_native, "_on_worker", lambda: True)
+    monkeypatch.setattr(lev_native, "_sparkfiles_so", lambda: None)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))  # empty cache
+
+    def _no_compile(*a, **k):
+        raise AssertionError("compiler invoked in the executor path")
+
+    monkeypatch.setattr(subprocess, "run", _no_compile)
+    assert lev_native.get_kernel() is None
+    monkeypatch.setattr(lev_native, "_lib", None)
+    monkeypatch.setattr(lev_native, "_tried", True)
+
+
+def test_lev_native_rejects_unsafe_cache_file(tmp_path):
+    """A cached .so that is group/world-writable (or foreign-owned) must
+    not be loaded — the pre-planted-library hardening from the round-15
+    advice."""
+    from pyspark_retention_pipeline_spark.operators import lev_native
+
+    p = tmp_path / "planted.so"
+    p.write_bytes(b"\x7fELF")
+    p.chmod(0o777)
+    assert not lev_native._owned_and_private(str(p))
+    p.chmod(0o500)
+    assert lev_native._owned_and_private(str(p))
+
+
+def test_lev_batch_resilient_survives_native_failures(monkeypatch):
+    """The Arrow boundary's in-worker body falls back to pure Python when
+    the native path RAISES (not only when it is absent), and routes pairs
+    longer than the Peq-allocation bound to Python without ever handing
+    them to the kernel."""
+    import pyspark_retention_pipeline_spark.operators.text as tx
+    from pyspark_retention_pipeline_spark.operators import lev_native
+
+    def _boom(xs, ys):
+        raise MemoryError("simulated myers_batch allocation failure")
+
+    monkeypatch.setattr(lev_native, "lev_batch", _boom)
+    got = tx._lev_batch_resilient(["kitten", None], ["sitting", "x"])
+    assert got == [3, None]
+
+    # long pairs never reach the kernel: lev_batch asserting on any call
+    # proves the routing, while the Python path still returns the value
+    long_a = "a" * (tx._NATIVE_MAX_PATTERN + 1)
+    long_b = "a" * (tx._NATIVE_MAX_PATTERN + 2)
+
+    def _never(xs, ys):
+        raise AssertionError("long pair routed to native kernel")
+
+    monkeypatch.setattr(lev_native, "lev_batch", _never)
+    assert tx._lev_batch_resilient([long_a], [long_b]) == [1]
+
+
 def test_neardup_edit_verify_single_arrow_eval(spark, sf_dir):
     """The DP crosses the Python boundary exactly once: one ArrowEvalPython
     node (the Myers batch), never a duplicated evaluation (guide §4.4 —
