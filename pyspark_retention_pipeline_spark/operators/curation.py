@@ -1676,8 +1676,8 @@ def crossdoc_span_rewrite_maximal(spark: SparkSession, sf_dir: str) -> DataFrame
     — value-identical to the old ``COUNT(DISTINCT doc_id) >= 2`` without
     the distinct aggregate's extra span-grain exchange. Measured at
     sf0.1/32 (interleaved A/B, best-of-3 × 4 alternations): 1.98 →
-    1.64 s best, v4 ahead in every alternation; plan 8 → 5 shuffle
-    Exchanges. The cascade decision itself is ONE integer aggregate at
+    1.64 s best, v4 ahead in every alternation; plan 8 → 3 shuffle
+    Exchanges (+4 → +2 broadcast). The cascade decision itself is ONE integer aggregate at
     (doc, position) grain: each covered position carries code
     ``2k + is_victim``; MAX(code) picks the longest covering level and,
     within it, victim-over-canonical — no per-level anti-joins, no
