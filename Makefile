@@ -3,14 +3,22 @@
 SF_DIR ?= /root/testdata/sf0.001
 OUT_DIR ?= ./data/artifacts
 
-.PHONY: test test-gate test-gated bench etl train eval plots plans sweep
+.PHONY: test test-all test-gate test-gated bench etl train eval plots plans sweep
 
+# Default tier: everything not marked `slow` — sized to finish inside the
+# driver's pytest timeout (round-16 verdict item 1). The slow tier (full
+# oracle-parity mirror, randomized multi-SF sweeps, heavyweight e2e paths)
+# runs via test-all / test-gate below; coverage is re-tiered, never lost.
 test:
 	python -m pytest tests/ -q
 
+# Both tiers (the old `make test`).
+test-all:
+	RUN_SLOW=1 python -m pytest tests/ -q
+
 # The driver-gate mirror: full oracle parity at sf0.01.
 test-gate:
-	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+	RUN_SLOW=1 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 
 # Full-registry oracle sweep at the bench scale; writes docs/SWEEP_sf0.1.md
 # (committed per round — the wider net around the driver's 50-query window).
@@ -20,7 +28,7 @@ sweep:
 # Mirror of the driver's correctness gate at its exact scale (sf0.01):
 # every registry query, oracle-backed ones hash-compared to DuckDB.
 parity-gate:
-	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+	RUN_SLOW=1 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
 	  python -m pytest tests/test_oracle_parity.py -q
 
 # The dependency-gated tests (fastapi routes, protobuf stateful streaming)

@@ -255,6 +255,7 @@ def test_p99_approx_within_rank_error(spark, sf_dir):
         assert lo <= approx[flag] <= hi, (flag, approx[flag], lo, hi, n)
 
 
+@pytest.mark.slow
 def test_media_frame_sample_uniform_bounded_and_resized(spark):
     """Frame sampling: <= FRAME_SAMPLE_K frames per video at strictly
     increasing uniform indices < n_frames, timestamps on the frame period,
@@ -343,6 +344,7 @@ def test_winsorized_spend_stats_semantics(spark, sf_dir):
     assert abs(row.winsorized_mean - clipped_mean) < 1e-3
 
 
+@pytest.mark.slow
 def test_exact_quantile_frame_bit_identical_to_builtin(spark):
     """The scalable exact-quantile recipe (operators/quantiles.py) must be
     VALUE-BIT-IDENTICAL to Spark's exact ``percentile`` aggregate — the

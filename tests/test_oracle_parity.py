@@ -19,7 +19,23 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+# Two-tier parametrization (round-16 verdict item 1): the default tier
+# keeps a deterministic 1-in-7 sample (~38 queries) as a fast parity
+# canary so `pytest tests/` still exercises the gate end-to-end; the full
+# 260-query mirror is the slow tier (`make test-gate` / `make test-all` /
+# RUN_SLOW=1), which still runs per round. The sample is stride-based over
+# the sorted names — stable across runs, no randomness.
+_SORTED_ORACLES = sorted(ORACLES)
+_FAST_SAMPLE = set(_SORTED_ORACLES[::7])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _FAST_SAMPLE else pytest.param(n, marks=pytest.mark.slow)
+        for n in _SORTED_ORACLES
+    ],
+)
 def test_oracle_parity(name, spark, sf_dir, con):
     result = compare_query(name, QUERIES[name](spark, sf_dir), con, ORACLES[name])
     assert result.ok, f"{name}: {result.detail}"

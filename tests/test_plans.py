@@ -13,6 +13,25 @@ from pyspark_retention_pipeline_spark.registry import all_queries
 
 QUERIES = all_queries()
 
+# Two-tier sweep domain (round-16 verdict item 1): the seven REGISTRY-WIDE
+# plan sweeps below each rebuild and optimize all 276 query plans, ~25 of
+# the old suite's ~34 minutes — past the driver's pytest timeout. By
+# default they sweep a deterministic 1-in-7 stride sample (~40 queries) as
+# a structural canary; RUN_SLOW=1 (make test-all / CI tier) sweeps the
+# full registry, so registry-wide coverage is re-tiered, never lost.
+# Targeted single-query tests are unaffected — they always run.
+import os as _os
+
+_ALL_QUERY_NAMES = sorted(QUERIES)
+SWEEP_QUERIES = {
+    n: QUERIES[n]
+    for n in (
+        _ALL_QUERY_NAMES
+        if _os.environ.get("RUN_SLOW") == "1"
+        else _ALL_QUERY_NAMES[::7]
+    )
+}
+
 
 def test_valid_lines_pushdown(spark, sf_dir):
     df = QUERIES["valid_lines"](spark, sf_dir)
@@ -191,7 +210,7 @@ def test_hinted_broadcasts_provably_bounded(spark, sf_dir):
         "kmeans_lloyd_curve",  # bounded driver loop; builds run jobs
     }
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in skip:
             continue
         df = fn(spark, sf_dir)
@@ -300,7 +319,7 @@ def test_no_unpartitioned_corpus_windows(spark, sf_dir):
         "curate_corpus_neardup",
     }
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in skip or name in UNPARTITIONED_WINDOW_EXEMPT:
             continue
         hits = unpartitioned_corpus_windows(fn(spark, sf_dir))
@@ -820,7 +839,7 @@ def test_no_unbounded_cross_joins(spark, sf_dir):
         "curate_corpus_neardup",
     }
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in skip or name in CROSS_JOIN_EXEMPT:
             continue
         hits = unbounded_cross_joins(fn(spark, sf_dir))
@@ -896,7 +915,7 @@ def test_registry_scan_budget(spark, sf_dir):
     # false pass on a recompute regression (round-9 review finding).
     # Re-clear after any iteration that left cached relations behind.
     offenders: dict[str, dict[str, int]] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in SCAN_BUDGET_EXEMPT:
             continue
         plan = explain_str(fn(spark, sf_dir))
@@ -957,7 +976,7 @@ def test_no_corpus_grain_exact_percentile(spark, sf_dir):
     }
     pat = re.compile(r"(?<![\w_])(?:percentile|median)\(")
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in skip or name in EXACT_PERCENTILE_EXEMPT:
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
@@ -1010,7 +1029,7 @@ def test_no_unbounded_global_sorts(spark, sf_dir):
         "curate_corpus_neardup",
     }
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in skip:
             continue
         hits = unbounded_global_sorts(fn(spark, sf_dir))
@@ -1068,7 +1087,7 @@ def test_shuffle_census_no_regression(spark, sf_dir):
 
     regressions = {}
     missing = []
-    for name, fn in QUERIES.items():
+    for name, fn in SWEEP_QUERIES.items():
         if name in mod.SKIP:
             continue
         if name not in census:

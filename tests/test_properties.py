@@ -25,6 +25,7 @@ SETTINGS = settings(
 )
 
 
+@pytest.mark.slow
 @given(values=st.lists(MONEY, min_size=1, max_size=40))
 @SETTINGS
 def test_scaled_sum_partition_order_independent(spark, values):
@@ -463,6 +464,7 @@ def test_scd2_apply_matches_python_reference(spark, n_rows, change_keys, closed_
     assert sorted(got, key=str) == sorted(expected, key=str)
 
 
+@pytest.mark.slow
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 60), st.integers(0, 60)),
@@ -718,6 +720,7 @@ def _ref_bpe_merges(words, rounds):
     return merges
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
@@ -785,6 +788,7 @@ def _pagerank_reference(baskets, iters, scale):
     return rows
 
 
+@pytest.mark.slow
 @given(
     baskets=st.lists(
         st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=5),
@@ -826,6 +830,7 @@ def test_part_pagerank_rounds_matches_reference_on_random_graphs(
     ] == want
 
 
+@pytest.mark.slow
 @given(
     vecs=st.lists(
         st.lists(

@@ -1115,6 +1115,7 @@ def test_mmr_rerank_prefers_diversity_and_matches_reference(spark, monkeypatch):
     assert {clusters.get(i) for i in first3} == {"u", "w", "z"}
 
 
+@pytest.mark.slow
 def test_retrieval_graded_metrics_matches_python(spark, monkeypatch):
     """Pure-python replication of the graded scorecard on a planted corpus:
     relevance sets (integer cross-multiplied Jaccard >= 9/10 for BM25;
