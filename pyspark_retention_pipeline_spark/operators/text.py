@@ -1012,8 +1012,12 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism bought ~25%). With the tree fixed the wall is real per-row
     compute (md5 + packed fold over ~180 tokens/doc) and the fan-out A/B
     flipped decisively: 0.90 → 0.33 s / 1.23 → 0.22 s best-of-3, two
-    interleaved alternations at sf0.1/32 (tables.py window comment)."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    interleaved alternations at sf0.1/32 (tables.py window comment).
+    ``"dense"``: the round-16 target sweep (32/16/8 best-of-3:
+    0.176/0.160/0.234 s) showed this 60-lane md5 fold is the one fanned map
+    dense enough to want a task per core — the byte-sized target that wins
+    everywhere else regresses it, so the site declares itself dense."""
+    d = load_table(spark, sf_dir, "documents", fan_out="dense")
     return d.select("doc_id", portable_simhash60(F.col("text")).alias("sig"))
 
 

@@ -181,14 +181,41 @@ _FANOUT_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(256 * 1024 * 1024))
 )
 
+# Round-16 refinement (verdict item 7): the fan-out TARGET is sized by
+# input bytes, not pinned to defaultParallelism. PERF_r15's scaling block
+# showed the fanned queries whose map work is moderate run FASTER on 8
+# cores than 32 (crossdoc_span_rewrite ratio 0.47, semdedup_keep 0.57,
+# minhash_signatures 0.68): a keyless repartition's map side runs as ONE
+# task that sorts and writes `target` shuffle blocks, and every extra
+# reduce task adds scheduling overhead, so past the point where the
+# per-task compute amortizes those fixed costs more fan-out is pure loss.
+# A 32-core interleaved target sweep (32/16/8, best-of-3) confirmed it on
+# every fanned query — e.g. crossdoc_span_rewrite 1.13/0.75/0.40,
+# minhash_signatures 0.76/0.41/0.31, dsir 0.79/0.43/0.40, and even the
+# round-15 winners prefer 16 to 32 (winnowing 0.22/0.18/0.20,
+# embedding_quantize 0.34/0.18/0.17). The exception is a truly CPU-DENSE
+# map (simhash64's 60-lane md5 fold: 0.18/0.16/0.23 — parallelism still
+# pays at this data size), so call sites declare ``fan_out="dense"`` to
+# keep the full defaultParallelism target; everything else gets
+# ceil(bytes / split) capped at defaultParallelism. Both knobs stay
+# scale-adaptive: the byte rule grows with the input, the cap follows the
+# session's cores (the driver's lower-core bench scales down with it).
+_FANOUT_SPLIT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_SPLIT_BYTES", str(64 * 1024))
+)
 
-def _scan_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """Round-robin a single-file, fan-out-window-sized scan to the session's
-    default parallelism (see the window comment above). Filters and column
-    pruning still reach the parquet scan — Catalyst pushes deterministic
-    predicates and pruning projections through a Repartition — and the
-    repartition count follows ``defaultParallelism``, so the driver's
-    lower-core bench runs keep a consistent shape."""
+
+def _scan_fan_out(
+    spark: SparkSession, df: DataFrame, path: str, dense: bool = False
+) -> DataFrame:
+    """Round-robin a single-file, fan-out-window-sized scan (see the window
+    comment above): to ``ceil(bytes / _FANOUT_SPLIT_BYTES)`` partitions
+    capped at the session's default parallelism, or to the full default
+    parallelism when the call site declares its per-row map compute dense
+    enough to amortize one task per core (``dense=True``). Filters and
+    column pruning still reach the parquet scan — Catalyst pushes
+    deterministic predicates and pruning projections through a
+    Repartition."""
     try:
         if not os.path.isfile(path):
             return df
@@ -197,14 +224,18 @@ def _scan_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
         return df
     if not (_FANOUT_MIN_BYTES <= nbytes <= _FANOUT_MAX_BYTES):
         return df
-    target = spark.sparkContext.defaultParallelism
+    cap = spark.sparkContext.defaultParallelism
+    if dense:
+        target = cap
+    else:
+        target = min(cap, max(2, -(-nbytes // _FANOUT_SPLIT_BYTES)))
     if target <= 1:
         return df
     return df.repartition(target)
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | str = False
 ) -> DataFrame:
     """Read one testdata table as a DataFrame.
 
@@ -216,14 +247,17 @@ def load_table(
     ``fan_out=True`` opts the scan into the single-row-group fan-out (see
     :func:`_scan_fan_out`) — for call sites whose per-row compute above the
     scan is heavy enough that serializing it on one task dominates the
-    query (measured per site; see the fan-out window comment)."""
+    query (measured per site; see the fan-out window comment).
+    ``fan_out="dense"`` additionally declares the per-row map compute dense
+    enough to amortize one task per core (full ``defaultParallelism``
+    instead of the byte-sized target)."""
     if name == "events":
         return load_events(spark, sf_dir, fan_out=fan_out)
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.schema(SCHEMAS[name]).parquet(path)
-    return _scan_fan_out(spark, df, path) if fan_out else df
+    return _scan_fan_out(spark, df, path, dense=(fan_out == "dense")) if fan_out else df
 
 
 def _events_footer_probe(path: str):
@@ -276,7 +310,7 @@ def _assert_sane_epoch_us(value: int, path: str) -> None:
         )
 
 
-def load_events(spark: SparkSession, sf_dir: str, fan_out: bool = False) -> DataFrame:
+def load_events(spark: SparkSession, sf_dir: str, fan_out: bool | str = False) -> DataFrame:
     """Events table read precision-proof: ``ts_us`` (epoch microseconds, long)
     is derived from the timestamp precision the parquet footer *actually*
     declares, never from an assumed unit.
@@ -318,7 +352,7 @@ def load_events(spark: SparkSession, sf_dir: str, fan_out: bool = False) -> Data
             F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
         )
     _assert_sane_epoch_us(min_us, path)
-    return _scan_fan_out(spark, df, path) if fan_out else df
+    return _scan_fan_out(spark, df, path, dense=(fan_out == "dense")) if fan_out else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
