@@ -1333,7 +1333,11 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks."""
     from .similarity import PQ_K, PQ_M, PQ_SUB, QKNN_TOPKS
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out (round 16): the whole checkpoint ladder below (staged → based
+    # → staged2 → scored) inherits the scan's partitioning, so un-fanned it
+    # ran as a chain of single-task stages — UI-REST attribution measured
+    # ~2.8–3.5 s walls dominated by two 2.4 s one-task encode stages.
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     staged = (
         e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -1495,7 +1499,13 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recon_raw.alias("r"),
         # residual variant reconstructs recentred centroid + decoded residual
         F.zip_with("mv", recon_res, lambda a, b: a + b).alias("rv"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ pin (round 16): `scored` feeds BOTH the candidate join's stream side
+    # (`assigned`) and the broadcast probe side (`probed`); without the pin
+    # the PQ encode folds (2 variants × PQ_M subspaces × PQ_K codewords per
+    # row — the query's dominant per-row compute, 2.4 s/run at sf0.1) ran
+    # once per branch. Same slimming rule as the other pins: no codebook
+    # columns ride the checkpoint — only the per-row derived r/rv.
     assigned = scored.select("vec_id", "cell", "r", "rv")
     probed = (
         scored.filter(F.col("vec_id") < N_QUERIES)
