@@ -1203,7 +1203,10 @@ def quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rankings (two windows over the same frame — the pairs are built
     once); everything is bounded by the query workload, never
     corpus × corpus."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out (round 16): same single-task family as pq_adc_recall — the
+    # quantize + broadcast-query dot scan ran on one task (attribution:
+    # 0.40 s single-task stage of the 0.89 s warm wall).
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     vecs = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     scale = vecs.agg(
         (
@@ -1386,7 +1389,10 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard 1-ulp rule); ADC reconstruction values are raw parquet
     doubles, so ``dot``'s strict left fold and DuckDB's
     ``list_dot_product`` see identical inputs in identical order."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out (round 16): the checkpointed corpus frame inherits the scan's
+    # partitioning, so un-fanned the PQ encode fold ran as ONE task
+    # (attribution: 0.87 s of the 1.29 s warm wall in one single-task stage).
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     staged = e.select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     ).localCheckpoint(eager=False)  # codebook pick + corpus + query slice
