@@ -192,9 +192,14 @@ def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical to the single-window form (oracle unchanged); measured
     at sf0.1 the extra bounded exchange is free (1.31 → 1.29 s, noise) —
     the join+agg dominates. ``customer`` scales with SF: pre-projected to
-    (key, segment), no broadcast hint."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    (key, segment), no broadcast hint.
+
+    fan_out (round 16): the scan+probe+partial-agg map ran as one task over
+    the unsplittable single-row-group inputs; the small-target sweep
+    (off/4/8/16 at 32 cores) flipped round-15's target-32 rejection —
+    1.74 → 1.22 s at 16."""
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    o = load_table(spark, sf_dir, "orders", fan_out=True)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)

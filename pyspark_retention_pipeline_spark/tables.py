@@ -228,7 +228,14 @@ def _scan_fan_out(
     if dense:
         target = cap
     else:
-        target = min(cap, max(2, -(-nbytes // _FANOUT_SPLIT_BYTES)))
+        # Non-dense maps top out at HALF the cores: the keyless repartition's
+        # map side is one serial task whose write cost grows with the target,
+        # and the 32-core sweeps found every non-dense site's optimum at or
+        # below cap/2 (relational tier best at 16 of 32: churn_features
+        # 1.58→1.14, top_parts_per_segment 1.74→1.22, large_volume_customers
+        # 1.55→1.32; text/embedding sites best at their byte targets 8–13).
+        half_cap = max(2, cap // 2)
+        target = min(half_cap, max(2, -(-nbytes // _FANOUT_SPLIT_BYTES)))
     if target <= 1:
         return df
     return df.repartition(target)
