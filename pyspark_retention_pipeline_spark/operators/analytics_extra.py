@@ -1134,7 +1134,10 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38) beyond)."""
     from .analytics import with_global_cumsum
 
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out (round 16): byte-sized target A/B 0.77 → 0.55 s best-of-3 —
+    # the conditional-count map ran as one task over the single-row-group
+    # scan.
+    o = load_table(spark, sf_dir, "orders", fan_out=True)
     counts = _calendar_half_counts(
         o, F.round(F.col("o_totalprice") * 100).cast("long"), "v"
     )

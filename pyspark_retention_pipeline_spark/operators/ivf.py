@@ -228,7 +228,10 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells' members reach the final per-query rank. Ranking is on the
     ROUNDED cosine with a neighbor-id tie-break — the cross-engine 1-ulp
     rule every similarity oracle here follows."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out (round 16): byte-sized target A/B 0.95 → 0.43 s best-of-3 —
+    # the checkpointed cell-score ladder ran single-task off the
+    # single-row-group scan.
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     staged = (
         e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))

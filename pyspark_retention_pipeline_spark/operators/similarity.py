@@ -64,8 +64,11 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors, scan candidates once,
     rank per query. The per-query ranking runs on |queries|×|candidates| rows
-    but only top-k survive the window filter."""
-    e = load_table(spark, sf_dir, "embeddings")
+    but only top-k survive the window filter.
+
+    fan_out (round 16): byte-sized target A/B 0.44 → 0.38 s best-of-3 —
+    the broadcast-query dot scan ran as one task."""
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     with_norm = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     q = with_norm.filter(F.col("vec_id") < N_QUERIES).select(

@@ -1124,7 +1124,12 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; at testdata scale the max bucket is ~1.7k docs (measured sf0.1), so
     the exact join IS the oracle-checkable semantics here.
     """
-    return simhash_candidate_frame(load_table(spark, sf_dir, "documents"))
+    # fan_out (round 16): the round-15 target-32 A/B was a wash
+    # (0.85→0.81); at the byte-sized target (10) the interleaved A/B wins
+    # decisively (1.04 → 0.74 s best-of-3 at sf0.1/32).
+    return simhash_candidate_frame(
+        load_table(spark, sf_dir, "documents", fan_out=True)
+    )
 
 
 @query(

@@ -191,8 +191,12 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates with map-side partials, and the global top-20 is a
     TakeOrderedAndProject (per-partition heaps → driver merge, no global
     sort); the (count DESC, path ASC) total order makes the cut
-    deterministic on both engines."""
-    e = load_events(spark, sf_dir)
+    deterministic on both engines.
+
+    fan_out (round 16): byte-sized target A/B 0.77 → 0.58 s best-of-3 —
+    the per-event map feeding the user-key window shuffle ran as one task
+    over the single-row-group scan."""
+    e = load_events(spark, sf_dir, fan_out=True)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts_us").over(w)
