@@ -322,6 +322,7 @@ def test_simhash_identical_docs_pair_at_hamming_zero(spark):
     assert (1, 3) not in rows and (2, 3) not in rows
 
 
+@pytest.mark.slow
 def test_simhash_banding_lossless_vs_bruteforce(spark):
     # The 4-band split must recall EVERY hamming<=3 pair (pigeonhole): compare
     # the banded candidate set against an all-pairs brute force on a corpus

@@ -145,6 +145,7 @@ def test_golden_auc_and_threshold_on_reference_shaped_split(spark):
     assert best["f1"] == pytest.approx(best_f1, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_quality_classifier_planted_separability(spark, monkeypatch):
     """fastText-shape quality classifier on a planted bimodal corpus:
     'fluent' docs reuse a tiny frequent vocabulary (high unigram-LM score),
@@ -176,6 +177,7 @@ def test_quality_classifier_planted_separability(spark, monkeypatch):
     assert good_scores.min() > bad_scores.max()
 
 
+@pytest.mark.slow
 def test_quality_classifier_agrees_with_unigram_lm(spark, sf_dir):
     """The distillation target check (round-12 verdict item 4): on the real
     corpus the learned scores must track the unigram-LM signal they distill

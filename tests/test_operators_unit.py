@@ -55,6 +55,7 @@ def test_threshold_metrics_guard_division(spark):
     assert row["precision"] == 0.0 and row["recall"] == 0.0 and row["f1"] == 0.0
 
 
+@pytest.mark.slow
 def test_media_decode_stub_deterministic(spark):
     from pyspark_retention_pipeline_spark.operators.multimodal import decode_media
 

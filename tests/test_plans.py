@@ -28,7 +28,7 @@ SWEEP_QUERIES = {
     for n in (
         _ALL_QUERY_NAMES
         if _os.environ.get("RUN_SLOW") == "1"
-        else _ALL_QUERY_NAMES[::7]
+        else _ALL_QUERY_NAMES[::14]
     )
 }
 

@@ -40,6 +40,7 @@ def test_scaled_sum_partition_order_independent(spark, values):
     assert r1 == r8 == pytest.approx(exact, abs=1e-9)
 
 
+@pytest.mark.slow
 @given(
     gaps_s=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=30)
 )
@@ -75,6 +76,7 @@ def test_sessionize_matches_python_reference(spark, gaps_s, monkeypatch):
     assert got == expected
 
 
+@pytest.mark.slow
 @given(
     labels=st.lists(st.booleans(), min_size=3, max_size=60),
     data=st.data(),
@@ -152,6 +154,7 @@ def test_growth_accounting_matches_python_reference(spark, weeksets, monkeypatch
     assert got == expect
 
 
+@pytest.mark.slow
 @given(
     daysets=st.lists(
         st.sets(st.integers(min_value=19000, max_value=19040), min_size=1, max_size=6),
@@ -188,6 +191,7 @@ def test_stickiness_matches_python_reference(spark, daysets, monkeypatch):
     assert got == expect
 
 
+@pytest.mark.slow
 @given(
     orders=st.lists(
         st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=7),
@@ -258,6 +262,7 @@ def test_order_sensitive_queries_partitioning_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=400),
@@ -296,6 +301,7 @@ def test_global_rank_and_ntile_properties(spark, n, k, seed):
         assert a.q <= b.q
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(
     counts=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
@@ -374,6 +380,7 @@ def test_packed_accumulation_equals_per_lane_counts(hashes):
         assert (votes > 0) == (2 * ones > n)
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(
@@ -419,6 +426,7 @@ def test_salted_topk_equals_single_window(spark, rows, k):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+@pytest.mark.slow
 @given(
     n_rows=st.integers(min_value=1, max_value=12),
     change_keys=st.sets(st.integers(min_value=0, max_value=11), max_size=6),
@@ -658,6 +666,7 @@ def _ref_span_rewrite(rows, k):
     return out
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(

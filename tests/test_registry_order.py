@@ -142,6 +142,7 @@ def test_deferred_backfill_outside_window():
     assert not overlap, f"deferred entries unexpectedly seated: {overlap}"
 
 
+@pytest.mark.slow
 def test_no_array_typed_output_in_driver_window():
     """The driver canonicalizes results with pandas sort_values, which
     throws on list cells (CORRECTNESS_r06's three red rows). Guard the whole

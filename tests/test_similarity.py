@@ -263,6 +263,7 @@ def test_ann_top1_degraded_cap_still_covers(spark, sf_dir, monkeypatch):
     assert same_neighbor > 0
 
 
+@pytest.mark.slow
 def test_cross_validated_training_cheap(spark, sf_dir):
     """CV path exercised in EVERY default run (round-1 verdict: M7 was dark
     behind the env gate) — 2×2 grid, 2 folds at test SF keeps it cheap while
