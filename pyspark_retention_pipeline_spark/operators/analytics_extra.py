@@ -1134,10 +1134,11 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38) beyond)."""
     from .analytics import with_global_cumsum
 
-    # fan_out (round 16): byte-sized target A/B 0.77 → 0.55 s best-of-3 —
-    # the conditional-count map ran as one task over the single-row-group
-    # scan.
-    o = load_table(spark, sf_dir, "orders", fan_out=True)
+    # fan_out examined and REJECTED (round 16): the fixed-arm-order A/B's
+    # apparent win (0.77 → 0.55) did not survive the order-alternating
+    # quiet-host adjudication (fanned ahead 4/8, best 0.474 vs 0.469 — a
+    # wash); the audited plan stays.
+    o = load_table(spark, sf_dir, "orders")
     counts = _calendar_half_counts(
         o, F.round(F.col("o_totalprice") * 100).cast("long"), "v"
     )

@@ -74,13 +74,14 @@ def churn_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     as three filtered aggregations plus two joins, ``etl.py:57-124``); only
     the lineitem-derived product stats need their own aggregation + join.
     """
-    # fan_out (round 16): the conditional-aggregate map over the
-    # unsplittable single-row-group scans ran as one task per table; the
-    # small-target sweep (off/4/8/16 at 32 cores, interleaved best-of-3)
-    # flipped round-15's target-32 rejection — churn_features 1.58 → 1.14 s
-    # at 16 (the byte rule caps both tables at half the cores).
-    o = load_table(spark, sf_dir, "orders", fan_out=True)
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    # fan_out examined and REJECTED twice (rounds 15 and 16): a mid-round
+    # sweep suggested target-16 fan-out won here, but a 10-alternation
+    # order-alternating quiet-host adjudication showed the opposite (off
+    # best 0.87 / med 0.96 vs fanned 1.17 / 1.23 — the earlier "win" was
+    # arm-order bias in the harness). The conditional-aggregate map is too
+    # cheap to amortize the exchange; real layouts split naturally.
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
 
     in_hist = F.col("o_orderdate") <= ts_lit(CUTOFF)
     in_recent = in_hist & (F.col("o_orderdate") > ts_lit(RECENT_START))

@@ -66,8 +66,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank per query. The per-query ranking runs on |queries|×|candidates| rows
     but only top-k survive the window filter.
 
-    fan_out (round 16): byte-sized target A/B 0.44 → 0.38 s best-of-3 —
-    the broadcast-query dot scan ran as one task."""
+    fan_out (round 16): the broadcast-query dot scan ran as one task;
+    confirmed by the order-alternating quiet-host adjudication (fanned
+    ahead 6/8, best 0.356 → 0.315, med 0.443 → 0.363)."""
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     with_norm = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))

@@ -1124,12 +1124,12 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; at testdata scale the max bucket is ~1.7k docs (measured sf0.1), so
     the exact join IS the oracle-checkable semantics here.
     """
-    # fan_out (round 16): the round-15 target-32 A/B was a wash
-    # (0.85→0.81); at the byte-sized target (10) the interleaved A/B wins
-    # decisively (1.04 → 0.74 s best-of-3 at sf0.1/32).
-    return simhash_candidate_frame(
-        load_table(spark, sf_dir, "documents", fan_out=True)
-    )
+    # fan_out examined and REJECTED three times (round 15 at target 32:
+    # wash 0.85→0.81; round 16 at the byte target: a fixed-arm-order A/B's
+    # apparent win did not survive the order-alternating quiet-host
+    # adjudication — fanned ahead 3/8, best 0.641 vs 0.621, a wash). The
+    # audited plan stays.
+    return simhash_candidate_frame(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -193,10 +193,12 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort); the (count DESC, path ASC) total order makes the cut
     deterministic on both engines.
 
-    fan_out (round 16): byte-sized target A/B 0.77 → 0.58 s best-of-3 —
-    the per-event map feeding the user-key window shuffle ran as one task
-    over the single-row-group scan."""
-    e = load_events(spark, sf_dir, fan_out=True)
+    fan_out examined and REJECTED (round 16): a fixed-arm-order A/B
+    suggested 0.77 → 0.58, but the order-alternating quiet-host
+    adjudication reversed it (off best 0.62 vs fanned 0.85, fanned ahead
+    1/8) — the per-event map is too cheap to amortize the exchange ahead
+    of the user-key window shuffle."""
+    e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts_us").over(w)

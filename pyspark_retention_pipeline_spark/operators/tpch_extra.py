@@ -435,20 +435,19 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-reduced row set. Quantities are integral doubles, so their sums
     are exact in any order.
 
-    fan_out (round 16): the qualifying-set map ran as one task over the
-    unsplittable single-row-group scans; the small-target sweep (off/4/8/16
-    at 32 cores) flipped round-15's target-32 rejection — 1.55 → 1.32 s at
-    16."""
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True).select(
-        "l_orderkey", "l_quantity"
-    )
+    fan_out examined and REJECTED twice (rounds 15 and 16): the round-16
+    order-alternating quiet-host adjudication was decisive against it (off
+    best 1.14 / med 1.24 vs fanned 1.90 / 2.09, fanned ahead 0/8 — the
+    repartition breaks the l_orderkey shuffle-reuse this query's shape
+    exists to exercise)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 150.0)
         .select("l_orderkey")
     )
-    o = load_table(spark, sf_dir, "orders", fan_out=True).select(
+    o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")

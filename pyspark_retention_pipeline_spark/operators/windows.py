@@ -194,12 +194,12 @@ def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join+agg dominates. ``customer`` scales with SF: pre-projected to
     (key, segment), no broadcast hint.
 
-    fan_out (round 16): the scan+probe+partial-agg map ran as one task over
-    the unsplittable single-row-group inputs; the small-target sweep
-    (off/4/8/16 at 32 cores) flipped round-15's target-32 rejection —
-    1.74 → 1.22 s at 16."""
-    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
-    o = load_table(spark, sf_dir, "orders", fan_out=True)
+    fan_out examined and REJECTED twice (rounds 15 and 16): the round-16
+    small-target sweep suggested 16 won, but the order-alternating
+    quiet-host adjudication reversed it (off best 1.58 vs fanned 1.63,
+    fanned ahead 1/8) — the earlier "win" was harness arm-order bias."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
