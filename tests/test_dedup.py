@@ -4,6 +4,7 @@ hash-matched)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_retention_pipeline_spark.operators.text import (

@@ -26,6 +26,8 @@ moving the staleness floor to r10.
 import importlib.util
 import os
 
+import pytest
+
 from pyspark_retention_pipeline_spark.registry import (
     _FRONT,
     all_oracle_sql,
